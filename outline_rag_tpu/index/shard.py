@@ -1,0 +1,209 @@
+"""Mutable device-resident embedding shards.
+
+The XLA-functional answer to "UPDATE the index in place": a shard is a
+capacity-padded embedding matrix plus an additive validity penalty row
+(0 = live, NEG = tombstoned/unused), both device arrays. Mutations
+(append / tombstone) are jitted functional updates with donated buffers, so
+on TPU they execute as in-place HBM writes with **no reallocation and no
+recompilation** (fixed update-block shapes). Scoring always runs over the
+full capacity with the penalty fused into the score tile, so shapes stay
+static for XLA (SURVEY.md section 7 item 2, "hard parts": mutable index vs
+XLA functional semantics).
+
+This replaces the reference's delete-then-reinsert SQL mutation path
+(reference ``app/rag.py:216-235``) and the pgvector storage row
+(reference ``app/database.py:118-131``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from outline_rag_tpu.ops.topk import NEG
+
+# Rows are appended / tombstoned in fixed-size blocks so every mutation hits
+# the same compiled program regardless of delta size.
+UPDATE_BLOCK = 1024
+TOMBSTONE_BLOCK = 1024
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ShardState:
+    """Device arrays of one logical shard (a pytree).
+
+    ``vectors``  [capacity, dim]  — f32/bf16 embeddings, or int8 codes.
+    ``scales``   [capacity]       — f32 per-row scales (int8 mode; ones
+                                    otherwise so the pytree structure is
+                                    stable across modes).
+    ``penalty``  [capacity]       — f32 additive mask: 0 live, NEG dead.
+    """
+
+    vectors: jax.Array
+    scales: jax.Array
+    penalty: jax.Array
+
+    @property
+    def capacity(self) -> int:
+        return self.vectors.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.vectors.shape[1]
+
+
+def init_state(capacity: int, dim: int, dtype: str = "float32") -> ShardState:
+    jdtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "int8": jnp.int8}[
+        dtype
+    ]
+    return ShardState(
+        vectors=jnp.zeros((capacity, dim), jdtype),
+        scales=jnp.ones((capacity,), jnp.float32),
+        penalty=jnp.full((capacity,), NEG, jnp.float32),
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _append_block(
+    state: ShardState,
+    rows: jax.Array,  # [UPDATE_BLOCK, dim] in state dtype
+    scales: jax.Array,  # [UPDATE_BLOCK]
+    valid: jax.Array,  # [UPDATE_BLOCK] f32: 0 live / NEG padding
+    start: jax.Array,  # scalar int32 row offset
+) -> ShardState:
+    return ShardState(
+        vectors=jax.lax.dynamic_update_slice(state.vectors, rows, (start, 0)),
+        scales=jax.lax.dynamic_update_slice(state.scales, scales, (start,)),
+        penalty=jax.lax.dynamic_update_slice(state.penalty, valid, (start,)),
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _tombstone_block(state: ShardState, rows: jax.Array) -> ShardState:
+    """``rows``: [TOMBSTONE_BLOCK] int32 row ids; out-of-range ids (used as
+    padding) are dropped by the scatter."""
+    penalty = state.penalty.at[rows].set(NEG, mode="drop")
+    return dataclasses.replace(state, penalty=penalty)
+
+
+class DeviceShard:
+    """Host-side manager for one logical (possibly mesh-sharded) shard.
+
+    Tracks the write cursor, live count, row -> chunk-id mapping (host
+    NumPy; device-returned row indices are translated here) and the
+    generation counter used by the serving layer for consistent snapshots
+    (single-writer update task + atomic state swap, SURVEY.md section 5
+    race-safety notes).
+    """
+
+    def __init__(
+        self,
+        capacity: int,
+        dim: int,
+        dtype: str = "float32",
+        sharding: jax.sharding.Sharding | None = None,
+    ):
+        if capacity % UPDATE_BLOCK:
+            raise ValueError(f"capacity must be a multiple of {UPDATE_BLOCK}")
+        self.dtype = dtype
+        self.sharding = sharding
+        self.state = init_state(capacity, dim, dtype)
+        if sharding is not None:
+            self.state = jax.device_put(self.state, self._state_shardings())
+        self.row_ids: np.ndarray = np.full(capacity, "", dtype=object)
+        self.cursor = 0  # next free row
+        self.live = 0
+        self.generation = 0
+
+    def _state_shardings(self):
+        assert self.sharding is not None
+        row_sharding = self.sharding
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if isinstance(row_sharding, NamedSharding):
+            vec = NamedSharding(row_sharding.mesh, P(*row_sharding.spec, None))
+            one_d = NamedSharding(row_sharding.mesh, P(*row_sharding.spec))
+            return ShardState(vectors=vec, scales=one_d, penalty=one_d)
+        return ShardState(
+            vectors=row_sharding, scales=row_sharding, penalty=row_sharding
+        )
+
+    # -- mutation ----------------------------------------------------------
+
+    @property
+    def capacity(self) -> int:
+        return self.state.capacity
+
+    @property
+    def free(self) -> int:
+        return self.capacity - self.cursor
+
+    def append(
+        self,
+        chunk_ids: list[str],
+        vectors: np.ndarray,  # [n, dim] float32 (pre-normalized)
+        scales: np.ndarray | None = None,  # [n] for int8 mode
+    ) -> np.ndarray:
+        """Append rows; returns the assigned row indices. Vectors for int8
+        shards must already be quantized codes with ``scales`` given."""
+        n = vectors.shape[0]
+        if n == 0:
+            return np.empty(0, np.int64)
+        if n > self.free:
+            raise IndexError(f"shard full: {n} rows requested, {self.free} free")
+        rows_assigned = np.arange(self.cursor, self.cursor + n)
+        jdtype = self.state.vectors.dtype
+        if scales is None:
+            scales = np.ones(n, np.float32)
+        for off in range(0, n, UPDATE_BLOCK):
+            blk = vectors[off : off + UPDATE_BLOCK]
+            sc = scales[off : off + UPDATE_BLOCK]
+            m = blk.shape[0]
+            pad = UPDATE_BLOCK - m
+            blk_p = np.zeros((UPDATE_BLOCK, self.state.dim), np.float32)
+            blk_p[:m] = blk
+            sc_p = np.ones(UPDATE_BLOCK, np.float32)
+            sc_p[:m] = sc
+            valid = np.full(UPDATE_BLOCK, NEG, np.float32)
+            valid[:m] = 0.0
+            self.state = _append_block(
+                self.state,
+                jnp.asarray(blk_p, jdtype),
+                jnp.asarray(sc_p),
+                jnp.asarray(valid),
+                jnp.int32(self.cursor + off),
+            )
+        self.row_ids[self.cursor : self.cursor + n] = chunk_ids
+        self.cursor += n
+        self.live += n
+        self.generation += 1
+        return rows_assigned
+
+    def tombstone(self, rows: np.ndarray) -> None:
+        rows = np.asarray(rows, np.int32)
+        if rows.size == 0:
+            return
+        for off in range(0, rows.size, TOMBSTONE_BLOCK):
+            blk = rows[off : off + TOMBSTONE_BLOCK]
+            pad = np.full(
+                TOMBSTONE_BLOCK - blk.size, self.capacity + 1, np.int32
+            )  # out of range -> dropped
+            self.state = _tombstone_block(
+                self.state, jnp.asarray(np.concatenate([blk, pad]))
+            )
+        for r in rows:
+            self.row_ids[int(r)] = ""
+        self.live -= rows.size
+        self.generation += 1
+
+    def snapshot(self) -> tuple[ShardState, np.ndarray, int]:
+        """Consistent view for the query path: (device state, row-id map,
+        generation). The state object is immutable once handed out; the
+        updater replaces ``self.state`` rather than mutating arrays the
+        reader holds."""
+        return self.state, self.row_ids, self.generation

@@ -1,0 +1,261 @@
+"""VectorIndex: the queryable, mutable, persistable vector store.
+
+Functional replacement for the reference's ``AsyncPGVectorStore`` over
+pgvector (reference ``app/rag.py:67-80`` + ``app/database.py:118-139``):
+
+- ``add_chunks`` / ``delete_source`` implement the delete-then-add per-doc
+  update protocol (reference ``app/rag.py:216-235``) as tombstone + append
+  on device shards.
+- ``query`` runs the fused score+top-K kernel (optionally mesh-sharded) and
+  translates device row indices back to chunk ids.
+- Chunk/doc metadata (text, title, url, updatedAt) stays host-side in the
+  document store (``outline_rag_tpu.storage``), mirroring the reference's
+  split between the embedding column and metadata columns.
+- The index is a derived artifact, reconstructable from the host document
+  store (SURVEY.md section 5 checkpoint/resume); ``save``/``load`` persist
+  it as a .npz snapshot for fast restarts.
+
+Concurrency: one writer, many readers, serialized by an RLock. Mutations
+donate device buffers (true in-place HBM updates), which requires that no
+query holding the old state dispatches after the donation — the lock keeps
+query dispatch and mutation dispatch mutually exclusive; queries block
+until device results are ready before releasing. This is the device-side
+analogue of the reference's single-writer Redis lock discipline
+(reference ``app/blueprints/api.py:957``, SURVEY.md section 5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from outline_rag_tpu.index.shard import UPDATE_BLOCK, DeviceShard
+from outline_rag_tpu.ops.quant import quantize_rows_int8
+from outline_rag_tpu.ops.topk import NEG, cosine_topk
+
+
+def _normalize_rows(x: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return (x / norms).astype(np.float32)
+
+
+class VectorIndex:
+    def __init__(
+        self,
+        dim: int,
+        capacity: int = 1 << 17,
+        dtype: str = "float32",
+        sharding: jax.sharding.Sharding | None = None,
+        block_n: int = 1024,
+    ):
+        self.dim = dim
+        self.dtype = dtype
+        self.block_n = block_n
+        self._sharding = sharding
+        self._shard = DeviceShard(capacity, dim, dtype, sharding)
+        self._by_chunk: dict[str, int] = {}  # chunk_id -> row
+        self._by_source: dict[str, list[str]] = {}  # source_id -> chunk ids
+        self._lock = threading.RLock()
+
+    # ------------------------------------------------------------------
+    # mutation
+    # ------------------------------------------------------------------
+
+    def add_chunks(
+        self,
+        chunk_ids: list[str],
+        vectors: np.ndarray,
+        source_id: str,
+        replace: bool = True,
+    ) -> None:
+        """Index chunks of one source document. With ``replace`` (the
+        default), existing chunks of the same source are tombstoned first —
+        the reference's delete-then-add per-doc semantics
+        (``app/rag.py:216-235``)."""
+        assert vectors.shape == (len(chunk_ids), self.dim), vectors.shape
+        with self._lock:
+            if replace:
+                self._delete_source_locked(source_id)
+            vecs = _normalize_rows(vectors)
+            scales = None
+            if self.dtype == "int8":
+                q, s = quantize_rows_int8(jnp.asarray(vecs))
+                vecs = np.asarray(q, np.float32)  # codes carried as f32 host-side
+                scales = np.asarray(s)
+            elif self.dtype == "bfloat16":
+                pass  # cast happens on device append
+            if len(chunk_ids) > self._shard.free:
+                self._grow(len(chunk_ids))
+            rows = self._shard.append(chunk_ids, vecs, scales)
+            for cid, row in zip(chunk_ids, rows):
+                self._by_chunk[cid] = int(row)
+            self._by_source.setdefault(source_id, [])
+            self._by_source[source_id].extend(chunk_ids)
+
+    def delete_source(self, source_id: str) -> int:
+        with self._lock:
+            return self._delete_source_locked(source_id)
+
+    def _delete_source_locked(self, source_id: str) -> int:
+        cids = self._by_source.pop(source_id, [])
+        rows = [self._by_chunk.pop(c) for c in cids if c in self._by_chunk]
+        self._shard.tombstone(np.asarray(rows, np.int32))
+        return len(rows)
+
+    def delete_chunks(self, chunk_ids: list[str]) -> int:
+        with self._lock:
+            rows = [self._by_chunk.pop(c) for c in chunk_ids if c in self._by_chunk]
+            self._shard.tombstone(np.asarray(rows, np.int32))
+            for cids in self._by_source.values():
+                for c in chunk_ids:
+                    if c in cids:
+                        cids.remove(c)
+            return len(rows)
+
+    def _grow(self, needed: int) -> None:
+        """Double capacity (rare; recompiles the mutation programs once per
+        size). Live rows are copied, tombstones dropped -> doubles as
+        compaction."""
+        new_cap = self._shard.capacity
+        while new_cap - self.size < needed or new_cap == self._shard.capacity:
+            new_cap *= 2
+        self.compact(new_capacity=new_cap)
+
+    def compact(self, new_capacity: int | None = None) -> None:
+        """Rewrite the shard keeping only live rows (drops tombstones)."""
+        with self._lock:
+            old_state, row_ids, _ = self._shard.snapshot()
+            penalty = np.asarray(old_state.penalty)
+            live_mask = penalty > NEG / 2
+            live_rows = np.nonzero(live_mask)[0]
+            vecs = np.asarray(old_state.vectors, np.float32)[live_rows]
+            scales = np.asarray(old_state.scales)[live_rows]
+            ids = [row_ids[r] for r in live_rows]
+            cap = new_capacity or self._shard.capacity
+            self._shard = DeviceShard(cap, self.dim, self.dtype, self._sharding)
+            self._by_chunk.clear()
+            if len(ids):
+                rows = self._shard.append(
+                    ids, vecs, scales if self.dtype == "int8" else None
+                )
+                for cid, row in zip(ids, rows):
+                    self._by_chunk[cid] = int(row)
+
+    # ------------------------------------------------------------------
+    # query
+    # ------------------------------------------------------------------
+
+    @property
+    def size(self) -> int:
+        return self._shard.live
+
+    @property
+    def generation(self) -> int:
+        return self._shard.generation
+
+    def query(
+        self, queries: np.ndarray, k: int, impl: str = "auto"
+    ) -> tuple[list[list[str]], np.ndarray]:
+        """Top-k chunk ids + cosine scores per query. ``queries`` [B, dim]."""
+        with self._lock:
+            state, row_ids, _ = self._shard.snapshot()
+            q = _normalize_rows(np.atleast_2d(queries))
+            if self.dtype == "int8":
+                from outline_rag_tpu.ops.quant import int8_topk
+
+                qq, qs = quantize_rows_int8(jnp.asarray(q))
+                vals, idx = int8_topk(
+                    qq,
+                    qs,
+                    state.vectors,
+                    state.scales,
+                    min(k, state.capacity),
+                    state.penalty,
+                )
+            else:
+                vals, idx = cosine_topk(
+                    jnp.asarray(q),
+                    state.vectors,
+                    min(k, state.capacity),
+                    state.penalty,
+                    impl=impl,
+                    block_n=self.block_n,
+                )
+            vals = np.asarray(vals)
+            idx = np.asarray(idx)
+        out_ids: list[list[str]] = []
+        for b in range(idx.shape[0]):
+            row = []
+            for j in range(idx.shape[1]):
+                if vals[b, j] <= NEG / 2:
+                    continue  # fewer than k live rows
+                row.append(str(row_ids[idx[b, j]]))
+            out_ids.append(row)
+        return out_ids, vals
+
+    # ------------------------------------------------------------------
+    # persistence (derived-artifact checkpoint; SURVEY.md section 5)
+    # ------------------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        with self._lock:
+            state, row_ids, gen = self._shard.snapshot()
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            np.savez_compressed(
+                path,
+                vectors=np.asarray(state.vectors, np.float32),
+                scales=np.asarray(state.scales),
+                penalty=np.asarray(state.penalty),
+            )
+            meta = {
+                "dim": self.dim,
+                "dtype": self.dtype,
+                "capacity": self._shard.capacity,
+                "cursor": self._shard.cursor,
+                "generation": gen,
+                "row_ids": ["" if not r else str(r) for r in row_ids],
+                "by_source": self._by_source,
+            }
+            with open(path + ".meta.json", "w") as f:
+                json.dump(meta, f)
+
+    @classmethod
+    def load(
+        cls, path: str, sharding: jax.sharding.Sharding | None = None
+    ) -> "VectorIndex":
+        with open(path + ".meta.json") as f:
+            meta = json.load(f)
+        arrays = np.load(path if path.endswith(".npz") else path + ".npz")
+        idx = cls(
+            dim=meta["dim"],
+            capacity=meta["capacity"],
+            dtype=meta["dtype"],
+            sharding=sharding,
+        )
+        cursor = meta["cursor"]
+        row_ids = meta["row_ids"]
+        penalty = arrays["penalty"]
+        live = [
+            r for r in range(cursor) if penalty[r] > NEG / 2 and row_ids[r]
+        ]
+        if live:
+            vecs = arrays["vectors"][live]
+            scales = arrays["scales"][live]
+            ids = [row_ids[r] for r in live]
+            rows = idx._shard.append(
+                ids, vecs, scales if meta["dtype"] == "int8" else None
+            )
+            for cid, row in zip(ids, rows):
+                idx._by_chunk[cid] = int(row)
+        # rebuild source map restricted to live chunks
+        for src, cids in meta["by_source"].items():
+            kept = [c for c in cids if c in idx._by_chunk]
+            if kept:
+                idx._by_source[src] = kept
+        return idx

@@ -1,0 +1,327 @@
+"""Fused cosine-score + top-K kernels.
+
+This is the device-side replacement for the reference retrieval core: the
+pgvector exact/HNSW cosine top-K SQL (reference ``app/database.py:118-139``,
+queried via ``app/rag.py:85-87``) becomes a tiled matmul over a
+device-resident corpus matrix with the K-select fused into the same kernel,
+so the ``[B, N]`` score matrix never materializes in HBM.
+
+Three entry points:
+
+- :func:`topk_xla`    — pure XLA path (``jnp.dot`` + ``lax.top_k``); the
+                        correctness oracle and the fallback on any backend.
+- :func:`topk_pallas` — the Pallas TPU kernel: grid over (query tiles,
+                        corpus tiles); each step computes a ``[TB, TN]``
+                        score tile on the MXU and merges it into a running
+                        per-query top-K accumulator held in VMEM scratch.
+                        A per-tile threshold test skips the merge work for
+                        tiles that cannot contribute (the common case once
+                        the accumulator warms up).
+- :func:`cosine_topk` — dispatcher with padding/masking plumbing; picks the
+                        Pallas path on TPU and interpret-mode Pallas or XLA
+                        elsewhere.
+
+Conventions: queries and corpus rows are expected L2-normalized (cosine ==
+dot). Invalid rows (tombstones / capacity padding — see
+``outline_rag_tpu.index.shard``) are excluded via an additive ``[N]`` f32
+penalty mask (0 for valid, ``NEG`` for invalid). Ties break toward the lower
+index, matching ``lax.top_k``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# XLA reference path
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def topk_xla(
+    queries: jax.Array,
+    corpus: jax.Array,
+    k: int,
+    penalty: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact cosine top-K via XLA: materializes [B, N] scores in HBM.
+
+    ``penalty``: optional additive f32 mask of shape [N] (0 valid / NEG
+    invalid).
+    """
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if corpus.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    scores = jnp.dot(
+        queries.astype(corpus.dtype),
+        corpus.T,
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    if penalty is not None:
+        scores = scores + penalty[None, :]
+    vals, idx = jax.lax.top_k(scores, k)
+    return vals, idx.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Top-K merge (shared by the kernel wrapper and the cross-shard merge)
+# ---------------------------------------------------------------------------
+
+
+def merge_topk(
+    vals_a: jax.Array,
+    idx_a: jax.Array,
+    vals_b: jax.Array,
+    idx_b: jax.Array,
+    k: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Merge two per-query top lists [B, Ka], [B, Kb] -> top-k of the union.
+
+    Used to combine per-shard results after the cross-shard all-gather
+    (SURVEY.md section 2c: per-shard local top-K then global merge is the
+    only collective the query path needs).
+    """
+    vals = jnp.concatenate([vals_a, vals_b], axis=1)
+    idx = jnp.concatenate([idx_a, idx_b], axis=1)
+    top_vals, pos = jax.lax.top_k(vals, k)
+    top_idx = jnp.take_along_axis(idx, pos, axis=1)
+    return top_vals, top_idx
+
+
+# ---------------------------------------------------------------------------
+# Pallas fused kernel
+# ---------------------------------------------------------------------------
+
+
+def _fused_topk_kernel(
+    q_ref,  # [TB, D] VMEM
+    c_ref,  # [TN, D] VMEM (corpus tile)
+    pen_ref,  # [1, TN] VMEM (additive penalty for this tile)
+    out_vals_ref,  # [TB, K] VMEM
+    out_idx_ref,  # [TB, K] VMEM (int32)
+    acc_vals,  # scratch [TB, K] f32
+    acc_idx,  # scratch [TB, K] i32
+    *,
+    k: int,
+    block_n: int,
+):
+    n_tile = pl.program_id(1)
+    num_n = pl.num_programs(1)
+
+    @pl.when(n_tile == 0)
+    def _init():
+        acc_vals[:] = jnp.full_like(acc_vals, NEG)
+        acc_idx[:] = jnp.zeros_like(acc_idx)
+
+    # [TB, TN] score tile on the MXU, accumulated in f32. fp32 inputs use
+    # HIGHEST precision (multi-pass bf16 on the MXU) so the fp32 mode is
+    # exact-parity with the pgvector exact scan; bf16/int8 modes use the
+    # fast single-pass path.
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if q_ref.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    scores = jax.lax.dot_general(
+        q_ref[:],
+        c_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    scores = scores + pen_ref[0, :][None, :]
+
+    base = n_tile * block_n
+    tb = scores.shape[0]
+
+    # Tile-level skip: merge only if some score beats the worst accumulator
+    # entry (acc is sorted descending, so column k-1 is each query's kth
+    # value; after warm-up most tiles fail this test and skip the K-pass
+    # merge entirely).
+    tile_max = jnp.max(scores)
+    acc_floor = jnp.min(acc_vals[:, k - 1])
+
+    @pl.when(tile_max > acc_floor)
+    def _merge():
+        col = jax.lax.broadcasted_iota(jnp.int32, (tb, block_n), 1)
+        cand_idx = base + col
+        s = scores
+        new_vals = acc_vals[:]
+        new_idx = acc_idx[:]
+        # K passes of max/argmax-with-mask over the tile, each pass competing
+        # against the current accumulator tail.
+        for j in range(k):
+            m = jnp.max(s, axis=1, keepdims=True)  # [TB, 1]
+            hit = s == m
+            # lowest index wins ties (lax.top_k semantics)
+            pos = jnp.min(jnp.where(hit, col, jnp.int32(2**30)), axis=1, keepdims=True)
+            chosen = pos == col
+            m_idx = jnp.sum(
+                jnp.where(chosen, cand_idx, 0), axis=1, keepdims=True
+            )  # [TB, 1]
+            s = jnp.where(chosen, NEG, s)
+
+            # Insert (m, m_idx) into the sorted accumulator: every slot whose
+            # value is below m shifts right by one; slot `ins` takes m.
+            mv = m[:, 0][:, None]  # [TB, 1]
+            mi = m_idx[:, 0][:, None]
+            below = new_vals < mv  # [TB, K] sorted desc -> suffix mask
+            ins_pos = jnp.sum(
+                jnp.where(~below, 1, 0), axis=1, keepdims=True
+            )  # first slot where value < m
+            kcol = jax.lax.broadcasted_iota(jnp.int32, (tb, k), 1)
+            # shifted-by-one copies of the accumulator
+            prev_vals = jnp.concatenate(
+                [jnp.full((tb, 1), NEG, new_vals.dtype), new_vals[:, :-1]], axis=1
+            )
+            prev_idx = jnp.concatenate(
+                [jnp.zeros((tb, 1), new_idx.dtype), new_idx[:, :-1]], axis=1
+            )
+            take_new = kcol == ins_pos
+            shift = kcol > ins_pos
+            new_vals = jnp.where(
+                take_new, mv, jnp.where(shift, prev_vals, new_vals)
+            )
+            new_idx = jnp.where(
+                take_new, mi, jnp.where(shift, prev_idx, new_idx)
+            )
+        acc_vals[:] = new_vals
+        acc_idx[:] = new_idx
+
+    @pl.when(n_tile == num_n - 1)
+    def _emit():
+        out_vals_ref[:] = acc_vals[:]
+        out_idx_ref[:] = acc_idx[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "block_b", "block_n", "interpret")
+)
+def _topk_pallas_jit(
+    queries: jax.Array,
+    corpus: jax.Array,
+    pen2d: jax.Array,
+    k: int,
+    block_b: int,
+    block_n: int,
+    interpret: bool,
+) -> tuple[jax.Array, jax.Array]:
+    b, d = queries.shape
+    n = corpus.shape[0]
+    grid = (b // block_b, n // block_n)
+    kernel = functools.partial(_fused_topk_kernel, k=k, block_n=block_n)
+    bytes_per = jnp.dtype(corpus.dtype).itemsize
+    out_vals, out_idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_b, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_b, k), jnp.float32),
+            pltpu.VMEM((block_b, k), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * d,
+            bytes_accessed=n * d * bytes_per + b * d * bytes_per + b * k * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(queries.astype(corpus.dtype), corpus, pen2d)
+    return out_vals, out_idx
+
+
+def topk_pallas(
+    queries: jax.Array,
+    corpus: jax.Array,
+    k: int,
+    penalty: jax.Array | None = None,
+    *,
+    block_b: int = 64,
+    block_n: int = 1024,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused score+top-K. Requires B % block_b == 0 and N % block_n == 0
+    (use :func:`cosine_topk` for automatic padding)."""
+    b, d = queries.shape
+    n = corpus.shape[0]
+    assert corpus.shape[1] == d, (queries.shape, corpus.shape)
+    assert b % block_b == 0 and n % block_n == 0, (b, n, block_b, block_n)
+    if penalty is None:
+        penalty = jnp.zeros((n,), jnp.float32)
+    pen2d = penalty.reshape(1, n).astype(jnp.float32)
+    if interpret is None:
+        interpret = not _on_tpu()
+    return _topk_pallas_jit(
+        queries, corpus, pen2d, k, block_b, block_n, interpret
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dispatcher
+# ---------------------------------------------------------------------------
+
+
+def cosine_topk(
+    queries: jax.Array,
+    corpus: jax.Array,
+    k: int,
+    penalty: jax.Array | None = None,
+    *,
+    impl: str = "auto",
+    block_b: int = 64,
+    block_n: int = 1024,
+) -> tuple[jax.Array, jax.Array]:
+    """Top-k cosine matches of each query against the corpus.
+
+    Handles shape padding: B is padded to ``block_b``, N must already be a
+    multiple of ``block_n`` for the pallas path (index shards guarantee
+    this); otherwise falls back to XLA. Returned indices refer to corpus
+    rows; padded/invalid rows never appear provided ``penalty`` marks them.
+    """
+    b, _ = queries.shape
+    n = corpus.shape[0]
+    k = min(k, n)
+    if impl == "auto":
+        impl = "pallas" if (_on_tpu() and n % block_n == 0) else "xla"
+    if impl == "xla" or n % block_n != 0:
+        return topk_xla(queries, corpus, k, penalty)
+
+    pad_b = _round_up(max(b, 8), block_b) - b
+    if pad_b:
+        queries = jnp.pad(queries, ((0, pad_b), (0, 0)))
+    vals, idx = topk_pallas(
+        queries, corpus, k, penalty, block_b=block_b, block_n=block_n
+    )
+    if pad_b:
+        vals, idx = vals[:b], idx[:b]
+    return vals, idx

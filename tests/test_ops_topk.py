@@ -1,0 +1,141 @@
+"""Oracle tests for the fused score+top-K kernels.
+
+Oracle = NumPy exact fp32 cosine top-K — the semantics of
+``SELECT ... ORDER BY embedding <=> q LIMIT k`` against pgvector
+(SURVEY.md section 4: recall@12 of the fused kernel vs exact scan must be
+1.0 in fp32).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from outline_rag_tpu.ops import cosine_topk, merge_topk, topk_pallas, topk_xla
+from outline_rag_tpu.ops.quant import int8_topk, quantize_rows_int8
+from outline_rag_tpu.ops.topk import NEG
+
+
+def _normalize(x):
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+def _oracle_topk(q, c, k, invalid=None):
+    scores = q.astype(np.float32) @ c.astype(np.float32).T
+    if invalid is not None:
+        scores[:, invalid] = -np.inf
+    idx = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    vals = np.take_along_axis(scores, idx, axis=1)
+    return vals, idx
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(42)
+    corpus = _normalize(rng.standard_normal((512, 128), dtype=np.float32))
+    queries = _normalize(rng.standard_normal((8, 128), dtype=np.float32))
+    return queries, corpus
+
+
+def test_xla_matches_oracle(data):
+    q, c = data
+    vals, idx = topk_xla(jnp.asarray(q), jnp.asarray(c), 12)
+    ovals, oidx = _oracle_topk(q, c, 12)
+    np.testing.assert_array_equal(np.asarray(idx), oidx)
+    np.testing.assert_allclose(np.asarray(vals), ovals, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_matches_oracle(data):
+    q, c = data
+    vals, idx = topk_pallas(
+        jnp.asarray(q), jnp.asarray(c), 12, block_b=8, block_n=128
+    )
+    ovals, oidx = _oracle_topk(q, c, 12)
+    np.testing.assert_array_equal(np.asarray(idx), oidx)
+    np.testing.assert_allclose(np.asarray(vals), ovals, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_respects_penalty_mask(data):
+    q, c = data
+    invalid = np.zeros(c.shape[0], dtype=bool)
+    invalid[::3] = True  # tombstone a third of the corpus
+    penalty = jnp.asarray(np.where(invalid, NEG, 0.0).astype(np.float32))
+    vals, idx = topk_pallas(
+        jnp.asarray(q), jnp.asarray(c), 12, penalty, block_b=8, block_n=128
+    )
+    _, oidx = _oracle_topk(q, c, 12, invalid=invalid)
+    np.testing.assert_array_equal(np.asarray(idx), oidx)
+    assert not np.any(invalid[np.asarray(idx)])
+
+
+def test_pallas_duplicate_scores_tie_break(data):
+    # duplicated corpus rows -> exact score ties; lower index must win
+    rng = np.random.default_rng(7)
+    base = _normalize(rng.standard_normal((128, 128), dtype=np.float32))
+    c = np.concatenate([base, base], axis=0)  # rows i and i+128 identical
+    q = base[:8]
+    vals, idx = topk_pallas(jnp.asarray(q), jnp.asarray(c), 4, block_b=8, block_n=128)
+    idx = np.asarray(idx)
+    # best match for query i is row i itself (score 1.0), dup at i+256;
+    # the tie must resolve to the lower index first
+    for i in range(8):
+        assert idx[i, 0] == i
+        assert idx[i, 1] == i + 128
+
+
+def test_dispatcher_pads_batch(data):
+    q, c = data
+    vals, idx = cosine_topk(jnp.asarray(q[:3]), jnp.asarray(c), 5, impl="pallas", block_b=8, block_n=128)
+    ovals, oidx = _oracle_topk(q[:3], c, 5)
+    assert vals.shape == (3, 5)
+    np.testing.assert_array_equal(np.asarray(idx), oidx)
+
+
+def test_bf16_recall(data):
+    q, c = data
+    vals, idx = topk_pallas(
+        jnp.asarray(q), jnp.asarray(c, dtype=jnp.bfloat16).astype(jnp.bfloat16),
+        12, block_b=8, block_n=128,
+    )
+    _, oidx = _oracle_topk(q, c, 12)
+    # bf16 scoring: measured-tolerance recall vs exact oracle
+    hits = np.mean([
+        len(set(np.asarray(idx)[i]) & set(oidx[i])) / 12 for i in range(q.shape[0])
+    ])
+    assert hits >= 0.9
+
+
+def test_int8_recall(data):
+    q, c = data
+    qq, qs = quantize_rows_int8(jnp.asarray(q))
+    cq, cs = quantize_rows_int8(jnp.asarray(c))
+    vals, idx = int8_topk(qq, qs, cq, cs, 12)
+    _, oidx = _oracle_topk(q, c, 12)
+    hits = np.mean([
+        len(set(np.asarray(idx)[i]) & set(oidx[i])) / 12 for i in range(q.shape[0])
+    ])
+    assert hits >= 0.85
+
+
+def test_merge_topk():
+    rng = np.random.default_rng(3)
+    scores = rng.standard_normal((4, 64)).astype(np.float32)
+    va, ia = topk_xla(jnp.eye(4, 8, dtype=jnp.float32),
+                      jnp.asarray(rng.standard_normal((32, 8), dtype=np.float32)), 6)
+    # simpler: split one score matrix into two halves and merge their top-6
+    import jax
+    all_vals, all_idx = jax.lax.top_k(jnp.asarray(scores), 6)
+    lv, li = jax.lax.top_k(jnp.asarray(scores[:, :32]), 6)
+    rv, ri = jax.lax.top_k(jnp.asarray(scores[:, 32:]), 6)
+    mv, mi = merge_topk(lv, li.astype(jnp.int32), rv, (ri + 32).astype(jnp.int32), 6)
+    np.testing.assert_allclose(np.asarray(mv), np.asarray(all_vals), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(mi), np.asarray(all_idx))
+
+
+def test_quantize_roundtrip():
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((64, 128)).astype(np.float32)
+    q, s = quantize_rows_int8(jnp.asarray(x))
+    back = np.asarray(q, dtype=np.float32) * np.asarray(s)[:, None]
+    err = np.abs(back - x).max() / np.abs(x).max()
+    assert err < 0.01
