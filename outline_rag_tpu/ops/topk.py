@@ -189,13 +189,19 @@ def _fused_topk_kernel(
                 jnp.where(~below, 1, 0), axis=1, keepdims=True
             )  # first slot where value < m
             kcol = jax.lax.broadcasted_iota(jnp.int32, (tb, k), 1)
-            # shifted-by-one copies of the accumulator
-            prev_vals = jnp.concatenate(
-                [jnp.full((tb, 1), NEG, new_vals.dtype), new_vals[:, :-1]], axis=1
-            )
-            prev_idx = jnp.concatenate(
-                [jnp.zeros((tb, 1), new_idx.dtype), new_idx[:, :-1]], axis=1
-            )
+            # shifted-by-one copies of the accumulator (k == 1 has no
+            # shifted part; zero-size slices don't lower on Mosaic)
+            if k > 1:
+                prev_vals = jnp.concatenate(
+                    [jnp.full((tb, 1), NEG, new_vals.dtype), new_vals[:, :-1]],
+                    axis=1,
+                )
+                prev_idx = jnp.concatenate(
+                    [jnp.zeros((tb, 1), new_idx.dtype), new_idx[:, :-1]], axis=1
+                )
+            else:
+                prev_vals = jnp.full((tb, 1), NEG, new_vals.dtype)
+                prev_idx = jnp.zeros((tb, 1), new_idx.dtype)
             take_new = kcol == ins_pos
             shift = kcol > ins_pos
             new_vals = jnp.where(

@@ -1,0 +1,110 @@
+"""VectorIndex tests: append / tombstone / replace / compact / persist
+(device-side equivalents of the reference's delete-then-add SQL protocol,
+app/rag.py:216-235)."""
+
+import numpy as np
+import pytest
+
+from outline_rag_tpu.index import VectorIndex
+
+DIM = 64
+
+
+def _vecs(rng, n):
+    v = rng.standard_normal((n, DIM)).astype(np.float32)
+    return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+
+@pytest.fixture
+def index():
+    return VectorIndex(dim=DIM, capacity=4096, dtype="float32", block_n=1024)
+
+
+def test_add_and_query(index, rng):
+    vecs = _vecs(rng, 10)
+    ids = [f"c{i}" for i in range(10)]
+    index.add_chunks(ids, vecs, source_id="doc1")
+    assert index.size == 10
+    got_ids, scores = index.query(vecs[3:4], k=3)
+    assert got_ids[0][0] == "c3"
+    assert scores[0, 0] == pytest.approx(1.0, abs=1e-4)
+
+
+def test_replace_semantics(index, rng):
+    v1 = _vecs(rng, 5)
+    index.add_chunks([f"a{i}" for i in range(5)], v1, source_id="doc1")
+    v2 = _vecs(rng, 3)
+    index.add_chunks([f"b{i}" for i in range(3)], v2, source_id="doc1")
+    # old chunks tombstoned: total live is 3
+    assert index.size == 3
+    got_ids, _ = index.query(v1[0:1], k=8)
+    assert all(not g.startswith("a") for g in got_ids[0])
+
+
+def test_delete_source(index, rng):
+    index.add_chunks(["x0", "x1"], _vecs(rng, 2), source_id="d1")
+    index.add_chunks(["y0"], _vecs(rng, 1), source_id="d2")
+    assert index.delete_source("d1") == 2
+    assert index.size == 1
+    got_ids, _ = index.query(_vecs(rng, 1), k=5)
+    assert got_ids[0] == ["y0"]
+
+
+def test_tombstoned_rows_never_returned(index, rng):
+    vecs = _vecs(rng, 20)
+    index.add_chunks([f"c{i}" for i in range(20)], vecs, source_id="d")
+    index.delete_chunks([f"c{i}" for i in range(0, 20, 2)])
+    got_ids, _ = index.query(vecs[0:1], k=10)
+    assert len(got_ids[0]) == 10
+    for g in got_ids[0]:
+        assert int(g[1:]) % 2 == 1
+
+
+def test_fewer_live_than_k(index, rng):
+    vecs = _vecs(rng, 3)
+    index.add_chunks(["a", "b", "c"], vecs, source_id="d")
+    got_ids, _ = index.query(vecs[0:1], k=12)
+    assert sorted(got_ids[0]) == ["a", "b", "c"]
+
+
+def test_compact_preserves_live_rows(index, rng):
+    vecs = _vecs(rng, 30)
+    index.add_chunks([f"c{i}" for i in range(30)], vecs, source_id="d")
+    index.delete_chunks([f"c{i}" for i in range(10)])
+    gen_before = index.generation
+    index.compact()
+    assert index.size == 20
+    got_ids, scores = index.query(vecs[15:16], k=1)
+    assert got_ids[0][0] == "c15"
+    assert scores[0, 0] == pytest.approx(1.0, abs=1e-4)
+
+
+def test_growth(rng):
+    idx = VectorIndex(dim=DIM, capacity=1024, dtype="float32")
+    vecs = _vecs(rng, 1500)
+    idx.add_chunks([f"c{i}" for i in range(1500)], vecs, source_id="d")
+    assert idx.size == 1500
+    got_ids, _ = idx.query(vecs[1400:1401], k=1)
+    assert got_ids[0][0] == "c1400"
+
+
+def test_int8_mode(rng):
+    idx = VectorIndex(dim=DIM, capacity=2048, dtype="int8")
+    vecs = _vecs(rng, 50)
+    idx.add_chunks([f"c{i}" for i in range(50)], vecs, source_id="d")
+    got_ids, scores = idx.query(vecs[7:8], k=5)
+    assert got_ids[0][0] == "c7"
+    assert scores[0, 0] == pytest.approx(1.0, abs=0.05)
+
+
+def test_save_load(tmp_path, rng):
+    idx = VectorIndex(dim=DIM, capacity=2048)
+    vecs = _vecs(rng, 12)
+    idx.add_chunks([f"c{i}" for i in range(12)], vecs, source_id="d1")
+    idx.delete_chunks(["c0", "c1"])
+    path = str(tmp_path / "index")
+    idx.save(path)
+    idx2 = VectorIndex.load(path)
+    assert idx2.size == 10
+    got_ids, _ = idx2.query(vecs[5:6], k=1)
+    assert got_ids[0][0] == "c5"
