@@ -1,0 +1,70 @@
+"""Mesh-sharded query tests on the 8-virtual-device CPU backend
+(SURVEY.md section 4 "multi-node without a cluster")."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from outline_rag_tpu.ops.topk import NEG
+from outline_rag_tpu.parallel import data_mesh, row_sharding, sharded_topk
+
+
+def _normalize(x):
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest should provide 8 CPU devices"
+    return data_mesh()
+
+
+def test_sharded_matches_oracle(mesh, rng=None):
+    rng = np.random.default_rng(11)
+    n, d, b, k = 1024, 64, 4, 12
+    corpus = _normalize(rng.standard_normal((n, d), dtype=np.float32))
+    queries = _normalize(rng.standard_normal((b, d), dtype=np.float32))
+    sharded_corpus = jax.device_put(jnp.asarray(corpus), row_sharding(mesh))
+    vals, idx = sharded_topk(jnp.asarray(queries), sharded_corpus, k, mesh=mesh)
+    scores = queries @ corpus.T
+    oidx = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    np.testing.assert_array_equal(np.asarray(idx), oidx)
+    np.testing.assert_allclose(
+        np.asarray(vals), np.take_along_axis(scores, oidx, 1), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_sharded_with_tombstones(mesh):
+    rng = np.random.default_rng(12)
+    n, d, b, k = 512, 64, 2, 8
+    corpus = _normalize(rng.standard_normal((n, d), dtype=np.float32))
+    queries = _normalize(rng.standard_normal((b, d), dtype=np.float32))
+    invalid = np.zeros(n, dtype=bool)
+    invalid[100:300] = True  # spans shard boundaries
+    penalty = np.where(invalid, NEG, 0.0).astype(np.float32)
+    sharded_corpus = jax.device_put(jnp.asarray(corpus), row_sharding(mesh))
+    sharded_pen = jax.device_put(jnp.asarray(penalty), row_sharding(mesh))
+    vals, idx = sharded_topk(
+        jnp.asarray(queries), sharded_corpus, k, sharded_pen, mesh=mesh
+    )
+    idx = np.asarray(idx)
+    assert not np.any(invalid[idx])
+    scores = queries @ corpus.T
+    scores[:, invalid] = -np.inf
+    oidx = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    np.testing.assert_array_equal(idx, oidx)
+
+
+def test_sharded_index_store(mesh):
+    """VectorIndex with a row-sharded state still answers correctly."""
+    from outline_rag_tpu.index import VectorIndex
+
+    rng = np.random.default_rng(13)
+    idx = VectorIndex(dim=64, capacity=8192, sharding=row_sharding(mesh))
+    vecs = _normalize(rng.standard_normal((40, 64), dtype=np.float32))
+    idx.add_chunks([f"c{i}" for i in range(40)], vecs, source_id="d")
+    got_ids, scores = idx.query(vecs[17:18], k=3)
+    assert got_ids[0][0] == "c17"
+    assert scores[0, 0] == pytest.approx(1.0, abs=1e-4)
