@@ -1,0 +1,226 @@
+"""XLM-RoBERTa-family encoder in pure functional JAX.
+
+The BGE-m3 embedding model the reference calls remotely
+(``BAAI/bge-m3`` via HTTP, reference ``app/llm_services.py:199-206``,
+``app/config.py:29``) is an XLM-RoBERTa-large encoder with CLS pooling and
+L2 normalization. This module implements that architecture as an explicit
+params-pytree + forward function:
+
+- params are a nested dict (easy to shard with ``NamedSharding``, easy to
+  fill from a HF torch checkpoint — see ``models/convert.py``);
+- the forward is a single jittable function with static shapes (fixed
+  padded sequence buckets, see ``models/tokenizer.py``), attention via one
+  fused ``einsum`` chain that XLA maps onto the MXU, bf16 activations with
+  f32 layernorm statistics;
+- no flax module tree: the model *is* a function, which keeps the fused
+  serve program (embed -> score -> rerank, ``engine/query.py``) a single
+  XLA computation.
+
+Architecture notes (must match HF ``XLMRobertaModel`` semantics for weight
+compatibility): learned absolute position embeddings with the RoBERTa
+padding-offset quirk (positions start at ``pad_id + 1``), post-layer-norm
+transformer blocks, GELU (tanh-free exact erf variant), token type vocab of
+size 1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+Params = dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderConfig:
+    vocab_size: int = 250_002
+    hidden: int = 1024
+    layers: int = 24
+    heads: int = 16
+    intermediate: int = 4096
+    max_positions: int = 8194  # bge-m3 long-context variant
+    pad_id: int = 1
+    layer_norm_eps: float = 1e-5
+    dtype: Any = jnp.bfloat16  # activation / weight compute dtype
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden // self.heads
+
+    @classmethod
+    def bge_m3(cls, dtype=jnp.bfloat16) -> "EncoderConfig":
+        return cls(dtype=dtype)
+
+    @classmethod
+    def tiny(cls, dtype=jnp.float32) -> "EncoderConfig":
+        """Small config for tests / CPU parity checks."""
+        return cls(
+            vocab_size=1024,
+            hidden=64,
+            layers=2,
+            heads=4,
+            intermediate=128,
+            max_positions=130,
+            dtype=dtype,
+        )
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def _dense_init(key, shape, scale=0.02):
+    return scale * jax.random.normal(key, shape, jnp.float32)
+
+
+def init_encoder_params(key: jax.Array, cfg: EncoderConfig) -> Params:
+    keys = iter(jax.random.split(key, 16 + 16 * cfg.layers))
+    p: Params = {
+        "embed": {
+            "word": _dense_init(next(keys), (cfg.vocab_size, cfg.hidden)),
+            "position": _dense_init(next(keys), (cfg.max_positions, cfg.hidden)),
+            "token_type": _dense_init(next(keys), (1, cfg.hidden)),
+            "ln_scale": jnp.ones((cfg.hidden,), jnp.float32),
+            "ln_bias": jnp.zeros((cfg.hidden,), jnp.float32),
+        },
+        "layers": [],
+    }
+    for _ in range(cfg.layers):
+        layer = {
+            "attn": {
+                "wq": _dense_init(next(keys), (cfg.hidden, cfg.hidden)),
+                "bq": jnp.zeros((cfg.hidden,), jnp.float32),
+                "wk": _dense_init(next(keys), (cfg.hidden, cfg.hidden)),
+                "bk": jnp.zeros((cfg.hidden,), jnp.float32),
+                "wv": _dense_init(next(keys), (cfg.hidden, cfg.hidden)),
+                "bv": jnp.zeros((cfg.hidden,), jnp.float32),
+                "wo": _dense_init(next(keys), (cfg.hidden, cfg.hidden)),
+                "bo": jnp.zeros((cfg.hidden,), jnp.float32),
+                "ln_scale": jnp.ones((cfg.hidden,), jnp.float32),
+                "ln_bias": jnp.zeros((cfg.hidden,), jnp.float32),
+            },
+            "mlp": {
+                "wi": _dense_init(next(keys), (cfg.hidden, cfg.intermediate)),
+                "bi": jnp.zeros((cfg.intermediate,), jnp.float32),
+                "wo": _dense_init(next(keys), (cfg.intermediate, cfg.hidden)),
+                "bo": jnp.zeros((cfg.hidden,), jnp.float32),
+                "ln_scale": jnp.ones((cfg.hidden,), jnp.float32),
+                "ln_bias": jnp.zeros((cfg.hidden,), jnp.float32),
+            },
+        }
+        p["layers"].append(layer)
+    return p
+
+
+def cast_params(params: Params, dtype) -> Params:
+    """Cast weight matrices to ``dtype`` (layernorm params stay f32)."""
+
+    def cast(path, x):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name.startswith("ln_") or name.startswith("b"):
+            return x
+        return x.astype(dtype)
+
+    return jax.tree_util.tree_map_with_path(cast, params)
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _layer_norm(x, scale, bias, eps):
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    out = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    return (out * scale + bias).astype(x.dtype)
+
+
+def _attention(x, mask_bias, ap, cfg: EncoderConfig):
+    b, s, h = x.shape
+    nh, hd = cfg.heads, cfg.head_dim
+    dt = x.dtype
+    q = (x @ ap["wq"].astype(dt) + ap["bq"].astype(dt)).reshape(b, s, nh, hd)
+    k = (x @ ap["wk"].astype(dt) + ap["bk"].astype(dt)).reshape(b, s, nh, hd)
+    v = (x @ ap["wv"].astype(dt) + ap["bv"].astype(dt)).reshape(b, s, nh, hd)
+    logits = jnp.einsum("bqnd,bknd->bnqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits / math.sqrt(hd) + mask_bias  # [B,1,1,S] broadcast
+    probs = jax.nn.softmax(logits, axis=-1).astype(dt)
+    ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v).reshape(b, s, h)
+    return ctx @ ap["wo"].astype(dt) + ap["bo"].astype(dt)
+
+
+def encoder_forward(
+    params: Params,
+    input_ids: jax.Array,  # [B, S] int32
+    attention_mask: jax.Array,  # [B, S] int32/bool, 1 = real token
+    cfg: EncoderConfig,
+) -> jax.Array:
+    """Returns the final hidden states [B, S, H] (cfg.dtype)."""
+    dt = cfg.dtype
+    mask = attention_mask.astype(jnp.int32)
+    # RoBERTa position ids: cumulative count of non-pad tokens + pad_id
+    positions = jnp.cumsum(mask, axis=1) * mask + cfg.pad_id
+    emb = (
+        jnp.take(params["embed"]["word"], input_ids, axis=0)
+        + jnp.take(params["embed"]["position"], positions, axis=0)
+        + params["embed"]["token_type"][0][None, None, :]
+    )
+    x = _layer_norm(
+        emb.astype(dt),
+        params["embed"]["ln_scale"],
+        params["embed"]["ln_bias"],
+        cfg.layer_norm_eps,
+    )
+    # additive attention bias: 0 for real tokens, -inf-ish for padding
+    mask_bias = (1.0 - mask.astype(jnp.float32))[:, None, None, :] * -1e9
+
+    for layer in params["layers"]:
+        attn_out = _attention(x, mask_bias, layer["attn"], cfg)
+        x = _layer_norm(
+            x + attn_out,
+            layer["attn"]["ln_scale"],
+            layer["attn"]["ln_bias"],
+            cfg.layer_norm_eps,
+        )
+        hmid = jax.nn.gelu(
+            x @ layer["mlp"]["wi"].astype(dt) + layer["mlp"]["bi"].astype(dt),
+            approximate=False,
+        )
+        mlp_out = hmid @ layer["mlp"]["wo"].astype(dt) + layer["mlp"]["bo"].astype(dt)
+        x = _layer_norm(
+            x + mlp_out,
+            layer["mlp"]["ln_scale"],
+            layer["mlp"]["ln_bias"],
+            cfg.layer_norm_eps,
+        )
+    return x
+
+
+def pooled_embeddings(
+    params: Params,
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    cfg: EncoderConfig,
+) -> jax.Array:
+    """BGE-m3 dense embedding: CLS hidden state, L2-normalized, f32 [B, H]."""
+    hidden = encoder_forward(params, input_ids, attention_mask, cfg)
+    cls = hidden[:, 0, :].astype(jnp.float32)
+    return cls / jnp.linalg.norm(cls, axis=-1, keepdims=True).clip(1e-9)
+
+
+def encode_texts_config(cfg: EncoderConfig):
+    """Jitted (params, ids, mask) -> normalized embeddings for ``cfg``."""
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=())
+    def fn(params, input_ids, attention_mask):
+        return pooled_embeddings(params, input_ids, attention_mask, cfg)
+
+    return fn
