@@ -1,0 +1,102 @@
+"""Embedding backends behind one interface.
+
+``embed(texts) -> np.ndarray [n, dim]`` replaces the reference's
+``CacheBackedEmbeddings``-wrapped remote call (reference
+``app/llm_services.py:175-231``). The embedding cache equivalent lives in
+``storage`` (same SHA-256 key scheme); this module is pure compute.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from outline_rag_tpu.models.encoder import (
+    EncoderConfig,
+    cast_params,
+    pooled_embeddings,
+)
+from outline_rag_tpu.models.hash_embedder import HashEmbedder
+from outline_rag_tpu.models.tokenizer import DEFAULT_BUCKETS, HashTokenizer
+
+log = logging.getLogger(__name__)
+
+
+class EncoderEmbedder:
+    """On-TPU XLM-R encoder embedder with bucketed static shapes.
+
+    One compiled program per (batch-bucket, seq-bucket) pair; batches are
+    padded up to the nearest bucket so arbitrary ingestion batch sizes hit
+    cached executables.
+    """
+
+    def __init__(
+        self,
+        params,
+        cfg: EncoderConfig,
+        tokenizer,
+        max_tokens: int = 512,
+        seq_buckets=DEFAULT_BUCKETS,
+        batch_buckets=(8, 32, 128),
+        name: str = "bge-m3",
+    ):
+        self.cfg = cfg
+        self.params = cast_params(params, cfg.dtype)
+        self.tokenizer = tokenizer
+        self.max_tokens = max_tokens
+        self.seq_buckets = seq_buckets
+        self.batch_buckets = batch_buckets
+        self.model_name = name
+        self._jit = jax.jit(
+            lambda p, ids, mask: pooled_embeddings(p, ids, mask, self.cfg)
+        )
+
+    @property
+    def dim(self) -> int:
+        return self.cfg.hidden
+
+    def _pad_batch(self, n: int) -> int:
+        for b in self.batch_buckets:
+            if n <= b:
+                return b
+        return ((n + self.batch_buckets[-1] - 1) // self.batch_buckets[-1]) * (
+            self.batch_buckets[-1]
+        )
+
+    def embed(self, texts: list[str]) -> np.ndarray:
+        if not texts:
+            return np.zeros((0, self.dim), np.float32)
+        tb = self.tokenizer.batch(texts, self.max_tokens, self.seq_buckets)
+        n, width = tb.input_ids.shape
+        nb = self._pad_batch(n)
+        ids = np.full((nb, width), self.tokenizer.pad_id, np.int32)
+        mask = np.zeros((nb, width), np.int32)
+        ids[:n] = tb.input_ids
+        mask[:n] = tb.attention_mask
+        out = self._jit(self.params, jnp.asarray(ids), jnp.asarray(mask))
+        return np.asarray(out)[:n]
+
+
+def get_embedder(settings=None, dim: int | None = None):
+    """Factory honouring Settings: real encoder when a weights path is
+    configured, deterministic hash embedder otherwise (offline seam)."""
+    if settings is not None and settings.encoder_weights_path:
+        try:
+            from outline_rag_tpu.models.convert import load_pretrained
+            from outline_rag_tpu.models.tokenizer import HFTokenizer
+
+            cfg, params = load_pretrained(settings.encoder_weights_path)
+            tok = HFTokenizer(settings.encoder_weights_path)
+            return EncoderEmbedder(
+                params, cfg, tok, max_tokens=settings.encoder_max_tokens
+            )
+        except Exception:
+            log.exception(
+                "failed to load encoder weights from %s; using hash embedder",
+                settings.encoder_weights_path,
+            )
+    d = dim or (settings.vector_dim if settings else 1024)
+    return HashEmbedder(dim=d)

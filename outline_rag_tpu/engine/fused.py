@@ -1,0 +1,150 @@
+"""The fused query program: embed -> score -> top-K -> gather -> rerank,
+one jitted XLA computation.
+
+Where the reference crosses process/network boundaries four times per query
+(embed HTTP call, pgvector SQL, parent fetch SQL, rerank HTTP call —
+reference call stack in SURVEY.md section 3.1), this program executes the
+entire candidate-selection pipeline in a single device computation over
+device-resident state: the corpus matrix, the validity penalty, and the
+chunk-token cache. Only the final (rerank_k row ids, scores) — a few
+hundred bytes — returns to the host.
+
+Stages (all static shapes):
+1. query encoder forward (XLM-R, ``models/encoder.py``) -> [B, H] unit vecs
+2. fused score+top-K kernel over the corpus (``ops/topk.py``) -> [B, K]
+3. on-device gather of candidate chunk tokens from the token cache
+4. cross-encoder forward over B*K (query, chunk) pairs -> [B, K] scores
+5. top rerank_k by cross-encoder score (invalid candidates masked)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from outline_rag_tpu.models.encoder import EncoderConfig, cast_params, pooled_embeddings
+from outline_rag_tpu.models.reranker import reranker_forward
+from outline_rag_tpu.ops.topk import NEG, cosine_topk
+from outline_rag_tpu.index.store import VectorIndex
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("enc_cfg", "rr_cfg", "top_k", "rerank_k", "eos_id", "block_n"),
+)
+def fused_query(
+    enc_params,
+    rr_params,
+    q_ids: jax.Array,  # [B, Tq] int32
+    q_mask: jax.Array,  # [B, Tq] int32
+    vectors: jax.Array,  # [N, D]
+    scales: jax.Array,  # [N] (int8 mode; unused otherwise)
+    penalty: jax.Array,  # [N]
+    tok_ids: jax.Array,  # [N, Tc] int32
+    tok_mask: jax.Array,  # [N, Tc] int32
+    *,
+    enc_cfg: EncoderConfig,
+    rr_cfg: EncoderConfig,
+    top_k: int,
+    rerank_k: int,
+    eos_id: int = 2,
+    block_n: int = 1024,
+):
+    b = q_ids.shape[0]
+    # 1. embed queries
+    q_emb = pooled_embeddings(enc_params, q_ids, q_mask, enc_cfg)  # [B, H] f32
+
+    # 2. fused retrieval top-K
+    if vectors.dtype == jnp.int8:
+        from outline_rag_tpu.ops.quant import int8_topk, quantize_rows_int8
+
+        qq, qs = quantize_rows_int8(q_emb)
+        vals, idx = int8_topk(qq, qs, vectors, scales, top_k, penalty)
+    else:
+        vals, idx = cosine_topk(q_emb, vectors, top_k, penalty, block_n=block_n)
+
+    # 3. gather candidate chunk tokens on device
+    cand_ids = jnp.take(tok_ids, idx, axis=0)  # [B, K, Tc]
+    cand_mask = jnp.take(tok_mask, idx, axis=0)
+    # chunk rows are stored CLS-first; overwrite slot 0 with the pair
+    # separator (EOS EOS p EOS layout of XLM-R second segments)
+    cand_ids = cand_ids.at[:, :, 0].set(eos_id)
+
+    # 4. cross-encode (query ++ chunk) pairs
+    tq = q_ids.shape[1]
+    tc = cand_ids.shape[2]
+    k = idx.shape[1]
+    pair_ids = jnp.concatenate(
+        [jnp.broadcast_to(q_ids[:, None, :], (b, k, tq)), cand_ids], axis=2
+    ).reshape(b * k, tq + tc)
+    pair_mask = jnp.concatenate(
+        [jnp.broadcast_to(q_mask[:, None, :], (b, k, tq)), cand_mask], axis=2
+    ).reshape(b * k, tq + tc)
+    rr_scores = reranker_forward(rr_params, pair_ids, pair_mask, rr_cfg)
+    rr_scores = rr_scores.reshape(b, k)
+
+    # 5. final top rerank_k by cross-encoder score; dead candidates masked
+    live = vals > NEG / 2
+    rr_scores = jnp.where(live, rr_scores, NEG)
+    r_vals, r_pos = jax.lax.top_k(rr_scores, rerank_k)
+    r_rows = jnp.take_along_axis(idx, r_pos, axis=1)
+    retr_vals = jnp.take_along_axis(vals, r_pos, axis=1)
+    return r_rows, r_vals, retr_vals, idx, vals
+
+
+class FusedEngine:
+    """Host wrapper: tokenization, state snapshot, row-id translation."""
+
+    def __init__(
+        self,
+        embedder,  # EncoderEmbedder (provides params/cfg/tokenizer)
+        reranker,  # CrossEncoderReranker
+        index: VectorIndex,
+        top_k: int = 12,
+        rerank_k: int = 3,
+        q_width: int = 64,
+    ):
+        assert index.tokens is not None, "FusedEngine needs a token cache"
+        self.embedder = embedder
+        self.reranker = reranker
+        self.index = index
+        self.top_k = top_k
+        self.rerank_k = rerank_k
+        self.q_width = q_width
+
+    def query(self, texts: list[str]):
+        tok = self.embedder.tokenizer
+        tb = tok.batch(texts, self.q_width, buckets=(self.q_width,))
+        state, row_ids, gen = self.index._shard.snapshot()
+        with self.index._lock:
+            r_rows, r_vals, retr_vals, idx, vals = fused_query(
+                self.embedder.params,
+                self.reranker.params,
+                jnp.asarray(tb.input_ids),
+                jnp.asarray(tb.attention_mask),
+                state.vectors,
+                state.scales,
+                state.penalty,
+                self.index.tokens.state.ids,
+                self.index.tokens.state.mask,
+                enc_cfg=self.embedder.cfg,
+                rr_cfg=self.reranker.cfg,
+                top_k=min(self.top_k, state.capacity),
+                rerank_k=min(self.rerank_k, self.top_k),
+                eos_id=getattr(tok, "eos_id", 2),
+                block_n=self.index.block_n,
+            )
+            r_rows = np.asarray(r_rows)
+            r_vals = np.asarray(r_vals)
+        results = []
+        for b in range(r_rows.shape[0]):
+            row = []
+            for j in range(r_rows.shape[1]):
+                if r_vals[b, j] <= NEG / 2:
+                    continue
+                row.append((str(row_ids[r_rows[b, j]]), float(r_vals[b, j])))
+            results.append(row)
+        return results

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from outline_rag_tpu.index.shard import UPDATE_BLOCK, DeviceShard
+from outline_rag_tpu.index.tokens import TokenCache
 from outline_rag_tpu.ops.quant import quantize_rows_int8
 from outline_rag_tpu.ops.topk import NEG, cosine_topk
 
@@ -53,12 +54,21 @@ class VectorIndex:
         dtype: str = "float32",
         sharding: jax.sharding.Sharding | None = None,
         block_n: int = 1024,
+        token_width: int | None = None,
+        token_pad_id: int = 1,
     ):
         self.dim = dim
         self.dtype = dtype
         self.block_n = block_n
         self._sharding = sharding
         self._shard = DeviceShard(capacity, dim, dtype, sharding)
+        self.token_width = token_width
+        self.token_pad_id = token_pad_id
+        self.tokens = (
+            TokenCache(capacity, token_width, token_pad_id, sharding)
+            if token_width
+            else None
+        )
         self._by_chunk: dict[str, int] = {}  # chunk_id -> row
         self._by_source: dict[str, list[str]] = {}  # source_id -> chunk ids
         self._lock = threading.RLock()
@@ -73,11 +83,14 @@ class VectorIndex:
         vectors: np.ndarray,
         source_id: str,
         replace: bool = True,
+        token_ids: np.ndarray | None = None,
+        token_mask: np.ndarray | None = None,
     ) -> None:
         """Index chunks of one source document. With ``replace`` (the
         default), existing chunks of the same source are tombstoned first —
         the reference's delete-then-add per-doc semantics
-        (``app/rag.py:216-235``)."""
+        (``app/rag.py:216-235``). ``token_ids``/``token_mask`` feed the
+        device token cache for the fused rerank path."""
         assert vectors.shape == (len(chunk_ids), self.dim), vectors.shape
         with self._lock:
             if replace:
@@ -92,7 +105,12 @@ class VectorIndex:
                 pass  # cast happens on device append
             if len(chunk_ids) > self._shard.free:
                 self._grow(len(chunk_ids))
+            start = self._shard.cursor
             rows = self._shard.append(chunk_ids, vecs, scales)
+            if self.tokens is not None and token_ids is not None:
+                if token_mask is None:
+                    token_mask = (token_ids != self.token_pad_id).astype(np.int32)
+                self.tokens.write(start, token_ids, token_mask)
             for cid, row in zip(chunk_ids, rows):
                 self._by_chunk[cid] = int(row)
             self._by_source.setdefault(source_id, [])
@@ -137,13 +155,23 @@ class VectorIndex:
             vecs = np.asarray(old_state.vectors, np.float32)[live_rows]
             scales = np.asarray(old_state.scales)[live_rows]
             ids = [row_ids[r] for r in live_rows]
+            tok_ids = tok_mask = None
+            if self.tokens is not None:
+                tok_ids = np.asarray(self.tokens.state.ids)[live_rows]
+                tok_mask = np.asarray(self.tokens.state.mask)[live_rows]
             cap = new_capacity or self._shard.capacity
             self._shard = DeviceShard(cap, self.dim, self.dtype, self._sharding)
+            if self.tokens is not None:
+                self.tokens = TokenCache(
+                    cap, self.token_width, self.token_pad_id, self._sharding
+                )
             self._by_chunk.clear()
             if len(ids):
                 rows = self._shard.append(
                     ids, vecs, scales if self.dtype == "int8" else None
                 )
+                if self.tokens is not None and tok_ids is not None:
+                    self.tokens.write(0, tok_ids, tok_mask)
                 for cid, row in zip(ids, rows):
                     self._by_chunk[cid] = int(row)
 

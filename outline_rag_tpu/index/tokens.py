@@ -1,0 +1,77 @@
+"""Device-resident chunk-token cache.
+
+Stores the tokenized text of every indexed chunk as fixed-width int32 rows
+parallel to the embedding matrix, so the fused query program can gather
+candidate chunk tokens **on device** (by top-K row index) and feed the
+cross-encoder without a host round-trip — the piece that makes
+embed -> retrieve -> rerank a single XLA program (SURVEY.md section 3.1).
+No reference equivalent: the reference ships chunk *text* back through SQL
+then over HTTP to the rerank API (``app/blueprints/api.py:122`` ->
+``app/llm_services.py:271-281``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from outline_rag_tpu.index.shard import UPDATE_BLOCK
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TokenCacheState:
+    ids: jax.Array  # [capacity, width] int32
+    mask: jax.Array  # [capacity, width] int32
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _update_block(state: TokenCacheState, ids, mask, start) -> TokenCacheState:
+    return TokenCacheState(
+        ids=jax.lax.dynamic_update_slice(state.ids, ids, (start, 0)),
+        mask=jax.lax.dynamic_update_slice(state.mask, mask, (start, 0)),
+    )
+
+
+class TokenCache:
+    def __init__(
+        self,
+        capacity: int,
+        width: int,
+        pad_id: int = 1,
+        sharding: jax.sharding.Sharding | None = None,
+    ):
+        self.width = width
+        self.pad_id = pad_id
+        self.state = TokenCacheState(
+            ids=jnp.full((capacity, width), pad_id, jnp.int32),
+            mask=jnp.zeros((capacity, width), jnp.int32),
+        )
+        if sharding is not None:
+            self.state = TokenCacheState(
+                ids=jax.device_put(self.state.ids, sharding),
+                mask=jax.device_put(self.state.mask, sharding),
+            )
+
+    def write(self, start: int, token_ids: np.ndarray, token_mask: np.ndarray):
+        """Write rows [start : start+n). Rows are clipped/padded to width."""
+        n = token_ids.shape[0]
+        for off in range(0, n, UPDATE_BLOCK):
+            blk_ids = token_ids[off : off + UPDATE_BLOCK]
+            blk_mask = token_mask[off : off + UPDATE_BLOCK]
+            m = blk_ids.shape[0]
+            ids_p = np.full((UPDATE_BLOCK, self.width), self.pad_id, np.int32)
+            mask_p = np.zeros((UPDATE_BLOCK, self.width), np.int32)
+            w = min(blk_ids.shape[1], self.width)
+            ids_p[:m, :w] = blk_ids[:, :w]
+            mask_p[:m, :w] = blk_mask[:, :w]
+            self.state = _update_block(
+                self.state,
+                jnp.asarray(ids_p),
+                jnp.asarray(mask_p),
+                jnp.int32(start + off),
+            )

@@ -1,0 +1,145 @@
+"""Engine tests: staged retrieval, the fused single-program path, and the
+micro-batcher (SURVEY.md section 7 step 4)."""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from outline_rag_tpu.engine.batcher import QueryBatcher
+from outline_rag_tpu.engine.embedder import EncoderEmbedder
+from outline_rag_tpu.engine.rerank import CrossEncoderReranker, NoopReranker
+from outline_rag_tpu.engine.service import RetrievalService
+from outline_rag_tpu.index import VectorIndex
+from outline_rag_tpu.models.encoder import EncoderConfig, init_encoder_params
+from outline_rag_tpu.models.hash_embedder import HashEmbedder
+from outline_rag_tpu.models.reranker import init_reranker_params
+from outline_rag_tpu.models.tokenizer import HashTokenizer
+
+DOCS = {
+    "alpha": "the alpha wolf leads the pack through the snowy forest",
+    "beta": "beta testing of the new release starts on monday",
+    "gamma": "gamma radiation is measured with a geiger counter",
+    "delta": "the river delta spreads into many small channels",
+}
+
+
+def _build_hash_service(rerank=False):
+    emb = HashEmbedder(dim=256)
+    idx = VectorIndex(dim=256, capacity=2048)
+    texts = {}
+    for name, text in DOCS.items():
+        cid = f"{name}:0"
+        texts[cid] = text
+        idx.add_chunks([cid], emb.embed([text]), source_id=name)
+    svc = RetrievalService(
+        idx,
+        emb,
+        NoopReranker(),
+        top_k=4,
+        rerank_k=2,
+        chunk_text_lookup=texts.get,
+    )
+    return svc
+
+
+def test_staged_retrieval_finds_right_doc():
+    svc = _build_hash_service()
+    res = svc.retrieve("wolf pack in the forest")
+    assert res, "expected results"
+    assert res[0].chunk_id == "alpha:0"
+
+
+def test_staged_empty_index():
+    emb = HashEmbedder(dim=128)
+    idx = VectorIndex(dim=128, capacity=2048)
+    svc = RetrievalService(idx, emb, top_k=4, rerank_k=2)
+    assert svc.retrieve("anything") == []
+
+
+@pytest.fixture(scope="module")
+def tiny_models():
+    cfg = EncoderConfig.tiny()
+    enc_params = init_encoder_params(jax.random.key(0), cfg)
+    rr_params = init_reranker_params(jax.random.key(1), cfg)
+    tok = HashTokenizer(vocab_size=cfg.vocab_size)
+    emb = EncoderEmbedder(
+        enc_params, cfg, tok, max_tokens=64, seq_buckets=(32, 64), name="tiny"
+    )
+    rr = CrossEncoderReranker(rr_params, cfg, tok, max_tokens=128)
+    return emb, rr
+
+
+def test_fused_engine_end_to_end(tiny_models):
+    emb, rr = tiny_models
+    idx = VectorIndex(dim=emb.dim, capacity=2048, token_width=32)
+    for name, text in DOCS.items():
+        cid = f"{name}:0"
+        vec = emb.embed([text])
+        tb = emb.tokenizer.batch([text], 32, buckets=(32,))
+        idx.add_chunks(
+            [cid], vec, source_id=name,
+            token_ids=tb.input_ids, token_mask=tb.attention_mask,
+        )
+    svc = RetrievalService(idx, emb, rr, top_k=4, rerank_k=2)
+    assert svc.fused
+    out = svc.retrieve_batch(["alpha wolf pack forest", "geiger counter radiation"])
+    assert len(out) == 2
+    # fused path returns at most rerank_k live candidates
+    assert 1 <= len(out[0]) <= 2
+    all_ids = {c.chunk_id for row in out for c in row}
+    assert all_ids <= {f"{n}:0" for n in DOCS}
+
+
+def test_fused_retrieval_stage_matches_staged(tiny_models):
+    """The retrieval (pre-rerank) stage of the fused program must agree
+    with the staged path's index query."""
+    emb, rr = tiny_models
+    idx = VectorIndex(dim=emb.dim, capacity=2048, token_width=32)
+    for name, text in DOCS.items():
+        cid = f"{name}:0"
+        tb = emb.tokenizer.batch([text], 32, buckets=(32,))
+        idx.add_chunks(
+            [cid], emb.embed([text]), source_id=name,
+            token_ids=tb.input_ids, token_mask=tb.attention_mask,
+        )
+    q = "beta release testing monday"
+    staged_ids, _ = idx.query(emb.embed([q]), k=4)
+
+    from outline_rag_tpu.engine.fused import FusedEngine
+
+    fe = FusedEngine(emb, rr, idx, top_k=4, rerank_k=4)
+    fused_out = fe.query([q])[0]
+    fused_ids = {cid for cid, _ in fused_out}
+    assert fused_ids == set(staged_ids[0])
+
+
+def test_batcher_coalesces():
+    svc = _build_hash_service()
+    calls = []
+
+    def batch_fn(queries):
+        calls.append(list(queries))
+        return svc.retrieve_batch(queries)
+
+    async def run():
+        b = QueryBatcher(batch_fn, window_ms=50, max_batch=8)
+        await b.start()
+        res = await asyncio.gather(
+            b.retrieve("wolf forest"),
+            b.retrieve("geiger counter"),
+            b.retrieve("river channels"),
+        )
+        await b.stop()
+        return res
+
+    res = asyncio.run(run())
+    assert len(res) == 3
+    assert res[0][0].chunk_id == "alpha:0"
+    assert res[1][0].chunk_id == "gamma:0"
+    assert res[2][0].chunk_id == "delta:0"
+    # all three arrived within the window -> fewer batches than queries
+    assert len(calls) < 3
