@@ -1,0 +1,62 @@
+"""In-process fake Outline server (httpx.MockTransport handler).
+
+The paginated documents.list / documents.info / documents.export fixture
+replay prescribed by SURVEY.md section 4 for exercising the delta-sync
+protocol without a wiki.
+"""
+
+from __future__ import annotations
+
+import json
+
+import httpx
+
+
+class FakeOutline:
+    def __init__(self, page_size: int = 100):
+        self.docs: dict[str, dict] = {}
+        self.page_size = page_size
+        self.calls: list[str] = []
+
+    def put_doc(self, doc_id: str, title: str, text: str, updated_at: str):
+        self.docs[doc_id] = {
+            "id": doc_id,
+            "title": title,
+            "text": text,
+            "updatedAt": updated_at,
+            "url": f"/doc/{doc_id}",
+        }
+
+    def delete_doc(self, doc_id: str):
+        self.docs.pop(doc_id, None)
+
+    def transport(self) -> httpx.MockTransport:
+        return httpx.MockTransport(self._handle)
+
+    def _handle(self, request: httpx.Request) -> httpx.Response:
+        endpoint = request.url.path.split("/api/")[-1]
+        self.calls.append(endpoint)
+        payload = json.loads(request.content or b"{}")
+        if endpoint == "documents.list":
+            offset = payload.get("offset", 0)
+            limit = payload.get("limit", self.page_size)
+            docs = sorted(self.docs.values(), key=lambda d: d["id"])
+            page = [
+                {k: d[k] for k in ("id", "title", "updatedAt", "url")}
+                for d in docs[offset : offset + limit]
+            ]
+            return httpx.Response(200, json={"data": page})
+        if endpoint == "documents.info":
+            d = self.docs.get(payload.get("id"))
+            if d is None:
+                return httpx.Response(404, json={"error": "not found"})
+            return httpx.Response(
+                200,
+                json={"data": {k: d[k] for k in ("id", "title", "updatedAt", "url")}},
+            )
+        if endpoint == "documents.export":
+            d = self.docs.get(payload.get("id"))
+            if d is None:
+                return httpx.Response(404, json={"error": "not found"})
+            return httpx.Response(200, json={"data": d["text"]})
+        return httpx.Response(404, json={"error": "unknown endpoint"})
