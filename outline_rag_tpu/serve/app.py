@@ -1,0 +1,397 @@
+"""Application wiring: the full ``/chat`` HTTP surface.
+
+Route-for-route parity with the reference API (reference
+``app/blueprints/api.py``, ``views.py``, ``auth.py``; mounted at ``/chat``
+like reference ``app/main.py:167-173``):
+
+==========================  =========================================
+GET  /healthz               liveness (reference ``main.py:177-180``)
+GET  /chat/                 SPA shell (``views.py:43-68``)
+GET  /chat/{guid}           deep link w/ ownership check + notice cookie
+GET  /chat/api/me           identity + beta-gated model catalog
+GET  /chat/api/conversations         list (paged <=100)
+POST /chat/api/conversations         create (user upsert first)
+PUT  /chat/api/conversations/{id}    rename (403 on rowcount 0)
+DELETE /chat/api/conversations/{id}  delete + message-cache invalidation
+GET  /chat/api/conversations/{id}/messages   ownership before cache read
+POST /chat/api/ask          the RAG serve path (SSE)
+POST /chat/api/upload       attachment upload (ext allowlist)
+POST /chat/update/all       refresh trigger (NX lock, 429 when held)
+GET  /chat/api/refresh/status        progress aggregation
+POST /chat/update/webhook   HMAC verify + debounce timer
+GET  /chat/login|logout, /chat/oidc/callback  (serve.auth)
+==========================  =========================================
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import re
+import time
+import uuid
+
+from outline_rag_tpu.config import Settings
+from outline_rag_tpu.engine.embedder import get_embedder
+from outline_rag_tpu.engine.service import RetrievalService
+from outline_rag_tpu.index import VectorIndex
+from outline_rag_tpu.serve.auth import current_user, register_auth_routes
+from outline_rag_tpu.serve.chat import ChatPipeline
+from outline_rag_tpu.serve.http import App, Request, Response
+from outline_rag_tpu.serve.llm import FakeChatProvider, OpenAICompatProvider
+from outline_rag_tpu.storage import SqliteMetaStore, make_bus
+from outline_rag_tpu.sync.outline import OutlineClient
+from outline_rag_tpu.sync.refresh import (
+    REFRESH_LOCK,
+    TASK_QUEUE,
+    WEBHOOK_TIMER,
+    Ingestor,
+    refresh_status,
+)
+from outline_rag_tpu.utils.hashing import new_id, verify_webhook_signature
+
+log = logging.getLogger(__name__)
+
+UUID_RE = re.compile(
+    r"^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"
+)
+
+_INDEX_HTML_CACHE: dict[str, str] = {}
+
+
+def _index_html(settings: Settings) -> str:
+    import os
+
+    key = settings.app_name
+    if key not in _INDEX_HTML_CACHE:
+        path = os.path.join(os.path.dirname(__file__), "static", "index.html")
+        with open(path) as f:
+            html = f.read()
+        _INDEX_HTML_CACHE[key] = html.replace("{{app_name}}", settings.app_name)
+    return _INDEX_HTML_CACHE[key]
+
+
+def build_app(
+    settings: Settings,
+    *,
+    provider=None,
+    embedder=None,
+    reranker=None,
+    index: VectorIndex | None = None,
+    meta: SqliteMetaStore | None = None,
+    outline_transport=None,
+    oidc_transport=None,
+    start_workers: bool = True,
+) -> App:
+    import os
+
+    app = App(
+        secret_key=settings.secret_key or "dev-insecure-secret",
+        session_max_age=settings.session_max_age,
+    )
+    prefix = settings.url_prefix
+
+    bus = make_bus(settings.redis_url)
+    if meta is None:
+        db_path = (
+            ":memory:"
+            if not settings.database_url
+            and not settings.data_dir
+            else os.path.join(settings.data_dir, "meta.sqlite3")
+        )
+        meta = SqliteMetaStore(db_path)
+    if embedder is None:
+        embedder = get_embedder(settings)
+    if index is None:
+        index = VectorIndex(
+            dim=getattr(embedder, "dim", settings.vector_dim),
+            capacity=settings.shard_capacity,
+            dtype=settings.index_dtype,
+        )
+    retrieval = RetrievalService(
+        index,
+        embedder,
+        reranker,
+        top_k=settings.top_k,
+        rerank_k=settings.rerank_k,
+        chunk_text_lookup=lambda cid: (meta.get_chunk(cid) or {}).get("body"),
+    )
+    if provider is None:
+        if settings.llm_api_base:
+            provider = OpenAICompatProvider(
+                settings.llm_api_base, settings.llm_api_key, bus=bus
+            )
+        else:
+            provider = FakeChatProvider()
+    outline = (
+        OutlineClient(
+            settings.outline_api_url or "http://outline.internal",
+            settings.outline_api_token,
+            settings.outline_collections,
+            transport=outline_transport,
+        )
+        if settings.outline_api_url or outline_transport
+        else None
+    )
+    ingestor = (
+        Ingestor(outline, meta, index, embedder, bus, settings)
+        if outline is not None
+        else None
+    )
+    pipeline = ChatPipeline(settings, provider, retrieval, meta, bus)
+
+    app.state.update(
+        settings=settings,
+        bus=bus,
+        meta=meta,
+        index=index,
+        embedder=embedder,
+        retrieval=retrieval,
+        provider=provider,
+        ingestor=ingestor,
+        pipeline=pipeline,
+    )
+
+    if start_workers and ingestor is not None:
+
+        async def _start():
+            app.spawn(ingestor.task_worker())
+            app.spawn(ingestor.webhook_watcher())
+
+        app.on_startup.append(_start)
+
+    register_auth_routes(app, settings, bus, meta, prefix, oidc_transport)
+    static_dir = os.path.join(os.path.dirname(__file__), "static")
+    app.mount_static(prefix + "/static", static_dir)
+
+    # -- health ---------------------------------------------------------
+
+    @app.get("/healthz")
+    async def healthz(req: Request) -> Response:
+        return Response.json({"status": "ok", "index_size": index.size})
+
+    # -- views ----------------------------------------------------------
+
+    def _no_cache(resp: Response) -> Response:
+        resp.headers["cache-control"] = "no-store, no-cache, must-revalidate"
+        return resp
+
+    @app.get(prefix + "/")
+    async def home(req: Request) -> Response:
+        if current_user(req) is None:
+            return Response.redirect(prefix + "/login")
+        return _no_cache(
+            Response(_index_html(settings), content_type="text/html; charset=utf-8")
+        )
+
+    @app.get(prefix + "/{guid}")
+    async def deep_link(req: Request) -> Response:
+        guid = req.path_params["guid"]
+        user = current_user(req)
+        if user is None:
+            return Response.redirect(prefix + "/login")
+        if not UUID_RE.match(guid):
+            resp = Response.redirect(prefix + "/")
+            resp.set_cookie("chat_notice", "invalid-conversation", http_only=False)
+            return resp
+        conv = meta.get_conversation(guid)
+        if conv is None or conv["user_id"] != user["id"]:
+            resp = Response.redirect(prefix + "/")
+            resp.set_cookie("chat_notice", "not-found", http_only=False)
+            return resp
+        return _no_cache(
+            Response(_index_html(settings), content_type="text/html; charset=utf-8")
+        )
+
+    # -- identity / models ----------------------------------------------
+
+    @app.get(prefix + "/api/me")
+    async def me(req: Request) -> Response:
+        user = current_user(req)
+        if user is None:
+            return Response.json({"error": "unauthorized"}, 401)
+        models = [
+            {
+                "id": m.id,
+                "label": m.label,
+                "temperature": m.temperature,
+                "top_p": m.top_p,
+                "supports_thinking": m.supports_thinking,
+            }
+            for m in settings.visible_models(user["id"])
+        ]
+        return Response.json({"user": user, "models": models})
+
+    # -- conversations ---------------------------------------------------
+
+    @app.get(prefix + "/api/conversations")
+    async def list_convs(req: Request) -> Response:
+        user = current_user(req)
+        if user is None:
+            return Response.json({"error": "unauthorized"}, 401)
+        limit = int(req.query.get("limit", 100))
+        offset = int(req.query.get("offset", 0))
+        return Response.json(
+            {"conversations": meta.list_conversations(user["id"], limit, offset)}
+        )
+
+    @app.post(prefix + "/api/conversations")
+    async def create_conv(req: Request) -> Response:
+        user = current_user(req)
+        if user is None:
+            return Response.json({"error": "unauthorized"}, 401)
+        body = req.json() or {}
+        title = (body.get("title") or "New conversation").strip()[:200]
+        # upsert user first (reference api.py:240-255)
+        meta.upsert_user(user["id"], user.get("name", ""), user.get("email", ""))
+        conv = meta.create_conversation(new_id(), user["id"], title)
+        return Response.json(conv, 201)
+
+    @app.put(prefix + "/api/conversations/{conv_id}")
+    async def rename_conv(req: Request) -> Response:
+        user = current_user(req)
+        if user is None:
+            return Response.json({"error": "unauthorized"}, 401)
+        body = req.json() or {}
+        title = (body.get("title") or "").strip()[:200]
+        if not title:
+            return Response.json({"error": "title required"}, 400)
+        ok = meta.rename_conversation(req.path_params["conv_id"], user["id"], title)
+        if not ok:
+            return Response.json({"error": "forbidden"}, 403)
+        return Response.json({"ok": True})
+
+    @app.delete(prefix + "/api/conversations/{conv_id}")
+    async def delete_conv(req: Request) -> Response:
+        user = current_user(req)
+        if user is None:
+            return Response.json({"error": "unauthorized"}, 401)
+        conv_id = req.path_params["conv_id"]
+        ok = meta.delete_conversation(conv_id, user["id"])
+        if not ok:
+            return Response.json({"error": "forbidden"}, 403)
+        await bus.delete(f"messages:{conv_id}")  # cache invalidation
+        return Response.json({"ok": True})
+
+    # -- messages (cache read-through) -----------------------------------
+
+    @app.get(prefix + "/api/conversations/{conv_id}/messages")
+    async def get_messages(req: Request) -> Response:
+        user = current_user(req)
+        if user is None:
+            return Response.json({"error": "unauthorized"}, 401)
+        conv_id = req.path_params["conv_id"]
+        # ownership check BEFORE cache read (reference api.py:317-323)
+        conv = meta.get_conversation(conv_id)
+        if conv is None or conv["user_id"] != user["id"]:
+            return Response.json({"error": "forbidden"}, 403)
+        cached = await bus.get(f"messages:{conv_id}")
+        if cached is not None:
+            return Response.json({"messages": cached, "cached": True})
+        messages = meta.list_messages(conv_id)
+        await bus.set(f"messages:{conv_id}", messages, ex=600)
+        return Response.json({"messages": messages, "cached": False})
+
+    # -- ask (the RAG serve path) ----------------------------------------
+
+    @app.post(prefix + "/api/ask")
+    async def ask(req: Request) -> Response:
+        user = current_user(req)
+        if user is None:
+            return Response.json({"error": "unauthorized"}, 401)
+        body = req.json() or {}
+        question = (body.get("question") or "").strip()
+        conv_id = body.get("conversation_id") or ""
+        if not question:
+            return Response.json({"error": "question required"}, 400)
+        conv = meta.get_conversation(conv_id)
+        if conv is None or conv["user_id"] != user["id"]:
+            return Response.json({"error": "forbidden"}, 403)
+        model_id = body.get("model") or settings.base_chat_model
+        model_spec = settings.model_by_id(model_id)
+        if model_spec is None or (
+            model_spec.beta and user["id"] not in settings.beta_user_ids
+        ):
+            return Response.json({"error": "unknown model"}, 400)
+
+        edit_id = body.get("edit_message_id")
+        if edit_id is not None:
+            # edit-resume: drop the edited user turn and everything after
+            # (reference api.py:613-644)
+            meta.delete_messages_after(conv_id, int(edit_id) - 1)
+        history = meta.list_messages(conv_id)
+        meta.add_message(conv_id, "user", question)
+        await bus.delete(f"messages:{conv_id}")
+
+        gen = await pipeline.run(
+            user,
+            conv_id,
+            question,
+            model_spec,
+            history,
+            temperature=body.get("temperature"),
+            top_p=body.get("top_p"),
+        )
+        return Response.streaming(gen)
+
+    # -- upload -----------------------------------------------------------
+
+    @app.post(prefix + "/api/upload")
+    async def upload(req: Request) -> Response:
+        user = current_user(req)
+        if user is None:
+            return Response.json({"error": "unauthorized"}, 401)
+        parts = req.multipart()
+        files = [p for p in parts if p.get("filename")]
+        if not files:
+            return Response.json({"error": "no file"}, 400)
+        f = files[0]
+        name = re.sub(r"[^A-Za-z0-9._-]", "_", f["filename"] or "upload")
+        ext = name.rsplit(".", 1)[-1].lower() if "." in name else ""
+        if ext not in settings.upload_allowed_exts:
+            return Response.json({"error": f"extension .{ext} not allowed"}, 400)
+        if len(f["data"]) > settings.upload_max_bytes:
+            return Response.json({"error": "file too large"}, 413)
+        att_id = new_id()
+        content = f["data"].decode("utf-8", errors="replace")
+        meta.add_attachment(att_id, user["id"], name, content)
+        return Response.json({"id": att_id, "filename": name}, 201)
+
+    # -- refresh trigger / status -----------------------------------------
+
+    @app.post(prefix + "/update/all")
+    async def update_all(req: Request) -> Response:
+        user = current_user(req)
+        if user is None:
+            return Response.json({"error": "unauthorized"}, 401)
+        if ingestor is None:
+            return Response.json({"error": "outline not configured"}, 400)
+        if not await bus.set_nx(REFRESH_LOCK, 1, ex=3600):
+            return Response.json({"error": "refresh already running"}, 429)
+        await bus.push(TASK_QUEUE, {"task": "refresh_all"})
+        return Response.json({"status": "queued"}, 202)
+
+    @app.get(prefix + "/api/refresh/status")
+    async def get_refresh_status(req: Request) -> Response:
+        return Response.json(await refresh_status(bus))
+
+    # -- webhook -----------------------------------------------------------
+
+    @app.post(prefix + "/update/webhook")
+    async def webhook(req: Request) -> Response:
+        if settings.outline_webhook_sign:
+            sig = req.headers.get("x-outline-signature") or req.headers.get(
+                "outline-signature"
+            )
+            if not verify_webhook_signature(
+                settings.outline_webhook_secret, req.body, sig
+            ):
+                return Response.json({"error": "bad signature"}, 401)
+        # each event pushes the debounce timer back
+        # (reference api.py:1025-1026)
+        await bus.set(
+            WEBHOOK_TIMER, time.time() + settings.webhook_debounce_s, ex=3600
+        )
+        return Response.json({"status": "accepted"}, 202)
+
+    return app
