@@ -1,0 +1,114 @@
+"""Retrieval-core benchmark.
+
+Measures the fused score+top-K kernel (the pgvector replacement) on the
+available accelerator: query throughput over an N x 1024 corpus at
+TOP_K=12 (the reference's retrieval configuration, BASELINE.md), checked
+for exact recall@12 against the on-device oracle, and compared against a
+single-host NumPy exact scan (the stand-in for the reference's
+CPU/pgvector exact path; pgvector publishes no numbers — BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Env knobs: BENCH_N (corpus rows, default 100k on TPU / 20k on CPU),
+BENCH_B (query batch, default 32), BENCH_DTYPE (float32|bfloat16).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from outline_rag_tpu.ops.topk import topk_pallas, topk_xla
+
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    n = int(os.environ.get("BENCH_N", 100_000 if on_tpu else 20_000))
+    b = int(os.environ.get("BENCH_B", 32))
+    d = int(os.environ.get("BENCH_D", 1024))
+    k = 12
+    block_n = 1024
+    n = (n // block_n) * block_n
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+        os.environ.get("BENCH_DTYPE", "float32")
+    ]
+
+    key = jax.random.key(0)
+    kc, kq = jax.random.split(key)
+    corpus = jax.random.normal(kc, (n, d), jnp.float32)
+    corpus = corpus / jnp.linalg.norm(corpus, axis=1, keepdims=True)
+    corpus = corpus.astype(dtype)
+    queries = jax.random.normal(kq, (b, d), jnp.float32)
+    queries = (queries / jnp.linalg.norm(queries, axis=1, keepdims=True)).astype(
+        dtype
+    )
+    jax.block_until_ready((corpus, queries))
+
+    def run_fused():
+        return topk_pallas(
+            queries, corpus, k, block_b=min(64, b), block_n=block_n,
+            interpret=not on_tpu,
+        )
+
+    # correctness: recall@12 vs the XLA oracle on the same device
+    vals, idx = jax.block_until_ready(run_fused())
+    ovals, oidx = jax.block_until_ready(topk_xla(queries, corpus, k))
+    recall = float(
+        np.mean(
+            [
+                len(set(np.asarray(idx)[i]) & set(np.asarray(oidx)[i])) / k
+                for i in range(b)
+            ]
+        )
+    )
+
+    # throughput
+    iters = 20 if on_tpu else 3
+    jax.block_until_ready(run_fused())  # warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run_fused()
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    qps = b * iters / dt
+
+    # baseline: NumPy exact scan on the host (reference-pipeline stand-in)
+    nb = min(n, 20_000)
+    c_np = np.asarray(corpus[:nb], np.float32)
+    q_np = np.asarray(queries, np.float32)
+    t0 = time.perf_counter()
+    reps = 2
+    for _ in range(reps):
+        scores = q_np @ c_np.T
+        part = np.argpartition(-scores, k, axis=1)[:, :k]
+    base_dt = time.perf_counter() - t0
+    # scale the baseline cost linearly to the full corpus size
+    base_qps = b * reps / (base_dt * (n / nb))
+
+    print(
+        f"# backend={backend} n={n} d={d} b={b} dtype={np.dtype(dtype).name} "
+        f"recall@12={recall:.4f} fused_qps={qps:.1f} numpy_qps={base_qps:.1f}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"fused top-12 query throughput, {n} x {d} corpus, recall@12={recall:.3f}",
+                "value": round(qps, 1),
+                "unit": "queries/s",
+                "vs_baseline": round(qps / base_qps, 2) if base_qps > 0 else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,90 @@
+"""Contrastive fine-tuning of the dual encoder.
+
+No reference equivalent (the reference consumes frozen remote models); this
+is the TPU-native capability that replaces "wait for the provider to ship a
+better embedder": in-batch-negatives InfoNCE training of the XLM-R encoder
+(the BGE-family recipe) so a deployment can adapt retrieval to its own
+wiki. Data-parallel over a ``Mesh``: params replicated, batch row-sharded;
+XLA inserts the gradient ``psum`` from the shardings.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from outline_rag_tpu.models.encoder import EncoderConfig, Params, pooled_embeddings
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def contrastive_loss(
+    params: Params,
+    q_ids: jax.Array,
+    q_mask: jax.Array,
+    p_ids: jax.Array,
+    p_mask: jax.Array,
+    cfg: EncoderConfig,
+    temperature: float = 0.05,
+) -> jax.Array:
+    """Symmetric InfoNCE with in-batch negatives: query i's positive is
+    passage i; all other passages in the batch are negatives."""
+    q_emb = pooled_embeddings(params, q_ids, q_mask, cfg)  # [B, H], unit
+    p_emb = pooled_embeddings(params, p_ids, p_mask, cfg)
+    logits = (q_emb @ p_emb.T) / temperature  # [B, B]
+    labels = jnp.arange(logits.shape[0])
+    loss_qp = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    loss_pq = optax.softmax_cross_entropy_with_integer_labels(logits.T, labels)
+    return jnp.mean(loss_qp + loss_pq) * 0.5
+
+
+def make_optimizer(lr: float = 1e-5, weight_decay: float = 0.01):
+    return optax.adamw(lr, weight_decay=weight_decay)
+
+
+def init_train_state(params: Params, optimizer) -> TrainState:
+    return TrainState(
+        params=params,
+        opt_state=optimizer.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_train_step(cfg: EncoderConfig, optimizer, temperature: float = 0.05):
+    """Returns the jittable (state, batch) -> (state, metrics) step.
+    ``batch`` = dict(q_ids, q_mask, p_ids, p_mask)."""
+
+    def step(state: TrainState, batch: dict) -> tuple[TrainState, dict]:
+        def loss_fn(p):
+            return contrastive_loss(
+                p,
+                batch["q_ids"],
+                batch["q_mask"],
+                batch["p_ids"],
+                batch["p_mask"],
+                cfg,
+                temperature,
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=params, opt_state=opt_state, step=state.step + 1
+        )
+        return new_state, {"loss": loss}
+
+    return step
