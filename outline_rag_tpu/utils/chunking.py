@@ -14,9 +14,13 @@ implementation and the fallback.
 from __future__ import annotations
 
 import dataclasses
+import os
 from collections.abc import Sequence
 
 DEFAULT_SEPARATORS: tuple[str, ...] = ("\n\n", "\n", " ", "")
+
+# Documents below this size are not worth the ctypes round-trip.
+_NATIVE_MIN_CHARS = 4096
 
 
 @dataclasses.dataclass(frozen=True)
@@ -79,6 +83,17 @@ def split_text(
         return []
     if len(text) <= chunk_size:
         return [text]
+
+    if (
+        tuple(separators) == DEFAULT_SEPARATORS
+        and len(text) >= _NATIVE_MIN_CHARS
+        and os.environ.get("ORT_NATIVE", "1") != "0"
+    ):
+        from outline_rag_tpu import native  # noqa: PLC0415
+
+        result = native.chunk_text_native(text, chunk_size, chunk_overlap)
+        if result is not None:
+            return result
 
     pieces = _recursive_pieces(text, chunk_size, separators)
     chunks: list[str] = []
