@@ -64,18 +64,8 @@ def test_native_used_by_default(lib):
     assert out == _python_split(text, 1024, 100)
 
 
-def test_native_speedup(lib):
-    import time
-
+def test_native_large_doc_parity(lib):
     text = "\n\n".join(f"p{i} " + "word " * 100 for i in range(400))
-    t0 = time.perf_counter()
-    for _ in range(5):
-        py = _python_split(text, 1024, 100)
-    t_py = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for _ in range(5):
-        nat = native.chunk_text_native(text, 1024, 100)
-    t_nat = time.perf_counter() - t0
-    assert nat == py
-    # informational; native should not be slower
-    assert t_nat <= t_py * 1.5
+    assert native.chunk_text_native(text, 1024, 100) == _python_split(
+        text, 1024, 100
+    )
