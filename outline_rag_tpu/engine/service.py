@@ -23,6 +23,7 @@ import numpy as np
 from outline_rag_tpu.engine.embedder import EncoderEmbedder
 from outline_rag_tpu.engine.rerank import CrossEncoderReranker, NoopReranker
 from outline_rag_tpu.index.store import VectorIndex
+from outline_rag_tpu.utils.profiling import metrics
 
 log = logging.getLogger(__name__)
 
@@ -70,12 +71,14 @@ class RetrievalService:
         if not queries:
             return []
         if self._fused is not None:
-            fused_out = self._fused.query(queries)
+            with metrics.timeit("retrieve.fused"):
+                fused_out = self._fused.query(queries)
             return [
                 [RetrievedChunk(cid, score, rerank_score=score) for cid, score in row]
                 for row in fused_out
             ]
-        return self._staged(queries)
+        with metrics.timeit("retrieve.staged"):
+            return self._staged(queries)
 
     def retrieve(self, query: str) -> list[RetrievedChunk]:
         return self.retrieve_batch([query])[0]
@@ -83,8 +86,10 @@ class RetrievalService:
     # -- staged path -------------------------------------------------------
 
     def _staged(self, queries: list[str]) -> list[list[RetrievedChunk]]:
-        qvecs = self.embedder.embed(queries)
-        ids, scores = self.index.query(qvecs, self.top_k)
+        with metrics.timeit("retrieve.embed"):
+            qvecs = self.embedder.embed(queries)
+        with metrics.timeit("retrieve.index"):
+            ids, scores = self.index.query(qvecs, self.top_k)
         out: list[list[RetrievedChunk]] = []
         for qi, (query, chunk_ids) in enumerate(zip(queries, ids)):
             if not chunk_ids:

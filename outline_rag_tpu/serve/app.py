@@ -170,6 +170,26 @@ def build_app(
     async def healthz(req: Request) -> Response:
         return Response.json({"status": "ok", "index_size": index.size})
 
+    @app.get(prefix + "/api/metrics")
+    async def get_metrics(req: Request) -> Response:
+        from outline_rag_tpu.utils.profiling import metrics as m
+
+        user = current_user(req)
+        if user is None:
+            return Response.json({"error": "unauthorized"}, 401)
+        return Response.json(
+            {
+                "stages": m.snapshot(),
+                "index": {
+                    "size": index.size,
+                    "capacity": index._shard.capacity,
+                    "generation": index.generation,
+                    "dtype": index.dtype,
+                    "fused": retrieval.fused,
+                },
+            }
+        )
+
     # -- views ----------------------------------------------------------
 
     def _no_cache(resp: Response) -> Response:

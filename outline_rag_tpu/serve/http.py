@@ -318,16 +318,23 @@ class App:
     # -- request dispatch ----------------------------------------------
 
     async def handle(self, req: Request) -> Response:
+        from outline_rag_tpu.utils.logging import request_id_var
+        from outline_rag_tpu.utils.profiling import metrics
+
         req.app = self
+        request_id_var.set(os.urandom(4).hex())
         if self.secret_key:
             token = req.cookies.get(self.session_cookie, "")
             req.session = verify_session(self.secret_key, token) if token else {}
             req._session_loaded = dict(req.session)
+        t0 = time.perf_counter()
         try:
             resp = await self._dispatch(req)
         except Exception:
             log.exception("unhandled error on %s %s", req.method, req.path)
             resp = Response.json({"error": "internal server error"}, 500)
+        finally:
+            metrics.record(f"http.{req.method}", time.perf_counter() - t0)
         if self.secret_key and req.session != req._session_loaded:
             if req.session:
                 resp.set_cookie(

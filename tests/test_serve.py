@@ -330,3 +330,22 @@ def test_deep_link_validation():
         assert someone_elses.status == 302
 
     asyncio.run(run())
+
+
+def test_metrics_endpoint():
+    app, _ = make_app()
+    client = TestClient(app)
+
+    async def run():
+        assert (await client.get("/chat/api/metrics")).status == 401
+        await login(client)
+        conv = json.loads(
+            (await client.post("/chat/api/conversations", json_body={"title": "t"})).body
+        )
+        await client.sse("POST", "/chat/api/ask",
+                         json_body={"question": "what are wolves?", "conversation_id": conv["id"]})
+        data = json.loads((await client.get("/chat/api/metrics")).body)
+        assert "index" in data and "stages" in data
+        assert any(k.startswith("http.") for k in data["stages"])
+
+    asyncio.run(run())
