@@ -115,24 +115,29 @@ def merge_topk(
 def _fused_topk_kernel(
     q_ref,  # [TB, D] VMEM
     c_ref,  # [TN, D] VMEM (corpus tile)
-    pen_ref,  # [1, TN] VMEM (additive penalty for this tile)
-    out_vals_ref,  # [TB, K] VMEM
-    out_idx_ref,  # [TB, K] VMEM (int32)
-    acc_vals,  # scratch [TB, K] f32
-    acc_idx,  # scratch [TB, K] i32
+    pen_ref,  # [TN, 1] VMEM (additive penalty for this tile's rows)
+    out_vals_ref,  # [K, TB] VMEM (transposed; wrapper transposes back)
+    out_idx_ref,  # [K, TB] VMEM (int32)
+    acc_vals,  # scratch [K, TB] f32 (sorted desc along axis 0)
+    acc_idx,  # scratch [K, TB] i32
     *,
     k: int,
     block_n: int,
 ):
-    n_tile = pl.program_id(1)
-    num_n = pl.num_programs(1)
+    """Everything runs in transposed orientation: the score tile is
+    ``C_tile @ Q^T -> [TN, TB]`` so the MXU's M-dimension is the corpus
+    tile (128-aligned, fully utilized) rather than the small query batch;
+    reductions run along the sublane axis and the accumulator lives as
+    [K, TB], so no in-kernel transposes are needed."""
+    n_tile = pl.program_id(0)
+    num_n = pl.num_programs(0)
 
     @pl.when(n_tile == 0)
     def _init():
         acc_vals[:] = jnp.full_like(acc_vals, NEG)
         acc_idx[:] = jnp.zeros_like(acc_idx)
 
-    # [TB, TN] score tile on the MXU, accumulated in f32. fp32 inputs use
+    # [TN, TB] score tile on the MXU, accumulated in f32. fp32 inputs use
     # HIGHEST precision (multi-pass bf16 on the MXU) so the fp32 mode is
     # exact-parity with the pgvector exact scan; bf16/int8 modes use the
     # fast single-pass path.
@@ -141,74 +146,66 @@ def _fused_topk_kernel(
         if q_ref.dtype == jnp.float32
         else jax.lax.Precision.DEFAULT
     )
-    scores = jax.lax.dot_general(
-        q_ref[:],
+    s = jax.lax.dot_general(
         c_ref[:],
+        q_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=precision,
     )
-    scores = scores + pen_ref[0, :][None, :]
+    s = s + pen_ref[:]  # [TN, 1] broadcast over queries
 
     base = n_tile * block_n
-    tb = scores.shape[0]
+    tb = s.shape[1]
 
     # Tile-level skip: merge only if some score beats the worst accumulator
-    # entry (acc is sorted descending, so column k-1 is each query's kth
+    # entry (acc is sorted descending, so row k-1 is each query's kth
     # value; after warm-up most tiles fail this test and skip the K-pass
     # merge entirely).
-    tile_max = jnp.max(scores)
-    acc_floor = jnp.min(acc_vals[:, k - 1])
+    tile_max = jnp.max(s)
+    acc_floor = jnp.min(acc_vals[k - 1, :])
 
     @pl.when(tile_max > acc_floor)
     def _merge():
-        col = jax.lax.broadcasted_iota(jnp.int32, (tb, block_n), 1)
-        cand_idx = base + col
-        s = scores
+        row = jax.lax.broadcasted_iota(jnp.int32, (block_n, tb), 0)
         new_vals = acc_vals[:]
         new_idx = acc_idx[:]
-        # K passes of max/argmax-with-mask over the tile, each pass competing
-        # against the current accumulator tail.
-        for j in range(k):
-            m = jnp.max(s, axis=1, keepdims=True)  # [TB, 1]
-            hit = s == m
-            # lowest index wins ties (lax.top_k semantics)
-            pos = jnp.min(jnp.where(hit, col, jnp.int32(2**30)), axis=1, keepdims=True)
-            chosen = pos == col
-            m_idx = jnp.sum(
-                jnp.where(chosen, cand_idx, 0), axis=1, keepdims=True
-            )  # [TB, 1]
-            s = jnp.where(chosen, NEG, s)
+        krow = jax.lax.broadcasted_iota(jnp.int32, (k, tb), 0)
+        scores = s
+        # K passes of column-wise max/argmax over the tile, each winner
+        # inserted into the sorted accumulator.
+        for _ in range(k):
+            m = jnp.max(scores, axis=0, keepdims=True)  # [1, TB]
+            hit = scores == m
+            # lowest corpus index wins ties (lax.top_k semantics)
+            pos = jnp.min(
+                jnp.where(hit, row, jnp.int32(2**30)), axis=0, keepdims=True
+            )  # [1, TB]
+            chosen = row == pos
+            scores = jnp.where(chosen, NEG, scores)
+            m_idx = pos + base  # [1, TB]
 
-            # Insert (m, m_idx) into the sorted accumulator: every slot whose
-            # value is below m shifts right by one; slot `ins` takes m.
-            mv = m[:, 0][:, None]  # [TB, 1]
-            mi = m_idx[:, 0][:, None]
-            below = new_vals < mv  # [TB, K] sorted desc -> suffix mask
+            # Insert (m, m_idx): slots below the insertion point shift down.
+            below = new_vals < m  # [K, TB]; sorted desc -> suffix mask
             ins_pos = jnp.sum(
-                jnp.where(~below, 1, 0), axis=1, keepdims=True
-            )  # first slot where value < m
-            kcol = jax.lax.broadcasted_iota(jnp.int32, (tb, k), 1)
-            # shifted-by-one copies of the accumulator (k == 1 has no
-            # shifted part; zero-size slices don't lower on Mosaic)
+                jnp.where(below, 0, 1), axis=0, keepdims=True
+            )  # [1, TB] first slot whose value < m
             if k > 1:
                 prev_vals = jnp.concatenate(
-                    [jnp.full((tb, 1), NEG, new_vals.dtype), new_vals[:, :-1]],
-                    axis=1,
+                    [jnp.full((1, tb), NEG, new_vals.dtype), new_vals[:-1, :]],
+                    axis=0,
                 )
                 prev_idx = jnp.concatenate(
-                    [jnp.zeros((tb, 1), new_idx.dtype), new_idx[:, :-1]], axis=1
+                    [jnp.zeros((1, tb), new_idx.dtype), new_idx[:-1, :]], axis=0
                 )
             else:
-                prev_vals = jnp.full((tb, 1), NEG, new_vals.dtype)
-                prev_idx = jnp.zeros((tb, 1), new_idx.dtype)
-            take_new = kcol == ins_pos
-            shift = kcol > ins_pos
-            new_vals = jnp.where(
-                take_new, mv, jnp.where(shift, prev_vals, new_vals)
-            )
+                prev_vals = jnp.full((1, tb), NEG, new_vals.dtype)
+                prev_idx = jnp.zeros((1, tb), new_idx.dtype)
+            take_new = krow == ins_pos
+            shift = krow > ins_pos
+            new_vals = jnp.where(take_new, m, jnp.where(shift, prev_vals, new_vals))
             new_idx = jnp.where(
-                take_new, mi, jnp.where(shift, prev_idx, new_idx)
+                take_new, m_idx, jnp.where(shift, prev_idx, new_idx)
             )
         acc_vals[:] = new_vals
         acc_idx[:] = new_idx
@@ -233,28 +230,28 @@ def _topk_pallas_jit(
 ) -> tuple[jax.Array, jax.Array]:
     b, d = queries.shape
     n = corpus.shape[0]
-    grid = (b // block_b, n // block_n)
+    grid = (n // block_n,)
     kernel = functools.partial(_fused_topk_kernel, k=k, block_n=block_n)
     bytes_per = jnp.dtype(corpus.dtype).itemsize
     out_vals, out_idx = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_b, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, d), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, 1), lambda j: (j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((block_b, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, b), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, b), lambda j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, k), jnp.float32),
-            jax.ShapeDtypeStruct((b, k), jnp.int32),
+            jax.ShapeDtypeStruct((k, b), jnp.float32),
+            jax.ShapeDtypeStruct((k, b), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_b, k), jnp.float32),
-            pltpu.VMEM((block_b, k), jnp.int32),
+            pltpu.VMEM((k, b), jnp.float32),
+            pltpu.VMEM((k, b), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n * d,
@@ -263,7 +260,7 @@ def _topk_pallas_jit(
         ),
         interpret=interpret,
     )(queries.astype(corpus.dtype), corpus, pen2d)
-    return out_vals, out_idx
+    return out_vals.T, out_idx.T
 
 
 def topk_pallas(
@@ -272,19 +269,19 @@ def topk_pallas(
     k: int,
     penalty: jax.Array | None = None,
     *,
-    block_b: int = 64,
+    block_b: int = 64,  # kept for API compat; B is padded to a multiple of 8
     block_n: int = 1024,
     interpret: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
-    """Fused score+top-K. Requires B % block_b == 0 and N % block_n == 0
+    """Fused score+top-K. Requires B % 8 == 0 and N % block_n == 0
     (use :func:`cosine_topk` for automatic padding)."""
     b, d = queries.shape
     n = corpus.shape[0]
     assert corpus.shape[1] == d, (queries.shape, corpus.shape)
-    assert b % block_b == 0 and n % block_n == 0, (b, n, block_b, block_n)
+    assert b % 8 == 0 and n % block_n == 0, (b, n, block_n)
     if penalty is None:
         penalty = jnp.zeros((n,), jnp.float32)
-    pen2d = penalty.reshape(1, n).astype(jnp.float32)
+    pen2d = penalty.reshape(n, 1).astype(jnp.float32)
     if interpret is None:
         interpret = not _on_tpu()
     return _topk_pallas_jit(
@@ -318,11 +315,21 @@ def cosine_topk(
     n = corpus.shape[0]
     k = min(k, n)
     if impl == "auto":
-        impl = "pallas" if (_on_tpu() and n % block_n == 0) else "xla"
+        # XLA's fused matmul+top_k wins while the [B, N] f32 score matrix
+        # is cheap to materialize; the fused kernel takes over when score
+        # traffic would rival corpus traffic (large N, large B).
+        score_bytes = b * n * 4
+        corpus_bytes = n * corpus.shape[1] * jnp.dtype(corpus.dtype).itemsize
+        use_pallas = (
+            _on_tpu()
+            and n % block_n == 0
+            and score_bytes > max(256 << 20, corpus_bytes // 4)
+        )
+        impl = "pallas" if use_pallas else "xla"
     if impl == "xla" or n % block_n != 0:
         return topk_xla(queries, corpus, k, penalty)
 
-    pad_b = _round_up(max(b, 8), block_b) - b
+    pad_b = _round_up(max(b, 8), 8) - b
     if pad_b:
         queries = jnp.pad(queries, ((0, pad_b), (0, 0)))
     vals, idx = topk_pallas(
