@@ -235,12 +235,15 @@ class VectorIndex:
         with self._lock:
             state, row_ids, gen = self._shard.snapshot()
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-            np.savez_compressed(
-                path,
-                vectors=np.asarray(state.vectors, np.float32),
-                scales=np.asarray(state.scales),
-                penalty=np.asarray(state.penalty),
-            )
+            arrays = {
+                "vectors": np.asarray(state.vectors, np.float32),
+                "scales": np.asarray(state.scales),
+                "penalty": np.asarray(state.penalty),
+            }
+            if self.tokens is not None:
+                arrays["token_ids"] = np.asarray(self.tokens.state.ids)
+                arrays["token_mask"] = np.asarray(self.tokens.state.mask)
+            np.savez_compressed(path, **arrays)
             meta = {
                 "dim": self.dim,
                 "dtype": self.dtype,
@@ -249,6 +252,8 @@ class VectorIndex:
                 "generation": gen,
                 "row_ids": ["" if not r else str(r) for r in row_ids],
                 "by_source": self._by_source,
+                "token_width": self.token_width,
+                "token_pad_id": self.token_pad_id,
             }
             with open(path + ".meta.json", "w") as f:
                 json.dump(meta, f)
@@ -265,6 +270,8 @@ class VectorIndex:
             capacity=meta["capacity"],
             dtype=meta["dtype"],
             sharding=sharding,
+            token_width=meta.get("token_width"),
+            token_pad_id=meta.get("token_pad_id", 1),
         )
         cursor = meta["cursor"]
         row_ids = meta["row_ids"]
@@ -279,6 +286,10 @@ class VectorIndex:
             rows = idx._shard.append(
                 ids, vecs, scales if meta["dtype"] == "int8" else None
             )
+            if idx.tokens is not None and "token_ids" in arrays:
+                idx.tokens.write(
+                    0, arrays["token_ids"][live], arrays["token_mask"][live]
+                )
             for cid, row in zip(ids, rows):
                 idx._by_chunk[cid] = int(row)
         # rebuild source map restricted to live chunks

@@ -116,6 +116,21 @@ def build_app(
         rerank_k=settings.rerank_k,
         chunk_text_lookup=lambda cid: (meta.get_chunk(cid) or {}).get("body"),
     )
+    # concurrent asks coalesce into one device program per window; device
+    # work runs off the event loop (engine/batcher.py)
+    from outline_rag_tpu.engine.batcher import QueryBatcher
+
+    batcher = QueryBatcher(
+        retrieval.retrieve_batch,
+        window_ms=settings.query_batch_window_ms,
+        max_batch=settings.query_batch_max,
+    )
+
+    class _BatchedRetrieval:
+        fused = retrieval.fused
+
+        async def retrieve(self, query: str):
+            return await batcher.retrieve(query)
     if provider is None:
         if settings.llm_api_base:
             provider = OpenAICompatProvider(
@@ -138,7 +153,7 @@ def build_app(
         if outline is not None
         else None
     )
-    pipeline = ChatPipeline(settings, provider, retrieval, meta, bus)
+    pipeline = ChatPipeline(settings, provider, _BatchedRetrieval(), meta, bus)
 
     app.state.update(
         settings=settings,
@@ -147,10 +162,16 @@ def build_app(
         index=index,
         embedder=embedder,
         retrieval=retrieval,
+        batcher=batcher,
         provider=provider,
         ingestor=ingestor,
         pipeline=pipeline,
     )
+
+    async def _stop_batcher():
+        await batcher.stop()
+
+    app.on_shutdown.append(_stop_batcher)
 
     if start_workers and ingestor is not None:
 
