@@ -36,7 +36,7 @@ def dequantize_rows_int8(q: jax.Array, scale: jax.Array) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def int8_topk(
+def int8_topk_xla(
     q_queries: jax.Array,  # [B, D] int8
     q_scale: jax.Array,  # [B] f32
     corpus: jax.Array,  # [N, D] int8
@@ -44,10 +44,8 @@ def int8_topk(
     k: int,
     penalty: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
-    """Quantized exact top-K: int8 dot on the MXU (int32 accumulate), then
-    per-pair rescale in f32. XLA path; the pallas int8 fused path reuses the
-    fp32 kernel with pre-scaled scores folded into the corpus (see
-    ``index.shard.DeviceShard.scored_corpus``)."""
+    """Quantized exact top-K, XLA path: int8 dot on the MXU (int32
+    accumulate), then per-pair rescale in f32."""
     raw = jax.lax.dot_general(
         q_queries,
         corpus,
@@ -59,6 +57,48 @@ def int8_topk(
         scores = scores + penalty[None, :]
     vals, idx = jax.lax.top_k(scores, k)
     return vals, idx.astype(jnp.int32)
+
+
+def int8_topk(
+    q_queries: jax.Array,
+    q_scale: jax.Array,
+    corpus: jax.Array,
+    c_scale: jax.Array,
+    k: int,
+    penalty: jax.Array | None = None,
+    impl: str = "auto",
+    block_n: int = 1024,
+) -> tuple[jax.Array, jax.Array]:
+    """Quantized top-K: dispatches between the fused Pallas kernel (int8
+    dot + rescale + penalty + K-select in one pass, no [B, N] score
+    materialization) and the XLA path, with the same policy as
+    ``cosine_topk``."""
+    import jax as _jax
+
+    from outline_rag_tpu.ops import topk as topk_mod
+
+    b = q_queries.shape[0]
+    n = corpus.shape[0]
+    if impl == "auto":
+        score_bytes = b * n * 4
+        use_pallas = (
+            _jax.default_backend() == "tpu"
+            and n % block_n == 0
+            and b % 8 == 0
+            and score_bytes > (256 << 20)
+        )
+        impl = "pallas" if use_pallas else "xla"
+    if impl == "pallas" and n % block_n == 0 and b % 8 == 0:
+        return topk_mod.topk_pallas(
+            q_queries,
+            corpus,
+            k,
+            penalty,
+            corpus_scales=c_scale,
+            query_scales=q_scale,
+            block_n=block_n,
+        )
+    return int8_topk_xla(q_queries, q_scale, corpus, c_scale, k, penalty)
 
 
 def rescore_fp32(

@@ -113,9 +113,11 @@ def merge_topk(
 
 
 def _fused_topk_kernel(
-    q_ref,  # [TB, D] VMEM
-    c_ref,  # [TN, D] VMEM (corpus tile)
+    q_ref,  # [TB, D] VMEM (f32/bf16, or int8 codes)
+    c_ref,  # [TN, D] VMEM (corpus tile; f32/bf16, or int8 codes)
     pen_ref,  # [TN, 1] VMEM (additive penalty for this tile's rows)
+    cscale_ref,  # [TN, 1] VMEM (per-row corpus scales; ones unless int8)
+    qscale_ref,  # [1, TB] VMEM (per-query scales; ones unless int8)
     out_vals_ref,  # [K, TB] VMEM (transposed; wrapper transposes back)
     out_idx_ref,  # [K, TB] VMEM (int32)
     acc_vals,  # scratch [K, TB] f32 (sorted desc along axis 0)
@@ -128,7 +130,9 @@ def _fused_topk_kernel(
     ``C_tile @ Q^T -> [TN, TB]`` so the MXU's M-dimension is the corpus
     tile (128-aligned, fully utilized) rather than the small query batch;
     reductions run along the sublane axis and the accumulator lives as
-    [K, TB], so no in-kernel transposes are needed."""
+    [K, TB], so no in-kernel transposes are needed. int8 mode does the dot
+    in int8 -> int32 on the MXU and rescales in f32 with the fused per-row
+    and per-query scales."""
     n_tile = pl.program_id(0)
     num_n = pl.num_programs(0)
 
@@ -141,6 +145,7 @@ def _fused_topk_kernel(
     # HIGHEST precision (multi-pass bf16 on the MXU) so the fp32 mode is
     # exact-parity with the pgvector exact scan; bf16/int8 modes use the
     # fast single-pass path.
+    is_int8 = c_ref.dtype == jnp.int8
     precision = (
         jax.lax.Precision.HIGHEST
         if q_ref.dtype == jnp.float32
@@ -150,9 +155,11 @@ def _fused_topk_kernel(
         c_ref[:],
         q_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.int32 if is_int8 else jnp.float32,
         precision=precision,
     )
+    if is_int8:
+        s = s.astype(jnp.float32) * cscale_ref[:] * qscale_ref[:]
     s = s + pen_ref[:]  # [TN, 1] broadcast over queries
 
     base = n_tile * block_n
@@ -223,6 +230,8 @@ def _topk_pallas_jit(
     queries: jax.Array,
     corpus: jax.Array,
     pen2d: jax.Array,
+    cscale2d: jax.Array,
+    qscale2d: jax.Array,
     k: int,
     block_b: int,
     block_n: int,
@@ -240,6 +249,8 @@ def _topk_pallas_jit(
             pl.BlockSpec((b, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_n, d), lambda j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_n, 1), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, 1), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b), lambda j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((k, b), lambda j: (0, 0), memory_space=pltpu.VMEM),
@@ -259,7 +270,13 @@ def _topk_pallas_jit(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(queries.astype(corpus.dtype), corpus, pen2d)
+    )(
+        queries if queries.dtype == corpus.dtype else queries.astype(corpus.dtype),
+        corpus,
+        pen2d,
+        cscale2d,
+        qscale2d,
+    )
     return out_vals.T, out_idx.T
 
 
@@ -269,12 +286,15 @@ def topk_pallas(
     k: int,
     penalty: jax.Array | None = None,
     *,
+    corpus_scales: jax.Array | None = None,  # [N] per-row scales (int8 mode)
+    query_scales: jax.Array | None = None,  # [B] per-query scales (int8 mode)
     block_b: int = 64,  # kept for API compat; B is padded to a multiple of 8
     block_n: int = 1024,
     interpret: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused score+top-K. Requires B % 8 == 0 and N % block_n == 0
-    (use :func:`cosine_topk` for automatic padding)."""
+    (use :func:`cosine_topk` for automatic padding). For int8 corpora pass
+    pre-quantized int8 queries plus both scale vectors."""
     b, d = queries.shape
     n = corpus.shape[0]
     assert corpus.shape[1] == d, (queries.shape, corpus.shape)
@@ -282,10 +302,20 @@ def topk_pallas(
     if penalty is None:
         penalty = jnp.zeros((n,), jnp.float32)
     pen2d = penalty.reshape(n, 1).astype(jnp.float32)
+    cscale2d = (
+        corpus_scales.reshape(n, 1).astype(jnp.float32)
+        if corpus_scales is not None
+        else jnp.ones((n, 1), jnp.float32)
+    )
+    qscale2d = (
+        query_scales.reshape(1, b).astype(jnp.float32)
+        if query_scales is not None
+        else jnp.ones((1, b), jnp.float32)
+    )
     if interpret is None:
         interpret = not _on_tpu()
     return _topk_pallas_jit(
-        queries, corpus, pen2d, k, block_b, block_n, interpret
+        queries, corpus, pen2d, cscale2d, qscale2d, k, block_b, block_n, interpret
     )
 
 

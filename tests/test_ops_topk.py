@@ -139,3 +139,28 @@ def test_quantize_roundtrip():
     back = np.asarray(q, dtype=np.float32) * np.asarray(s)[:, None]
     err = np.abs(back - x).max() / np.abs(x).max()
     assert err < 0.01
+
+
+def test_int8_pallas_matches_xla(data):
+    from outline_rag_tpu.ops.quant import int8_topk, int8_topk_xla
+
+    q, c = data
+    qq, qs = quantize_rows_int8(jnp.asarray(q))
+    cq, cs = quantize_rows_int8(jnp.asarray(c))
+    vx, ix = int8_topk_xla(qq, qs, cq, cs, 8)
+    vp, ip = int8_topk(qq, qs, cq, cs, 8, impl="pallas", block_n=128)
+    np.testing.assert_array_equal(np.asarray(ip), np.asarray(ix))
+    np.testing.assert_allclose(np.asarray(vp), np.asarray(vx), rtol=1e-5, atol=1e-5)
+
+
+def test_int8_pallas_respects_penalty(data):
+    from outline_rag_tpu.ops.quant import int8_topk
+
+    q, c = data
+    qq, qs = quantize_rows_int8(jnp.asarray(q))
+    cq, cs = quantize_rows_int8(jnp.asarray(c))
+    invalid = np.zeros(c.shape[0], dtype=bool)
+    invalid[::2] = True
+    penalty = jnp.asarray(np.where(invalid, NEG, 0.0).astype(np.float32))
+    _, ip = int8_topk(qq, qs, cq, cs, 8, penalty, impl="pallas", block_n=128)
+    assert not np.any(invalid[np.asarray(ip)])
