@@ -61,6 +61,26 @@ def init_train_state(params: Params, optimizer) -> TrainState:
     )
 
 
+def save_train_state(path: str, state: TrainState) -> None:
+    """Checkpoint via orbax (SURVEY.md section 5: the reference has no
+    model checkpoints; index snapshots live in ``index.store``)."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.abspath(path), state, force=True)
+
+
+def load_train_state(path: str, template: TrainState) -> TrainState:
+    import os
+
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    return ckptr.restore(os.path.abspath(path), item=template)
+
+
 def make_train_step(cfg: EncoderConfig, optimizer, temperature: float = 0.05):
     """Returns the jittable (state, batch) -> (state, metrics) step.
     ``batch`` = dict(q_ids, q_mask, p_ids, p_mask)."""

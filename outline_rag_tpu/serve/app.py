@@ -354,6 +354,16 @@ def build_app(
             model_spec.beta and user["id"] not in settings.beta_user_ids
         ):
             return Response.json({"error": "unknown model"}, 400)
+        from outline_rag_tpu.utils.logging import redact_chat_input
+
+        log.info(
+            "ask conv=%s model=%s question=%s",
+            conv_id,
+            model_id,
+            redact_chat_input(
+                question, settings.safe_log_chat_input, settings.max_log_input_chars
+            ),
+        )
 
         edit_id = body.get("edit_message_id")
         if edit_id is not None:

@@ -69,3 +69,20 @@ def test_dp_sharded_step_matches_single():
     np.testing.assert_allclose(
         float(m_single["loss"]), float(m_sharded["loss"]), rtol=1e-5
     )
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from outline_rag_tpu.models.train import load_train_state, save_train_state
+
+    cfg = EncoderConfig.tiny()
+    params = init_encoder_params(jax.random.key(7), cfg)
+    opt = make_optimizer()
+    state = init_train_state(params, opt)
+    path = str(tmp_path / "ckpt")
+    save_train_state(path, state)
+    restored = load_train_state(path, state)
+    leaves_a = jax.tree_util.tree_leaves(state.params)
+    leaves_b = jax.tree_util.tree_leaves(restored.params)
+    assert len(leaves_a) == len(leaves_b)
+    for a, b in zip(leaves_a, leaves_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
