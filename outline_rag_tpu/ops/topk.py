@@ -39,6 +39,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG = -1e30
 
+# Largest corpus handled by a single kernel launch; bigger corpora are
+# segmented and merged (grid sizes past ~4-8k steps stress the compiler).
+MAX_ROWS_PER_CALL = 4_194_304
+
 
 def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
@@ -301,6 +305,34 @@ def topk_pallas(
     assert b % 8 == 0 and n % block_n == 0, (b, n, block_n)
     if penalty is None:
         penalty = jnp.zeros((n,), jnp.float32)
+    if interpret is None:
+        interpret = not _on_tpu()
+
+    # Very large corpora are processed in row segments (one kernel launch
+    # each, merged on device): keeps per-launch grid sizes within what the
+    # compiler handles comfortably.
+    seg = MAX_ROWS_PER_CALL - (MAX_ROWS_PER_CALL % block_n)
+    if n > seg:
+        acc = None
+        for start in range(0, n, seg):
+            end = min(start + seg, n)
+            sv, si = topk_pallas(
+                queries,
+                corpus[start:end],
+                min(k, end - start),
+                penalty[start:end],
+                corpus_scales=corpus_scales[start:end]
+                if corpus_scales is not None
+                else None,
+                query_scales=query_scales,
+                block_b=block_b,
+                block_n=block_n,
+                interpret=interpret,
+            )
+            si = si + start
+            acc = (sv, si) if acc is None else merge_topk(acc[0], acc[1], sv, si, k)
+        return acc
+
     pen2d = penalty.reshape(n, 1).astype(jnp.float32)
     cscale2d = (
         corpus_scales.reshape(n, 1).astype(jnp.float32)
@@ -312,8 +344,6 @@ def topk_pallas(
         if query_scales is not None
         else jnp.ones((1, b), jnp.float32)
     )
-    if interpret is None:
-        interpret = not _on_tpu()
     return _topk_pallas_jit(
         queries, corpus, pen2d, cscale2d, qscale2d, k, block_b, block_n, interpret
     )

@@ -349,3 +349,53 @@ def test_metrics_endpoint():
         assert any(k.startswith("http.") for k in data["stages"])
 
     asyncio.run(run())
+
+
+def test_hundred_concurrent_asks_batch():
+    """BASELINE.md fused-serve rung: 100 concurrent queries coalesce into
+    few device batches and all complete."""
+    app, _ = make_app()
+    client = TestClient(app)
+
+    async def run():
+        await login(client)
+        await client.post("/chat/update/all")
+        await drain_tasks(app)
+        convs = []
+        for _ in range(4):
+            c = json.loads(
+                (await client.post("/chat/api/conversations", json_body={"title": "t"})).body
+            )
+            convs.append(c["id"])
+
+        calls = []
+        retrieval = app.state["retrieval"]
+        orig = retrieval.retrieve_batch
+
+        def counting(queries):
+            calls.append(len(queries))
+            return orig(queries)
+
+        app.state["batcher"].retrieve_batch = counting
+
+        async def one(i):
+            events = await client.sse(
+                "POST",
+                "/chat/api/ask",
+                json_body={
+                    "question": f"what about wolves number {i}?",
+                    "conversation_id": convs[i % 4],
+                },
+            )
+            return "[DONE]" in events
+
+        results = await asyncio.gather(*[one(i) for i in range(100)])
+        return results, calls
+
+    results, calls = asyncio.run(run())
+    assert all(results)
+    assert sum(calls) == 100
+    # coalescing happened: far fewer device batches than queries
+    assert len(calls) < 60
+
+    asyncio.run(app.shutdown())
