@@ -181,6 +181,22 @@ def build_app(
 
         app.on_startup.append(_start)
 
+    async def _warmup():
+        # compile the query program before the first user request (cold
+        # XLA compiles take tens of seconds)
+        import asyncio as _aio
+
+        async def go():
+            try:
+                await _aio.to_thread(retrieval.retrieve_batch, ["warmup"])
+                log.info("query program warmed")
+            except Exception:
+                log.exception("warmup failed (non-fatal)")
+
+        app.spawn(go())
+
+    app.on_startup.append(_warmup)
+
     register_auth_routes(app, settings, bus, meta, prefix, oidc_transport)
     static_dir = os.path.join(os.path.dirname(__file__), "static")
     app.mount_static(prefix + "/static", static_dir)
