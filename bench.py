@@ -23,7 +23,56 @@ import time
 import numpy as np
 
 
+def bench_encode() -> None:
+    """BENCH_SCENARIO=encode: index-build throughput of the bge-m3-size
+    encoder (24L x 1024H, bf16) — BASELINE.md ladder rung 3."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from outline_rag_tpu.models.encoder import (
+        EncoderConfig,
+        cast_params,
+        init_encoder_params,
+        pooled_embeddings,
+    )
+
+    cfg = EncoderConfig.bge_m3()
+    params = cast_params(init_encoder_params(jax.random.key(0), cfg), jnp.bfloat16)
+    fwd = jax.jit(lambda p, ids, mask: pooled_embeddings(p, ids, mask, cfg))
+    b, s = int(os.environ.get("BENCH_B", 64)), int(os.environ.get("BENCH_S", 256))
+    rng = np.random.default_rng(0)
+    batches = [
+        (
+            jnp.asarray(rng.integers(3, cfg.vocab_size, size=(b, s)).astype(np.int32)),
+            jnp.ones((b, s), jnp.int32),
+        )
+        for _ in range(4)
+    ]
+    jax.block_until_ready(fwd(params, *batches[0]))
+    iters = 8
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = fwd(params, *batches[i % 4])
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    print(
+        json.dumps(
+            {
+                "metric": f"bge-m3-size encoder throughput (batch {b}, seq {s}, bf16)",
+                "value": round(b / dt, 1),
+                "unit": "chunks/s",
+                "vs_baseline": None,
+            }
+        )
+    )
+
+
 def main() -> None:
+    if os.environ.get("BENCH_SCENARIO") == "encode":
+        bench_encode()
+        return
     import jax
     import jax.numpy as jnp
 
