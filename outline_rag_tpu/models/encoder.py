@@ -156,13 +156,56 @@ def _attention(x, mask_bias, ap, cfg: EncoderConfig):
     return ctx @ ap["wo"].astype(dt) + ap["bo"].astype(dt)
 
 
+def _layer_apply(x, mask_bias, layer, cfg: EncoderConfig):
+    dt = x.dtype
+    attn_out = _attention(x, mask_bias, layer["attn"], cfg)
+    x = _layer_norm(
+        x + attn_out,
+        layer["attn"]["ln_scale"],
+        layer["attn"]["ln_bias"],
+        cfg.layer_norm_eps,
+    )
+    hmid = jax.nn.gelu(
+        x @ layer["mlp"]["wi"].astype(dt) + layer["mlp"]["bi"].astype(dt),
+        approximate=False,
+    )
+    mlp_out = hmid @ layer["mlp"]["wo"].astype(dt) + layer["mlp"]["bo"].astype(dt)
+    return _layer_norm(
+        x + mlp_out,
+        layer["mlp"]["ln_scale"],
+        layer["mlp"]["ln_bias"],
+        cfg.layer_norm_eps,
+    )
+
+
+def stack_layer_params(params: Params) -> Params:
+    """Stack the per-layer param list into one pytree with a leading layer
+    dimension, enabling the ``lax.scan`` forward (one traced layer instead
+    of L — much faster compiles) and per-layer rematerialization in
+    training. Returns a new params dict; the unstacked list form remains
+    valid everywhere."""
+    layers = params["layers"]
+    if isinstance(layers, dict):
+        return params
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+    out = dict(params)
+    out["layers"] = stacked
+    return out
+
+
 def encoder_forward(
     params: Params,
     input_ids: jax.Array,  # [B, S] int32
     attention_mask: jax.Array,  # [B, S] int32/bool, 1 = real token
     cfg: EncoderConfig,
+    remat: bool = False,
 ) -> jax.Array:
-    """Returns the final hidden states [B, S, H] (cfg.dtype)."""
+    """Returns the final hidden states [B, S, H] (cfg.dtype).
+
+    Accepts either per-layer param lists (python loop; exact tracing) or
+    stacked params from :func:`stack_layer_params` (``lax.scan``; with
+    ``remat=True`` each layer is rematerialized in the backward pass —
+    the ``jax.checkpoint`` memory/FLOPs trade for contrastive training)."""
     dt = cfg.dtype
     mask = attention_mask.astype(jnp.int32)
     # RoBERTa position ids: cumulative count of non-pad tokens + pad_id
@@ -181,25 +224,19 @@ def encoder_forward(
     # additive attention bias: 0 for real tokens, -inf-ish for padding
     mask_bias = (1.0 - mask.astype(jnp.float32))[:, None, None, :] * -1e9
 
-    for layer in params["layers"]:
-        attn_out = _attention(x, mask_bias, layer["attn"], cfg)
-        x = _layer_norm(
-            x + attn_out,
-            layer["attn"]["ln_scale"],
-            layer["attn"]["ln_bias"],
-            cfg.layer_norm_eps,
-        )
-        hmid = jax.nn.gelu(
-            x @ layer["mlp"]["wi"].astype(dt) + layer["mlp"]["bi"].astype(dt),
-            approximate=False,
-        )
-        mlp_out = hmid @ layer["mlp"]["wo"].astype(dt) + layer["mlp"]["bo"].astype(dt)
-        x = _layer_norm(
-            x + mlp_out,
-            layer["mlp"]["ln_scale"],
-            layer["mlp"]["ln_bias"],
-            cfg.layer_norm_eps,
-        )
+    layers = params["layers"]
+    if isinstance(layers, dict):  # stacked -> scan
+
+        def body(carry, layer):
+            return _layer_apply(carry, mask_bias, layer, cfg), None
+
+        if remat:
+            body = jax.checkpoint(body)
+        x, _ = jax.lax.scan(body, x, layers)
+        return x
+
+    for layer in layers:
+        x = _layer_apply(x, mask_bias, layer, cfg)
     return x
 
 
@@ -208,9 +245,10 @@ def pooled_embeddings(
     input_ids: jax.Array,
     attention_mask: jax.Array,
     cfg: EncoderConfig,
+    remat: bool = False,
 ) -> jax.Array:
     """BGE-m3 dense embedding: CLS hidden state, L2-normalized, f32 [B, H]."""
-    hidden = encoder_forward(params, input_ids, attention_mask, cfg)
+    hidden = encoder_forward(params, input_ids, attention_mask, cfg, remat=remat)
     cls = hidden[:, 0, :].astype(jnp.float32)
     return cls / jnp.linalg.norm(cls, axis=-1, keepdims=True).clip(1e-9)
 

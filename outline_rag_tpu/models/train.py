@@ -37,11 +37,14 @@ def contrastive_loss(
     p_mask: jax.Array,
     cfg: EncoderConfig,
     temperature: float = 0.05,
+    remat: bool = False,
 ) -> jax.Array:
     """Symmetric InfoNCE with in-batch negatives: query i's positive is
-    passage i; all other passages in the batch are negatives."""
-    q_emb = pooled_embeddings(params, q_ids, q_mask, cfg)  # [B, H], unit
-    p_emb = pooled_embeddings(params, p_ids, p_mask, cfg)
+    passage i; all other passages in the batch are negatives. ``remat``
+    rematerializes each encoder layer in the backward pass (requires
+    stacked layer params; see ``encoder.stack_layer_params``)."""
+    q_emb = pooled_embeddings(params, q_ids, q_mask, cfg, remat=remat)  # [B, H]
+    p_emb = pooled_embeddings(params, p_ids, p_mask, cfg, remat=remat)
     logits = (q_emb @ p_emb.T) / temperature  # [B, B]
     labels = jnp.arange(logits.shape[0])
     loss_qp = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
@@ -81,7 +84,9 @@ def load_train_state(path: str, template: TrainState) -> TrainState:
     return ckptr.restore(os.path.abspath(path), item=template)
 
 
-def make_train_step(cfg: EncoderConfig, optimizer, temperature: float = 0.05):
+def make_train_step(
+    cfg: EncoderConfig, optimizer, temperature: float = 0.05, remat: bool = False
+):
     """Returns the jittable (state, batch) -> (state, metrics) step.
     ``batch`` = dict(q_ids, q_mask, p_ids, p_mask)."""
 
@@ -95,6 +100,7 @@ def make_train_step(cfg: EncoderConfig, optimizer, temperature: float = 0.05):
                 batch["p_mask"],
                 cfg,
                 temperature,
+                remat=remat,
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)

@@ -127,3 +127,19 @@ def test_bf16_close_to_f32(rng_np):
     e16 = np.asarray(pooled_embeddings(params, jnp.asarray(ids), jnp.asarray(mask), cfg16))
     cos = np.sum(e32 * e16, axis=1)
     assert np.all(cos > 0.99)
+
+
+def test_scan_forward_matches_loop(rng_np):
+    from outline_rag_tpu.models.encoder import stack_layer_params
+
+    torch.manual_seed(4)
+    hf_cfg = _tiny_hf_config()
+    model = transformers.XLMRobertaModel(hf_cfg, add_pooling_layer=False).eval()
+    cfg = config_from_hf(hf_cfg)
+    cfg = cfg.__class__(**{**cfg.__dict__, "dtype": jnp.float32})
+    params = params_from_state_dict(model.state_dict(), cfg)
+    stacked = stack_layer_params(params)
+    ids, mask = _random_inputs(rng_np, vocab=hf_cfg.vocab_size)
+    loop_out = np.asarray(encoder_forward(params, jnp.asarray(ids), jnp.asarray(mask), cfg))
+    scan_out = np.asarray(encoder_forward(stacked, jnp.asarray(ids), jnp.asarray(mask), cfg))
+    np.testing.assert_allclose(scan_out, loop_out, rtol=1e-5, atol=1e-5)

@@ -68,3 +68,19 @@ def test_sharded_index_store(mesh):
     got_ids, scores = idx.query(vecs[17:18], k=3)
     assert got_ids[0][0] == "c17"
     assert scores[0, 0] == pytest.approx(1.0, abs=1e-4)
+
+
+def test_sharded_encoder(mesh):
+    from outline_rag_tpu.models.encoder import EncoderConfig, init_encoder_params, pooled_embeddings
+    from outline_rag_tpu.parallel.encode import make_sharded_encoder
+
+    cfg = EncoderConfig.tiny()
+    params = init_encoder_params(jax.random.key(5), cfg)
+    rng = np.random.default_rng(5)
+    b, s = 16, 12  # divisible by 8 devices
+    ids = rng.integers(3, cfg.vocab_size, size=(b, s)).astype(np.int32)
+    mask = np.ones((b, s), np.int32)
+    encode = make_sharded_encoder(cfg, mesh)
+    sharded = np.asarray(encode(params, ids, mask))
+    single = np.asarray(pooled_embeddings(params, jnp.asarray(ids), jnp.asarray(mask), cfg))
+    np.testing.assert_allclose(sharded, single, rtol=2e-5, atol=2e-5)

@@ -86,3 +86,23 @@ def test_checkpoint_roundtrip(tmp_path):
     assert len(leaves_a) == len(leaves_b)
     for a, b in zip(leaves_a, leaves_b):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_remat_scan_train_step_matches():
+    from outline_rag_tpu.models.encoder import stack_layer_params
+
+    cfg = EncoderConfig.tiny()
+    params = init_encoder_params(jax.random.key(3), cfg)
+    opt = make_optimizer(lr=1e-4)
+    rng = np.random.default_rng(2)
+    batch = _batch(rng, 8, 16, cfg.vocab_size)
+
+    s_list = init_train_state(params, opt)
+    _, m_list = jax.jit(make_train_step(cfg, opt))(s_list, batch)
+
+    stacked = stack_layer_params(params)
+    s_scan = init_train_state(stacked, opt)
+    _, m_scan = jax.jit(make_train_step(cfg, opt, remat=True))(s_scan, batch)
+    np.testing.assert_allclose(
+        float(m_list["loss"]), float(m_scan["loss"]), rtol=1e-5
+    )
