@@ -330,7 +330,24 @@ def build_app(
         await bus.delete(f"messages:{conv_id}")  # cache invalidation
         return Response.json({"ok": True})
 
+    # reference-shaped aliases (reference api.py:266,288 use POST verbs)
+    @app.post(prefix + "/api/conversations/{conv_id}/rename")
+    async def rename_conv_alias(req: Request) -> Response:
+        return await rename_conv(req)
+
+    @app.post(prefix + "/api/conversations/{conv_id}/delete")
+    async def delete_conv_alias(req: Request) -> Response:
+        return await delete_conv(req)
+
     # -- messages (cache read-through) -----------------------------------
+
+    @app.get(prefix + "/api/messages")
+    async def get_messages_alias(req: Request) -> Response:
+        # reference-shaped: GET /api/messages?conversation_id=...
+        # (reference api.py:308)
+        conv_id = req.query.get("conversation_id", "")
+        req.path_params["conv_id"] = conv_id
+        return await get_messages(req)
 
     @app.get(prefix + "/api/conversations/{conv_id}/messages")
     async def get_messages(req: Request) -> Response:

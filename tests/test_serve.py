@@ -399,3 +399,27 @@ def test_hundred_concurrent_asks_batch():
     assert len(calls) < 60
 
     asyncio.run(app.shutdown())
+
+
+def test_reference_shaped_route_aliases():
+    app, _ = make_app()
+    client = TestClient(app)
+
+    async def run():
+        await login(client)
+        conv = json.loads(
+            (await client.post("/chat/api/conversations", json_body={"title": "t"})).body
+        )
+        cid = conv["id"]
+        ok = await client.post(
+            f"/chat/api/conversations/{cid}/rename", json_body={"title": "renamed"}
+        )
+        assert ok.status == 200
+        msgs = await client.get(f"/chat/api/messages?conversation_id={cid}")
+        assert msgs.status == 200
+        assert json.loads(msgs.body)["messages"] == []
+        gone = await client.post(f"/chat/api/conversations/{cid}/delete")
+        assert gone.status == 200
+        assert (await client.get(f"/chat/api/messages?conversation_id={cid}")).status == 403
+
+    asyncio.run(run())
