@@ -18,6 +18,7 @@ from outline_rag_tpu.models.encoder import (
     EncoderConfig,
     cast_params,
     pooled_embeddings,
+    stack_layer_params,
 )
 from outline_rag_tpu.models.hash_embedder import HashEmbedder
 from outline_rag_tpu.models.tokenizer import DEFAULT_BUCKETS, HashTokenizer
@@ -44,7 +45,9 @@ class EncoderEmbedder:
         name: str = "bge-m3",
     ):
         self.cfg = cfg
-        self.params = cast_params(params, cfg.dtype)
+        # stacked layers -> lax.scan forward: one traced layer, much
+        # faster compiles for 24-layer configs
+        self.params = stack_layer_params(cast_params(params, cfg.dtype))
         self.tokenizer = tokenizer
         self.max_tokens = max_tokens
         self.seq_buckets = seq_buckets

@@ -16,7 +16,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from outline_rag_tpu.models.encoder import EncoderConfig, cast_params
+from outline_rag_tpu.models.encoder import (
+    EncoderConfig,
+    cast_params,
+    stack_layer_params,
+)
 from outline_rag_tpu.models.reranker import reranker_forward
 
 log = logging.getLogger(__name__)
@@ -42,7 +46,7 @@ class CrossEncoderReranker:
         pair_buckets=(64, 128, 256, 512),
     ):
         self.cfg = cfg
-        self.params = cast_params(params, cfg.dtype)
+        self.params = stack_layer_params(cast_params(params, cfg.dtype))
         self.tokenizer = tokenizer
         self.max_tokens = max_tokens
         self.pair_buckets = pair_buckets

@@ -181,6 +181,19 @@ def build_app(
 
         app.on_startup.append(_start)
 
+    if ingestor is not None:
+
+        async def _rebuild():
+            # restore the derived device index from the document store
+            # after a restart (embedding cache -> cheap)
+            import asyncio as _aio
+
+            if index.size == 0 and meta.doc_count() > 0:
+                n = await _aio.to_thread(ingestor.rebuild_from_store)
+                log.info("rebuilt index from store: %d documents", n)
+
+        app.on_startup.append(_rebuild)
+
     async def _warmup():
         # compile the query program before the first user request (cold
         # XLA compiles take tens of seconds)

@@ -221,6 +221,30 @@ class Ingestor:
         self.index.delete_source(source_id)
         self.meta.delete_document(source_id)
 
+    def rebuild_from_store(self) -> int:
+        """Reconstruct the device index from the host document store after
+        a restart (the index is a derived artifact; the document table is
+        the source of truth — SURVEY.md section 5 checkpoint/resume; the
+        embedding cache makes this mostly KV reads, not encoder work).
+        Returns the number of documents indexed."""
+        count = 0
+        for source_id in list(self.meta.local_doc_versions()):
+            doc = self.meta.get_document(source_id)
+            if not doc:
+                continue
+            try:
+                self.ingest_document(
+                    source_id,
+                    doc["title"],
+                    doc["url"],
+                    doc["updated_at"],
+                    doc["text"],
+                )
+                count += 1
+            except Exception:
+                log.exception("rebuild failed for %s", source_id)
+        return count
+
     # -- workers --------------------------------------------------------
 
     async def task_worker(self) -> None:

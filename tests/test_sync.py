@@ -188,3 +188,34 @@ def test_embedding_cache_hit(world):
     first, second = asyncio.run(run())
     assert first > 0
     assert second == 0  # all embeddings served from the KV cache
+
+
+def test_rebuild_from_store(world):
+    """Restart semantics: a fresh (empty) index is reconstructed from the
+    document table; the embedding cache serves all vectors."""
+    fake, ing, meta, index, bus = world
+
+    async def run():
+        await ing.refresh_all()
+        await _drain_tasks(ing, bus)
+
+    asyncio.run(run())
+    assert index.size > 0
+
+    # simulate restart: new empty index, same meta store
+    from outline_rag_tpu.index import VectorIndex
+    from outline_rag_tpu.models.hash_embedder import HashEmbedder
+    from outline_rag_tpu.sync.refresh import Ingestor
+
+    fresh_index = VectorIndex(dim=DIM, capacity=4096)
+    ing2 = Ingestor(ing.outline, meta, fresh_index, HashEmbedder(dim=DIM), bus, ing.s)
+    calls = []
+    inner = ing2.embedder.inner
+    orig = inner.embed
+    inner.embed = lambda texts: (calls.append(len(texts)), orig(texts))[1]
+    n = ing2.rebuild_from_store()
+    assert n == 3
+    assert fresh_index.size == index.size
+    assert sum(calls) == 0  # all embeddings came from the KV cache
+    ids, _ = fresh_index.query(HashEmbedder(dim=DIM).embed(["stars fuse hydrogen"]), k=1)
+    assert meta.get_chunk(ids[0][0])["source_id"] == "d3"
