@@ -381,13 +381,23 @@ class App:
 # ---------------------------------------------------------------------------
 
 
+class _BadRequest(Exception):
+    def __init__(self, status: int, message: str):
+        self.status = status
+        self.message = message
+
+
 async def _read_request(reader: asyncio.StreamReader) -> Request | None:
+    """None on clean EOF / malformed start; raises _BadRequest for
+    protocol violations that deserve an error response."""
     try:
         head = await reader.readuntil(b"\r\n\r\n")
-    except (asyncio.IncompleteReadError, asyncio.LimitOverrunError):
+    except asyncio.IncompleteReadError:
         return None
+    except asyncio.LimitOverrunError as e:
+        raise _BadRequest(431, "headers too large") from e
     if len(head) > MAX_HEADER:
-        return None
+        raise _BadRequest(431, "headers too large")
     lines = head.decode("latin1").split("\r\n")
     try:
         method, target, _version = lines[0].split(" ", 2)
@@ -398,9 +408,12 @@ async def _read_request(reader: asyncio.StreamReader) -> Request | None:
         if ":" in line:
             k, v = line.split(":", 1)
             headers[k.strip().lower()] = v.strip()
-    length = int(headers.get("content-length", 0) or 0)
+    try:
+        length = int(headers.get("content-length", 0) or 0)
+    except ValueError as e:
+        raise _BadRequest(400, "bad content-length") from e
     if length > MAX_BODY:
-        return None
+        raise _BadRequest(413, "payload too large")
     body = await reader.readexactly(length) if length else b""
     return Request(method, target, headers, body)
 
@@ -453,7 +466,13 @@ _REASONS = {
 async def _serve_connection(app: App, reader, writer) -> None:
     try:
         while True:
-            req = await _read_request(reader)
+            try:
+                req = await _read_request(reader)
+            except _BadRequest as e:
+                await _write_response(
+                    writer, Response.json({"error": e.message}, e.status), False
+                )
+                break
             if req is None:
                 break
             peer = writer.get_extra_info("peername") or ("127.0.0.1", 0)

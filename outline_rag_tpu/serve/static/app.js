@@ -319,4 +319,5 @@ window.addEventListener("DOMContentLoaded", async () => {
     history.replaceState(null, "", "/chat/");
   };
   $("#refresh-kb").onclick = triggerRefresh;
+  $("#menu-toggle").onclick = () => $("#sidebar").classList.toggle("open");
 });

@@ -86,3 +86,48 @@ def test_real_socket_roundtrip():
             await app.shutdown()
 
     asyncio.run(run())
+
+
+def test_oversize_body_gets_413():
+    async def run():
+        app = _demo_app()
+        server = await serve(app, "127.0.0.1", 0)
+        port = server.sockets[0].getsockname()[1]
+        try:
+            reader, writer = await asyncio.open_connection("127.0.0.1", port)
+            writer.write(
+                b"POST /echo HTTP/1.1\r\nhost: x\r\ncontent-type: application/json\r\n"
+                b"content-length: 999999999\r\n\r\n"
+            )
+            await writer.drain()
+            line = await reader.readline()
+            assert b"413" in line
+            writer.close()
+        finally:
+            server.close()
+            await server.wait_closed()
+            await app.shutdown()
+
+    asyncio.run(run())
+
+
+def test_bad_content_length_gets_400():
+    async def run():
+        app = _demo_app()
+        server = await serve(app, "127.0.0.1", 0)
+        port = server.sockets[0].getsockname()[1]
+        try:
+            reader, writer = await asyncio.open_connection("127.0.0.1", port)
+            writer.write(
+                b"POST /echo HTTP/1.1\r\nhost: x\r\ncontent-length: nope\r\n\r\n"
+            )
+            await writer.drain()
+            line = await reader.readline()
+            assert b"400" in line
+            writer.close()
+        finally:
+            server.close()
+            await server.wait_closed()
+            await app.shutdown()
+
+    asyncio.run(run())

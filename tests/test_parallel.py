@@ -84,3 +84,14 @@ def test_sharded_encoder(mesh):
     sharded = np.asarray(encode(params, ids, mask))
     single = np.asarray(pooled_embeddings(params, jnp.asarray(ids), jnp.asarray(mask), cfg))
     np.testing.assert_allclose(sharded, single, rtol=2e-5, atol=2e-5)
+
+
+def test_sharded_int8_index(mesh):
+    from outline_rag_tpu.index import VectorIndex
+
+    rng = np.random.default_rng(21)
+    idx = VectorIndex(dim=64, capacity=8192, dtype="int8", sharding=row_sharding(mesh))
+    vecs = _normalize(rng.standard_normal((24, 64), dtype=np.float32))
+    idx.add_chunks([f"c{i}" for i in range(24)], vecs, source_id="d")
+    got_ids, scores = idx.query(vecs[5:6], k=3)
+    assert got_ids[0][0] == "c5"
