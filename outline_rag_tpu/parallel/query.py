@@ -60,3 +60,59 @@ def sharded_topk(
         check_vma=False,
     )
     return fn(queries, corpus, penalty)
+
+
+# ---------------------------------------------------------------------------
+# Multi-slice (two-level) variant
+# ---------------------------------------------------------------------------
+
+DCN_AXIS = "dcn"
+ICI_AXIS = "ici"
+
+
+def _local_then_merge_2d(q, c, pen, *, k: int, impl: str, block_n: int):
+    """Hierarchical merge: local top-K, then intra-slice merge over the ICI
+    axis (fast interconnect), then one tiny [n_slices, B, K] gather over
+    the DCN axis — cross-slice traffic is K entries per slice, not per
+    device (SURVEY.md section 2c: ICI vs DCN placement of the merge)."""
+    vals, idx = cosine_topk(q, c, k, pen, impl=impl, block_n=block_n)
+    dcn_i = jax.lax.axis_index(DCN_AXIS)
+    ici_i = jax.lax.axis_index(ICI_AXIS)
+    ici_n = jax.lax.axis_size(ICI_AXIS)
+    shard = dcn_i * ici_n + ici_i
+    gidx = idx + (shard * c.shape[0]).astype(jnp.int32)
+    b = q.shape[0]
+
+    def gather_merge(vals, idx, axis):
+        av = jnp.moveaxis(jax.lax.all_gather(vals, axis), 0, 1).reshape(b, -1)
+        ai = jnp.moveaxis(jax.lax.all_gather(idx, axis), 0, 1).reshape(b, -1)
+        v, pos = jax.lax.top_k(av, k)
+        return v, jnp.take_along_axis(ai, pos, axis=1)
+
+    vals, gidx = gather_merge(vals, gidx, ICI_AXIS)  # within slice
+    return gather_merge(vals, gidx, DCN_AXIS)  # across slices
+
+
+def sharded_topk_2d(
+    queries: jax.Array,
+    corpus: jax.Array,  # [N, D] sharded over ("dcn", "ici") rows
+    k: int,
+    penalty: jax.Array | None = None,
+    *,
+    mesh: Mesh,  # axes ("dcn", "ici")
+    impl: str = "auto",
+    block_n: int = 1024,
+) -> tuple[jax.Array, jax.Array]:
+    if penalty is None:
+        penalty = jnp.zeros((corpus.shape[0],), jnp.float32)
+    body = functools.partial(
+        _local_then_merge_2d, k=k, impl=impl, block_n=block_n
+    )
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P((DCN_AXIS, ICI_AXIS), None), P((DCN_AXIS, ICI_AXIS))),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(queries, corpus, penalty)

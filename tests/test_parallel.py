@@ -95,3 +95,23 @@ def test_sharded_int8_index(mesh):
     idx.add_chunks([f"c{i}" for i in range(24)], vecs, source_id="d")
     got_ids, scores = idx.query(vecs[5:6], k=3)
     assert got_ids[0][0] == "c5"
+
+
+def test_two_level_mesh_matches_oracle():
+    """Multi-slice topology: 2 slices x 4 devices, hierarchical ICI-then-DCN
+    merge must equal the flat oracle."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from outline_rag_tpu.parallel.query import sharded_topk_2d
+
+    rng = np.random.default_rng(31)
+    n, d, b, k = 1024, 64, 4, 10
+    corpus = _normalize(rng.standard_normal((n, d), dtype=np.float32))
+    queries = _normalize(rng.standard_normal((b, d), dtype=np.float32))
+    mesh2d = Mesh(np.array(jax.devices()).reshape(2, 4), ("dcn", "ici"))
+    sharded = jax.device_put(
+        jnp.asarray(corpus), NamedSharding(mesh2d, P(("dcn", "ici"), None))
+    )
+    vals, idx = sharded_topk_2d(jnp.asarray(queries), sharded, k, mesh=mesh2d)
+    scores = queries @ corpus.T
+    oidx = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    np.testing.assert_array_equal(np.asarray(idx), oidx)
