@@ -244,6 +244,7 @@ class Settings:
     reranker_weights_path: str = ""
     query_batch_window_ms: float = 4.0
     query_batch_max: int = 32
+    lex_weight: float = 0.0  # >0 blends BGE-m3 lexical overlap into retrieval
 
     # --- OIDC (reference blueprints/auth.py) ---
     oidc_issuer: str = ""
@@ -338,6 +339,7 @@ def load_settings(env: dict[str, str] | None = None) -> Settings:
             reranker_weights_path=_env("RERANKER_WEIGHTS_PATH"),
             query_batch_window_ms=_env_float("QUERY_BATCH_WINDOW_MS", 4.0),
             query_batch_max=_env_int("QUERY_BATCH_MAX", 32),
+            lex_weight=_env_float("LEX_WEIGHT", 0.0),
             oidc_issuer=_env("OIDC_ISSUER"),
             oidc_client_id=_env("OIDC_CLIENT_ID"),
             oidc_client_secret=_env("OIDC_CLIENT_SECRET"),

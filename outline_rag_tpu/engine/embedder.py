@@ -69,6 +69,28 @@ class EncoderEmbedder:
             self.batch_buckets[-1]
         )
 
+    @property
+    def has_sparse_head(self) -> bool:
+        return "sparse" in self.params
+
+    def token_weights(
+        self, input_ids: np.ndarray, attention_mask: np.ndarray
+    ) -> np.ndarray | None:
+        """Per-token lexical weights for the hybrid path (BGE-m3 sparse
+        head); None when the checkpoint has no sparse head."""
+        if not self.has_sparse_head:
+            return None
+        from outline_rag_tpu.models.encoder import sparse_token_weights
+
+        if not hasattr(self, "_sparse_jit"):
+            self._sparse_jit = jax.jit(
+                lambda p, ids, mask: sparse_token_weights(p, ids, mask, self.cfg)
+            )
+        out = self._sparse_jit(
+            self.params, jnp.asarray(input_ids), jnp.asarray(attention_mask)
+        )
+        return np.asarray(out)
+
     def embed(self, texts: list[str]) -> np.ndarray:
         if not texts:
             return np.zeros((0, self.dim), np.float32)

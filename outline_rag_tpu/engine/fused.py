@@ -33,7 +33,15 @@ from outline_rag_tpu.index.store import VectorIndex
 
 @functools.partial(
     jax.jit,
-    static_argnames=("enc_cfg", "rr_cfg", "top_k", "rerank_k", "eos_id", "block_n"),
+    static_argnames=(
+        "enc_cfg",
+        "rr_cfg",
+        "top_k",
+        "rerank_k",
+        "eos_id",
+        "block_n",
+        "lex_weight",
+    ),
 )
 def fused_query(
     enc_params,
@@ -45,6 +53,7 @@ def fused_query(
     penalty: jax.Array,  # [N]
     tok_ids: jax.Array,  # [N, Tc] int32
     tok_mask: jax.Array,  # [N, Tc] int32
+    tok_weights: jax.Array | None = None,  # [N, Tc] f32 lexical weights
     *,
     enc_cfg: EncoderConfig,
     rr_cfg: EncoderConfig,
@@ -52,6 +61,7 @@ def fused_query(
     rerank_k: int,
     eos_id: int = 2,
     block_n: int = 1024,
+    lex_weight: float = 0.0,
 ):
     b = q_ids.shape[0]
     # 1. embed queries
@@ -69,6 +79,22 @@ def fused_query(
     # 3. gather candidate chunk tokens on device
     cand_ids = jnp.take(tok_ids, idx, axis=0)  # [B, K, Tc]
     cand_mask = jnp.take(tok_mask, idx, axis=0)
+
+    # 3b. hybrid lexical rescoring (BGE-m3 sparse head): candidate dense
+    # scores are blended with the lexical-overlap score before the
+    # cross-encoder sees them (requires "sparse" head params + cached
+    # chunk token weights)
+    if lex_weight > 0.0 and tok_weights is not None and "sparse" in enc_params:
+        from outline_rag_tpu.models.encoder import (
+            lexical_overlap_scores,
+            sparse_token_weights,
+        )
+
+        q_w = sparse_token_weights(enc_params, q_ids, q_mask, enc_cfg)
+        cand_w = jnp.take(tok_weights, idx, axis=0)  # [B, K, Tc]
+        lex = lexical_overlap_scores(q_ids, q_w, cand_ids, cand_w)
+        vals = vals + lex_weight * lex
+
     # chunk rows are stored CLS-first; overwrite slot 0 with the pair
     # separator (EOS EOS p EOS layout of XLM-R second segments)
     cand_ids = cand_ids.at[:, :, 0].set(eos_id)
@@ -106,6 +132,7 @@ class FusedEngine:
         top_k: int = 12,
         rerank_k: int = 3,
         q_width: int = 64,
+        lex_weight: float = 0.0,  # >0 enables hybrid lexical rescoring
     ):
         assert index.tokens is not None, "FusedEngine needs a token cache"
         self.embedder = embedder
@@ -114,6 +141,7 @@ class FusedEngine:
         self.top_k = top_k
         self.rerank_k = rerank_k
         self.q_width = q_width
+        self.lex_weight = lex_weight
 
     def query(self, texts: list[str]):
         tok = self.embedder.tokenizer
@@ -130,12 +158,14 @@ class FusedEngine:
                 state.penalty,
                 self.index.tokens.state.ids,
                 self.index.tokens.state.mask,
+                self.index.tokens.state.weights,
                 enc_cfg=self.embedder.cfg,
                 rr_cfg=self.reranker.cfg,
                 top_k=min(self.top_k, state.capacity),
                 rerank_k=min(self.rerank_k, self.top_k),
                 eos_id=getattr(tok, "eos_id", 2),
                 block_n=self.index.block_n,
+                lex_weight=self.lex_weight,
             )
             r_rows = np.asarray(r_rows)
             r_vals = np.asarray(r_vals)

@@ -44,6 +44,7 @@ class RetrievalService:
         top_k: int = 12,
         rerank_k: int = 3,
         chunk_text_lookup=None,  # callable chunk_id -> text (staged rerank)
+        lex_weight: float = 0.0,
     ):
         self.index = index
         self.embedder = embedder
@@ -60,7 +61,8 @@ class RetrievalService:
             from outline_rag_tpu.engine.fused import FusedEngine
 
             self._fused = FusedEngine(
-                embedder, self.reranker, index, top_k, rerank_k
+                embedder, self.reranker, index, top_k, rerank_k,
+                lex_weight=lex_weight,
             )
 
     @property

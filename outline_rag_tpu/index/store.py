@@ -85,6 +85,7 @@ class VectorIndex:
         replace: bool = True,
         token_ids: np.ndarray | None = None,
         token_mask: np.ndarray | None = None,
+        token_weights: np.ndarray | None = None,
     ) -> None:
         """Index chunks of one source document. With ``replace`` (the
         default), existing chunks of the same source are tombstoned first —
@@ -110,7 +111,7 @@ class VectorIndex:
             if self.tokens is not None and token_ids is not None:
                 if token_mask is None:
                     token_mask = (token_ids != self.token_pad_id).astype(np.int32)
-                self.tokens.write(start, token_ids, token_mask)
+                self.tokens.write(start, token_ids, token_mask, token_weights)
             for cid, row in zip(chunk_ids, rows):
                 self._by_chunk[cid] = int(row)
             self._by_source.setdefault(source_id, [])
@@ -155,10 +156,11 @@ class VectorIndex:
             vecs = np.asarray(old_state.vectors, np.float32)[live_rows]
             scales = np.asarray(old_state.scales)[live_rows]
             ids = [row_ids[r] for r in live_rows]
-            tok_ids = tok_mask = None
+            tok_ids = tok_mask = tok_w = None
             if self.tokens is not None:
                 tok_ids = np.asarray(self.tokens.state.ids)[live_rows]
                 tok_mask = np.asarray(self.tokens.state.mask)[live_rows]
+                tok_w = np.asarray(self.tokens.state.weights)[live_rows]
             cap = new_capacity or self._shard.capacity
             self._shard = DeviceShard(cap, self.dim, self.dtype, self._sharding)
             if self.tokens is not None:
@@ -171,7 +173,7 @@ class VectorIndex:
                     ids, vecs, scales if self.dtype == "int8" else None
                 )
                 if self.tokens is not None and tok_ids is not None:
-                    self.tokens.write(0, tok_ids, tok_mask)
+                    self.tokens.write(0, tok_ids, tok_mask, tok_w)
                 for cid, row in zip(ids, rows):
                     self._by_chunk[cid] = int(row)
 
@@ -243,6 +245,7 @@ class VectorIndex:
             if self.tokens is not None:
                 arrays["token_ids"] = np.asarray(self.tokens.state.ids)
                 arrays["token_mask"] = np.asarray(self.tokens.state.mask)
+                arrays["token_weights"] = np.asarray(self.tokens.state.weights)
             np.savez_compressed(path, **arrays)
             meta = {
                 "dim": self.dim,
@@ -288,7 +291,12 @@ class VectorIndex:
             )
             if idx.tokens is not None and "token_ids" in arrays:
                 idx.tokens.write(
-                    0, arrays["token_ids"][live], arrays["token_mask"][live]
+                    0,
+                    arrays["token_ids"][live],
+                    arrays["token_mask"][live],
+                    arrays["token_weights"][live]
+                    if "token_weights" in arrays
+                    else None,
                 )
             for cid, row in zip(ids, rows):
                 idx._by_chunk[cid] = int(row)

@@ -27,13 +27,15 @@ from outline_rag_tpu.index.shard import UPDATE_BLOCK
 class TokenCacheState:
     ids: jax.Array  # [capacity, width] int32
     mask: jax.Array  # [capacity, width] int32
+    weights: jax.Array  # [capacity, width] f32 lexical weights (0 = none)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
-def _update_block(state: TokenCacheState, ids, mask, start) -> TokenCacheState:
+def _update_block(state: TokenCacheState, ids, mask, weights, start) -> TokenCacheState:
     return TokenCacheState(
         ids=jax.lax.dynamic_update_slice(state.ids, ids, (start, 0)),
         mask=jax.lax.dynamic_update_slice(state.mask, mask, (start, 0)),
+        weights=jax.lax.dynamic_update_slice(state.weights, weights, (start, 0)),
     )
 
 
@@ -50,14 +52,22 @@ class TokenCache:
         self.state = TokenCacheState(
             ids=jnp.full((capacity, width), pad_id, jnp.int32),
             mask=jnp.zeros((capacity, width), jnp.int32),
+            weights=jnp.zeros((capacity, width), jnp.float32),
         )
         if sharding is not None:
             self.state = TokenCacheState(
                 ids=jax.device_put(self.state.ids, sharding),
                 mask=jax.device_put(self.state.mask, sharding),
+                weights=jax.device_put(self.state.weights, sharding),
             )
 
-    def write(self, start: int, token_ids: np.ndarray, token_mask: np.ndarray):
+    def write(
+        self,
+        start: int,
+        token_ids: np.ndarray,
+        token_mask: np.ndarray,
+        token_weights: np.ndarray | None = None,
+    ):
         """Write rows [start : start+n). Rows are clipped/padded to width."""
         n = token_ids.shape[0]
         for off in range(0, n, UPDATE_BLOCK):
@@ -66,12 +76,16 @@ class TokenCache:
             m = blk_ids.shape[0]
             ids_p = np.full((UPDATE_BLOCK, self.width), self.pad_id, np.int32)
             mask_p = np.zeros((UPDATE_BLOCK, self.width), np.int32)
+            w_p = np.zeros((UPDATE_BLOCK, self.width), np.float32)
             w = min(blk_ids.shape[1], self.width)
             ids_p[:m, :w] = blk_ids[:, :w]
             mask_p[:m, :w] = blk_mask[:, :w]
+            if token_weights is not None:
+                w_p[:m, :w] = token_weights[off : off + UPDATE_BLOCK, :w]
             self.state = _update_block(
                 self.state,
                 jnp.asarray(ids_p),
                 jnp.asarray(mask_p),
+                jnp.asarray(w_p),
                 jnp.int32(start + off),
             )

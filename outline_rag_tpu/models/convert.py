@@ -122,5 +122,14 @@ def load_pretrained(path: str):
                 sd = load_file(full)
             else:
                 sd = torch.load(full, map_location="cpu", weights_only=True)
-            return cfg, params_from_state_dict(sd, cfg)
+            params = params_from_state_dict(sd, cfg)
+            # BGE-m3 ships its sparse lexical head as a sidecar Linear(H,1)
+            sparse_path = os.path.join(path, "sparse_linear.pt")
+            if os.path.exists(sparse_path):
+                head = torch.load(sparse_path, map_location="cpu", weights_only=True)
+                params["sparse"] = {
+                    "w": _np(head["weight"]).T,
+                    "b": _np(head["bias"]),
+                }
+            return cfg, params
     raise FileNotFoundError(f"no weight file found under {path}")

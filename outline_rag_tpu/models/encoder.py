@@ -253,6 +253,46 @@ def pooled_embeddings(
     return cls / jnp.linalg.norm(cls, axis=-1, keepdims=True).clip(1e-9)
 
 
+def init_sparse_head(key: jax.Array, cfg: EncoderConfig) -> Params:
+    """BGE-m3 sparse (lexical-weight) head: Linear(H -> 1) + ReLU over
+    token hidden states. Stored under params["sparse"]."""
+    return {
+        "w": _dense_init(key, (cfg.hidden, 1)),
+        "b": jnp.zeros((1,), jnp.float32),
+    }
+
+
+def sparse_token_weights(
+    params: Params,
+    input_ids: jax.Array,  # [B, S]
+    attention_mask: jax.Array,  # [B, S]
+    cfg: EncoderConfig,
+    min_token_id: int = 3,  # zero out CLS/PAD/EOS specials (XLM-R layout)
+) -> jax.Array:
+    """Per-token lexical weights [B, S] f32 (BGE-m3 sparse embedding:
+    relu(W h_t), special tokens and padding zeroed)."""
+    hidden = encoder_forward(params, input_ids, attention_mask, cfg)
+    w = params["sparse"]["w"].astype(hidden.dtype)
+    b = params["sparse"]["b"].astype(hidden.dtype)
+    raw = jax.nn.relu((hidden @ w)[..., 0] + b[0]).astype(jnp.float32)
+    keep = (attention_mask > 0) & (input_ids >= min_token_id)
+    return jnp.where(keep, raw, 0.0)
+
+
+def lexical_overlap_scores(
+    q_ids: jax.Array,  # [B, Tq]
+    q_weights: jax.Array,  # [B, Tq] f32
+    cand_ids: jax.Array,  # [B, K, Tc]
+    cand_weights: jax.Array,  # [B, K, Tc] f32
+) -> jax.Array:
+    """BGE-m3 lexical matching score per (query, candidate): for each query
+    token present in the candidate, add qw * max-matching cw. [B, K] f32."""
+    eq = q_ids[:, None, :, None] == cand_ids[:, :, None, :]  # [B,K,Tq,Tc]
+    pair_w = cand_weights[:, :, None, :] * eq.astype(jnp.float32)
+    best = jnp.max(pair_w, axis=-1)  # [B, K, Tq]
+    return jnp.sum(best * q_weights[:, None, :], axis=-1)
+
+
 def encode_texts_config(cfg: EncoderConfig):
     """Jitted (params, ids, mask) -> normalized embeddings for ``cfg``."""
     import functools

@@ -194,7 +194,7 @@ class Ingestor:
             stable_chunk_id(source_id, c.seq, c.text) for c in chunks
         ]
         vectors = self.embedder.embed([c.text for c in chunks])
-        token_ids = token_mask = None
+        token_ids = token_mask = token_weights = None
         if self.tokenizer is not None and self.index.tokens is not None:
             tb = self.tokenizer.batch(
                 [c.text for c in chunks],
@@ -202,6 +202,9 @@ class Ingestor:
                 buckets=(self.index.token_width,),
             )
             token_ids, token_mask = tb.input_ids, tb.attention_mask
+            inner = self.embedder.inner
+            if getattr(inner, "has_sparse_head", False):
+                token_weights = inner.token_weights(token_ids, token_mask)
         self.meta.upsert_document(source_id, title, url, updated_at, text)
         self.meta.replace_chunks(
             source_id,
@@ -214,6 +217,7 @@ class Ingestor:
             replace=True,
             token_ids=token_ids,
             token_mask=token_mask,
+            token_weights=token_weights,
         )
         return len(chunks)
 
