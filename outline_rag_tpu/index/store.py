@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from outline_rag_tpu.index.shard import UPDATE_BLOCK, DeviceShard
+from outline_rag_tpu.index.shard import DeviceShard
 from outline_rag_tpu.index.tokens import TokenCache
 from outline_rag_tpu.ops.quant import quantize_rows_int8
 from outline_rag_tpu.ops.topk import NEG, cosine_topk

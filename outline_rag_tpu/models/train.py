@@ -11,7 +11,6 @@ XLA inserts the gradient ``psum`` from the shardings.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any
 
 import jax

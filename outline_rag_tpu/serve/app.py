@@ -29,7 +29,6 @@ import json
 import logging
 import re
 import time
-import uuid
 
 from outline_rag_tpu.config import Settings
 from outline_rag_tpu.engine.embedder import get_embedder

@@ -16,11 +16,10 @@ methods).
 from __future__ import annotations
 
 import datetime as dt
-import json
 import os
 import sqlite3
 import threading
-from typing import Any, Iterable
+from typing import Iterable
 
 
 def _now() -> str:

@@ -6,7 +6,7 @@ import pytest
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from outline_rag_tpu.models.encoder import EncoderConfig, init_encoder_params
 from outline_rag_tpu.models.train import (
