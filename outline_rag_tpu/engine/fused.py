@@ -169,12 +169,19 @@ class FusedEngine:
             )
             r_rows = np.asarray(r_rows)
             r_vals = np.asarray(r_vals)
+            retr_vals = np.asarray(retr_vals)
         results = []
         for b in range(r_rows.shape[0]):
             row = []
             for j in range(r_rows.shape[1]):
                 if r_vals[b, j] <= NEG / 2:
                     continue
-                row.append((str(row_ids[r_rows[b, j]]), float(r_vals[b, j])))
+                row.append(
+                    (
+                        str(row_ids[r_rows[b, j]]),
+                        float(r_vals[b, j]),  # cross-encoder score
+                        float(retr_vals[b, j]),  # retrieval (dense/hybrid)
+                    )
+                )
             results.append(row)
         return results

@@ -76,7 +76,10 @@ class RetrievalService:
             with metrics.timeit("retrieve.fused"):
                 fused_out = self._fused.query(queries)
             return [
-                [RetrievedChunk(cid, score, rerank_score=score) for cid, score in row]
+                [
+                    RetrievedChunk(cid, dense, rerank_score=rr)
+                    for cid, rr, dense in row
+                ]
                 for row in fused_out
             ]
         with metrics.timeit("retrieve.staged"):

@@ -113,7 +113,7 @@ def test_fused_retrieval_stage_matches_staged(tiny_models):
 
     fe = FusedEngine(emb, rr, idx, top_k=4, rerank_k=4)
     fused_out = fe.query([q])[0]
-    fused_ids = {cid for cid, _ in fused_out}
+    fused_ids = {cid for cid, _rr, _dense in fused_out}
     assert fused_ids == set(staged_ids[0])
 
 

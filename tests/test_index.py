@@ -108,3 +108,26 @@ def test_save_load(tmp_path, rng):
     assert idx2.size == 10
     got_ids, _ = idx2.query(vecs[5:6], k=1)
     assert got_ids[0][0] == "c5"
+
+
+def test_save_load_with_tokens(tmp_path, rng):
+    idx = VectorIndex(dim=DIM, capacity=2048, token_width=16)
+    vecs = _vecs(rng, 6)
+    tok_ids = rng.integers(3, 100, size=(6, 16)).astype("int32")
+    tok_mask = (tok_ids > 0).astype("int32")
+    tok_w = rng.random((6, 16)).astype("float32")
+    idx.add_chunks(
+        [f"c{i}" for i in range(6)], vecs, source_id="d",
+        token_ids=tok_ids, token_mask=tok_mask, token_weights=tok_w,
+    )
+    path = str(tmp_path / "idx")
+    idx.save(path)
+    idx2 = VectorIndex.load(path)
+    assert idx2.tokens is not None
+    import numpy as np
+    np.testing.assert_array_equal(
+        np.asarray(idx2.tokens.state.ids)[:6], tok_ids
+    )
+    np.testing.assert_allclose(
+        np.asarray(idx2.tokens.state.weights)[:6], tok_w, rtol=1e-6
+    )
