@@ -80,16 +80,20 @@ def int8_topk(
     b = q_queries.shape[0]
     n = corpus.shape[0]
     if impl == "auto":
-        score_bytes = b * n * 4
-        use_pallas = (
-            _jax.default_backend() == "tpu"
-            and n % block_n == 0
-            and b % 8 == 0
-            and score_bytes > (256 << 20)
+        # measured (chained-execution timing, 1M x 1024, docs/BENCHMARKS.md):
+        # the fused pallas path beats XLA for int8 — XLA can't fuse the
+        # int32->f32 rescale + penalty + select the way the kernel does.
+        impl = (
+            "pallas"
+            if (_jax.default_backend() == "tpu" and n % block_n == 0)
+            else "xla"
         )
-        impl = "pallas" if use_pallas else "xla"
-    if impl == "pallas" and n % block_n == 0 and b % 8 == 0:
-        return topk_mod.topk_pallas(
+    if impl == "pallas" and n % block_n == 0:
+        pad_b = (-b) % 8
+        if pad_b:
+            q_queries = jnp.pad(q_queries, ((0, pad_b), (0, 0)))
+            q_scale = jnp.pad(q_scale, (0, pad_b))
+        vals, idx = topk_mod.topk_pallas(
             q_queries,
             corpus,
             k,
@@ -98,6 +102,9 @@ def int8_topk(
             query_scales=q_scale,
             block_n=block_n,
         )
+        if pad_b:
+            vals, idx = vals[:b], idx[:b]
+        return vals, idx
     return int8_topk_xla(q_queries, q_scale, corpus, c_scale, k, penalty)
 
 
