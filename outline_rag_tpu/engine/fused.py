@@ -146,8 +146,10 @@ class FusedEngine:
     def query(self, texts: list[str]):
         tok = self.embedder.tokenizer
         tb = tok.batch(texts, self.q_width, buckets=(self.q_width,))
-        state, row_ids, gen = self.index._shard.snapshot()
         with self.index._lock:
+            # snapshot under the lock: mutations donate device buffers, so
+            # a state captured outside could be invalidated before dispatch
+            state, row_ids, gen = self.index._shard.snapshot()
             r_rows, r_vals, retr_vals, idx, vals = fused_query(
                 self.embedder.params,
                 self.reranker.params,

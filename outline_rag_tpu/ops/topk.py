@@ -169,14 +169,14 @@ def _fused_topk_kernel(
     base = n_tile * block_n
     tb = s.shape[1]
 
-    # Tile-level skip: merge only if some score beats the worst accumulator
-    # entry (acc is sorted descending, so row k-1 is each query's kth
-    # value; after warm-up most tiles fail this test and skip the K-pass
-    # merge entirely).
-    tile_max = jnp.max(s)
-    acc_floor = jnp.min(acc_vals[k - 1, :])
+    # Tile-level skip: merge only if some query's best tile score beats
+    # that query's current kth value (per-query floors — a global-min floor
+    # would false-trigger constantly at larger batch sizes). After warm-up
+    # most tiles fail this test and skip the K-pass merge entirely.
+    tile_qmax = jnp.max(s, axis=0)  # [TB]
+    needs_merge = jnp.any(tile_qmax > acc_vals[k - 1, :])
 
-    @pl.when(tile_max > acc_floor)
+    @pl.when(needs_merge)
     def _merge():
         row = jax.lax.broadcasted_iota(jnp.int32, (block_n, tb), 0)
         new_vals = acc_vals[:]
