@@ -43,6 +43,7 @@ class EncoderEmbedder:
         seq_buckets=DEFAULT_BUCKETS,
         batch_buckets=(8, 32, 128),
         name: str = "bge-m3",
+        max_batch_tokens: int = 64 * 1024,
     ):
         self.cfg = cfg
         # stacked layers -> lax.scan forward: one traced layer, much
@@ -50,9 +51,17 @@ class EncoderEmbedder:
         self.params = stack_layer_params(cast_params(params, cfg.dtype))
         self.tokenizer = tokenizer
         self.max_tokens = max_tokens
+        if max_tokens > max(seq_buckets):
+            # whole-document mode: extend the ladder to the 8k flash range
+            from outline_rag_tpu.models.tokenizer import buckets_for
+
+            seq_buckets = buckets_for(max_tokens)
         self.seq_buckets = seq_buckets
         self.batch_buckets = batch_buckets
         self.model_name = name
+        # device-batch token budget: long sequence buckets run at small
+        # batch so activations (B x S x intermediate) stay within HBM
+        self.max_batch_tokens = max_batch_tokens
         self._jit = jax.jit(
             lambda p, ids, mask: pooled_embeddings(p, ids, mask, self.cfg)
         )
@@ -91,18 +100,28 @@ class EncoderEmbedder:
         )
         return np.asarray(out)
 
+    def _batch_cap(self, width: int) -> int:
+        """Largest batch bucket whose token count fits the budget."""
+        fitting = [b for b in self.batch_buckets if b * width <= self.max_batch_tokens]
+        return fitting[-1] if fitting else self.batch_buckets[0]
+
     def embed(self, texts: list[str]) -> np.ndarray:
         if not texts:
             return np.zeros((0, self.dim), np.float32)
         tb = self.tokenizer.batch(texts, self.max_tokens, self.seq_buckets)
         n, width = tb.input_ids.shape
-        nb = self._pad_batch(n)
-        ids = np.full((nb, width), self.tokenizer.pad_id, np.int32)
-        mask = np.zeros((nb, width), np.int32)
-        ids[:n] = tb.input_ids
-        mask[:n] = tb.attention_mask
-        out = self._jit(self.params, jnp.asarray(ids), jnp.asarray(mask))
-        return np.asarray(out)[:n]
+        cap = self._batch_cap(width)
+        outs = []
+        for start in range(0, n, cap):
+            stop = min(start + cap, n)
+            nb = min(self._pad_batch(stop - start), cap)
+            ids = np.full((nb, width), self.tokenizer.pad_id, np.int32)
+            mask = np.zeros((nb, width), np.int32)
+            ids[: stop - start] = tb.input_ids[start:stop]
+            mask[: stop - start] = tb.attention_mask[start:stop]
+            out = self._jit(self.params, jnp.asarray(ids), jnp.asarray(mask))
+            outs.append(np.asarray(out)[: stop - start])
+        return np.concatenate(outs, axis=0)
 
 
 def get_embedder(settings=None, dim: int | None = None):

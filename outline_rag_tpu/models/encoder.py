@@ -46,6 +46,10 @@ class EncoderConfig:
     pad_id: int = 1
     layer_norm_eps: float = 1e-5
     dtype: Any = jnp.bfloat16  # activation / weight compute dtype
+    # "einsum" = fused einsum chain (materializes [B,H,S,S]; fine to ~512),
+    # "flash" = Pallas streaming kernel (ops/attention.py; O(S·D) HBM),
+    # "auto" = flash on TPU once S*S traffic dominates, einsum otherwise.
+    attn_impl: str = "auto"
 
     @property
     def head_dim(self) -> int:
@@ -142,6 +146,21 @@ def _layer_norm(x, scale, bias, eps):
     return (out * scale + bias).astype(x.dtype)
 
 
+def _use_flash(cfg: EncoderConfig, batch: int, seq_len: int) -> bool:
+    if cfg.attn_impl == "flash":
+        return True
+    if cfg.attn_impl == "einsum":
+        return False
+    # auto: XLA's fused attention wins through S=4096 on v5e (measured
+    # 18-34 TFLOP/s vs the kernel's 11; tools/bench_attention.py). Flash
+    # takes over where the [B,H,S,S] f32 logits tensor threatens HBM —
+    # at S=8192 einsum OOMs a 16G chip while flash runs at ~52 TFLOP/s.
+    logits_bytes = batch * cfg.heads * seq_len * seq_len * 4
+    return jax.default_backend() == "tpu" and (
+        seq_len > 4096 or logits_bytes > (4 << 30)
+    )
+
+
 def _attention(x, mask_bias, ap, cfg: EncoderConfig):
     b, s, h = x.shape
     nh, hd = cfg.heads, cfg.head_dim
@@ -149,10 +168,17 @@ def _attention(x, mask_bias, ap, cfg: EncoderConfig):
     q = (x @ ap["wq"].astype(dt) + ap["bq"].astype(dt)).reshape(b, s, nh, hd)
     k = (x @ ap["wk"].astype(dt) + ap["bk"].astype(dt)).reshape(b, s, nh, hd)
     v = (x @ ap["wv"].astype(dt) + ap["bv"].astype(dt)).reshape(b, s, nh, hd)
-    logits = jnp.einsum("bqnd,bknd->bnqk", q, k, preferred_element_type=jnp.float32)
-    logits = logits / math.sqrt(hd) + mask_bias  # [B,1,1,S] broadcast
-    probs = jax.nn.softmax(logits, axis=-1).astype(dt)
-    ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v).reshape(b, s, h)
+    if _use_flash(cfg, b, s):
+        from outline_rag_tpu.ops.attention import flash_attention  # noqa: PLC0415
+
+        ctx = flash_attention(q, k, v, mask_bias[:, 0, 0, :]).reshape(b, s, h)
+    else:
+        logits = jnp.einsum(
+            "bqnd,bknd->bnqk", q, k, preferred_element_type=jnp.float32
+        )
+        logits = logits / math.sqrt(hd) + mask_bias  # [B,1,1,S] broadcast
+        probs = jax.nn.softmax(logits, axis=-1).astype(dt)
+        ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v).reshape(b, s, h)
     return ctx @ ap["wo"].astype(dt) + ap["bo"].astype(dt)
 
 

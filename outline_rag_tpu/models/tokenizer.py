@@ -20,6 +20,15 @@ import hashlib
 import numpy as np
 
 DEFAULT_BUCKETS = (32, 64, 128, 256, 512)
+# Whole-document embedding ladder (BGE-m3 supports 8192 tokens); the
+# encoder switches to the flash-attention kernel at these lengths.
+LONG_BUCKETS = DEFAULT_BUCKETS + (1024, 2048, 4096, 8192)
+
+
+def buckets_for(max_len: int, buckets=LONG_BUCKETS) -> tuple[int, ...]:
+    """The bucket ladder truncated to ``max_len`` (always >= one bucket)."""
+    kept = tuple(b for b in buckets if b <= max_len)
+    return kept or (buckets[0],)
 
 
 def pick_bucket(length: int, buckets=DEFAULT_BUCKETS) -> int:
