@@ -245,6 +245,7 @@ class Settings:
     query_batch_window_ms: float = 4.0
     query_batch_max: int = 32
     lex_weight: float = 0.0  # >0 blends BGE-m3 lexical overlap into retrieval
+    colbert_weight: float = 0.0  # >0 blends BGE-m3 ColBERT late interaction
 
     # --- OIDC (reference blueprints/auth.py) ---
     oidc_issuer: str = ""
@@ -280,6 +281,8 @@ def _parse_models(raw: str) -> tuple[ModelSpec, ...]:
 def load_settings(env: dict[str, str] | None = None) -> Settings:
     """Build Settings from ``env`` (defaults to ``os.environ``)."""
     if env is not None:
+        env = dict(env)  # snapshot: caller may pass os.environ itself,
+        # which the clear() below would otherwise empty before the update
         saved = os.environ.copy()
         os.environ.clear()
         os.environ.update(env)
@@ -340,6 +343,7 @@ def load_settings(env: dict[str, str] | None = None) -> Settings:
             query_batch_window_ms=_env_float("QUERY_BATCH_WINDOW_MS", 4.0),
             query_batch_max=_env_int("QUERY_BATCH_MAX", 32),
             lex_weight=_env_float("LEX_WEIGHT", 0.0),
+            colbert_weight=_env_float("COLBERT_WEIGHT", 0.0),
             oidc_issuer=_env("OIDC_ISSUER"),
             oidc_client_id=_env("OIDC_CLIENT_ID"),
             oidc_client_secret=_env("OIDC_CLIENT_SECRET"),

@@ -25,7 +25,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from outline_rag_tpu.models.encoder import EncoderConfig, cast_params, pooled_embeddings
+from outline_rag_tpu.models.encoder import (
+    EncoderConfig,
+    cast_params,
+    colbert_vectors_from_hidden,
+    encoder_forward,
+    late_interaction_scores,
+    sparse_weights_from_hidden,
+)
 from outline_rag_tpu.models.reranker import reranker_forward
 from outline_rag_tpu.ops.topk import NEG, cosine_topk
 from outline_rag_tpu.index.store import VectorIndex
@@ -41,6 +48,7 @@ from outline_rag_tpu.index.store import VectorIndex
         "eos_id",
         "block_n",
         "lex_weight",
+        "colbert_weight",
     ),
 )
 def fused_query(
@@ -62,10 +70,14 @@ def fused_query(
     eos_id: int = 2,
     block_n: int = 1024,
     lex_weight: float = 0.0,
+    colbert_weight: float = 0.0,
 ):
     b = q_ids.shape[0]
-    # 1. embed queries
-    q_emb = pooled_embeddings(enc_params, q_ids, q_mask, enc_cfg)  # [B, H] f32
+    # 1. one query-encoder forward feeds all three BGE-m3 heads (dense
+    # CLS pooling, sparse lexical weights, ColBERT token vectors)
+    q_hidden = encoder_forward(enc_params, q_ids, q_mask, enc_cfg)  # [B,Tq,H]
+    cls = q_hidden[:, 0, :].astype(jnp.float32)
+    q_emb = cls / jnp.linalg.norm(cls, axis=-1, keepdims=True).clip(1e-9)
 
     # 2. fused retrieval top-K
     if vectors.dtype == jnp.int8:
@@ -85,15 +97,31 @@ def fused_query(
     # cross-encoder sees them (requires "sparse" head params + cached
     # chunk token weights)
     if lex_weight > 0.0 and tok_weights is not None and "sparse" in enc_params:
-        from outline_rag_tpu.models.encoder import (
-            lexical_overlap_scores,
-            sparse_token_weights,
-        )
+        from outline_rag_tpu.models.encoder import lexical_overlap_scores
 
-        q_w = sparse_token_weights(enc_params, q_ids, q_mask, enc_cfg)
+        q_w = sparse_weights_from_hidden(enc_params, q_hidden, q_ids, q_mask)
         cand_w = jnp.take(tok_weights, idx, axis=0)  # [B, K, Tc]
         lex = lexical_overlap_scores(q_ids, q_w, cand_ids, cand_w)
         vals = vals + lex_weight * lex
+
+    # 3c. ColBERT late interaction (BGE-m3 multi-vector mode): candidate
+    # token vectors are computed on the fly from the cached chunk tokens —
+    # storing per-token vectors index-wide would cost ~0.5 MB/chunk of HBM,
+    # so the K candidates are re-encoded instead (same cost class as the
+    # cross-encoder stage below). Runs on the CLS-first chunk rows, before
+    # slot 0 is rewritten into the pair separator.
+    if colbert_weight > 0.0 and "colbert" in enc_params:
+        k_ = idx.shape[1]
+        tc_ = cand_ids.shape[2]
+        q_cb = colbert_vectors_from_hidden(enc_params, q_hidden, q_mask)
+        flat_ids = cand_ids.reshape(b * k_, tc_)
+        flat_mask = cand_mask.reshape(b * k_, tc_)
+        cand_hidden = encoder_forward(enc_params, flat_ids, flat_mask, enc_cfg)
+        c_cb = colbert_vectors_from_hidden(
+            enc_params, cand_hidden, flat_mask
+        ).reshape(b, k_, tc_, -1)
+        cb = late_interaction_scores(q_cb, q_mask, c_cb)
+        vals = vals + colbert_weight * cb
 
     # chunk rows are stored CLS-first; overwrite slot 0 with the pair
     # separator (EOS EOS p EOS layout of XLM-R second segments)
@@ -133,6 +161,7 @@ class FusedEngine:
         rerank_k: int = 3,
         q_width: int = 64,
         lex_weight: float = 0.0,  # >0 enables hybrid lexical rescoring
+        colbert_weight: float = 0.0,  # >0 enables ColBERT late interaction
     ):
         assert index.tokens is not None, "FusedEngine needs a token cache"
         self.embedder = embedder
@@ -142,6 +171,7 @@ class FusedEngine:
         self.rerank_k = rerank_k
         self.q_width = q_width
         self.lex_weight = lex_weight
+        self.colbert_weight = colbert_weight
 
     def query(self, texts: list[str]):
         tok = self.embedder.tokenizer
@@ -168,6 +198,7 @@ class FusedEngine:
                 eos_id=getattr(tok, "eos_id", 2),
                 block_n=self.index.block_n,
                 lex_weight=self.lex_weight,
+                colbert_weight=self.colbert_weight,
             )
             r_rows = np.asarray(r_rows)
             r_vals = np.asarray(r_vals)

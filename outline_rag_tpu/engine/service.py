@@ -45,6 +45,7 @@ class RetrievalService:
         rerank_k: int = 3,
         chunk_text_lookup=None,  # callable chunk_id -> text (staged rerank)
         lex_weight: float = 0.0,
+        colbert_weight: float = 0.0,
     ):
         self.index = index
         self.embedder = embedder
@@ -62,7 +63,7 @@ class RetrievalService:
 
             self._fused = FusedEngine(
                 embedder, self.reranker, index, top_k, rerank_k,
-                lex_weight=lex_weight,
+                lex_weight=lex_weight, colbert_weight=colbert_weight,
             )
 
     @property

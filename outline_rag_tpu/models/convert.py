@@ -131,5 +131,15 @@ def load_pretrained(path: str):
                     "w": _np(head["weight"]).T,
                     "b": _np(head["bias"]),
                 }
+            # ... and its multi-vector (ColBERT) head as Linear(H, Hc)
+            colbert_path = os.path.join(path, "colbert_linear.pt")
+            if os.path.exists(colbert_path):
+                head = torch.load(
+                    colbert_path, map_location="cpu", weights_only=True
+                )
+                params["colbert"] = {
+                    "w": _np(head["weight"]).T,
+                    "b": _np(head["bias"]),
+                }
             return cfg, params
     raise FileNotFoundError(f"no weight file found under {path}")

@@ -288,6 +288,20 @@ def init_sparse_head(key: jax.Array, cfg: EncoderConfig) -> Params:
     }
 
 
+def sparse_weights_from_hidden(
+    params: Params,
+    hidden: jax.Array,  # [B, S, H]
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    min_token_id: int = 3,
+) -> jax.Array:
+    w = params["sparse"]["w"].astype(hidden.dtype)
+    b = params["sparse"]["b"].astype(hidden.dtype)
+    raw = jax.nn.relu((hidden @ w)[..., 0] + b[0]).astype(jnp.float32)
+    keep = (attention_mask > 0) & (input_ids >= min_token_id)
+    return jnp.where(keep, raw, 0.0)
+
+
 def sparse_token_weights(
     params: Params,
     input_ids: jax.Array,  # [B, S]
@@ -298,11 +312,81 @@ def sparse_token_weights(
     """Per-token lexical weights [B, S] f32 (BGE-m3 sparse embedding:
     relu(W h_t), special tokens and padding zeroed)."""
     hidden = encoder_forward(params, input_ids, attention_mask, cfg)
-    w = params["sparse"]["w"].astype(hidden.dtype)
-    b = params["sparse"]["b"].astype(hidden.dtype)
-    raw = jax.nn.relu((hidden @ w)[..., 0] + b[0]).astype(jnp.float32)
-    keep = (attention_mask > 0) & (input_ids >= min_token_id)
-    return jnp.where(keep, raw, 0.0)
+    return sparse_weights_from_hidden(
+        params, hidden, input_ids, attention_mask, min_token_id
+    )
+
+
+# ---------------------------------------------------------------------------
+# BGE-m3 multi-vector (ColBERT) head
+# ---------------------------------------------------------------------------
+
+
+def init_colbert_head(
+    key: jax.Array, cfg: EncoderConfig, out_dim: int | None = None
+) -> Params:
+    """BGE-m3 multi-vector head: Linear(H -> Hc) over token hidden states
+    followed by per-token L2 normalization (late-interaction / ColBERT
+    mode; the reference's remote BGE-m3 endpoint exposes this as
+    ``return_colbert_vecs``). Stored under params["colbert"]."""
+    out = out_dim or cfg.hidden
+    return {
+        "w": _dense_init(key, (cfg.hidden, out)),
+        "b": jnp.zeros((out,), jnp.float32),
+    }
+
+
+def colbert_vectors_from_hidden(
+    params: Params,
+    hidden: jax.Array,  # [B, S, H]
+    attention_mask: jax.Array,  # [B, S]
+) -> jax.Array:
+    """Per-token late-interaction vectors [B, S, Hc] f32, L2-normalized.
+
+    Matches FlagEmbedding's BGEM3 semantics: the CLS position and padding
+    are zeroed (so a MaxSim over them contributes the 0 floor, exactly as
+    the torch implementation's mask multiply does)."""
+    w = params["colbert"]["w"].astype(hidden.dtype)
+    b = params["colbert"]["b"].astype(hidden.dtype)
+    vecs = (hidden @ w + b).astype(jnp.float32)
+    norm = jnp.linalg.norm(vecs, axis=-1, keepdims=True).clip(1e-9)
+    vecs = vecs / norm
+    keep = (attention_mask > 0).astype(jnp.float32)
+    keep = keep.at[:, 0].set(0.0)  # drop CLS (FlagEmbedding [:, 1:])
+    return vecs * keep[:, :, None]
+
+
+def colbert_token_vectors(
+    params: Params,
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    cfg: EncoderConfig,
+) -> jax.Array:
+    hidden = encoder_forward(params, input_ids, attention_mask, cfg)
+    return colbert_vectors_from_hidden(params, hidden, attention_mask)
+
+
+def late_interaction_scores(
+    q_vecs: jax.Array,  # [B, Tq, Hc] f32 (zeroed at CLS/pad)
+    q_mask: jax.Array,  # [B, Tq]
+    c_vecs: jax.Array,  # [B, K, Tc, Hc] f32 (zeroed at CLS/pad)
+    precision=None,
+) -> jax.Array:
+    """ColBERT MaxSim: mean over real query tokens of the best candidate
+    token dot product. [B, K] f32.
+
+    One einsum -> [B, K, Tq, Tc] -> max over candidate tokens -> masked
+    mean over query tokens; the sim tensor is small (K=12, T<=192) so XLA
+    keeps the whole thing fused on device.
+    """
+    sim = jnp.einsum(
+        "bqh,bkth->bkqt", q_vecs, c_vecs, preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    best = jnp.max(sim, axis=-1)  # [B, K, Tq]; zero vecs floor at 0
+    q_valid = (q_mask > 0).astype(jnp.float32).at[:, 0].set(0.0)  # drop CLS
+    denom = jnp.sum(q_valid, axis=1, keepdims=True).clip(1.0)  # [B, 1]
+    return jnp.sum(best * q_valid[:, None, :], axis=-1) / denom
 
 
 def lexical_overlap_scores(

@@ -115,6 +115,7 @@ def build_app(
         rerank_k=settings.rerank_k,
         chunk_text_lookup=lambda cid: (meta.get_chunk(cid) or {}).get("body"),
         lex_weight=settings.lex_weight,
+        colbert_weight=settings.colbert_weight,
     )
     # concurrent asks coalesce into one device program per window; device
     # work runs off the event loop (engine/batcher.py)
