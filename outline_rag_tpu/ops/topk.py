@@ -10,13 +10,16 @@ Three entry points:
 
 - :func:`topk_xla`    — pure XLA path (``jnp.dot`` + ``lax.top_k``); the
                         correctness oracle and the fallback on any backend.
-- :func:`topk_pallas` — the Pallas TPU kernel: grid over (query tiles,
-                        corpus tiles); each step computes a ``[TB, TN]``
-                        score tile on the MXU and merges it into a running
-                        per-query top-K accumulator held in VMEM scratch.
-                        A per-tile threshold test skips the merge work for
-                        tiles that cannot contribute (the common case once
-                        the accumulator warms up).
+- :func:`topk_pallas` — the Pallas TPU kernel: grid over corpus tiles;
+                        each step computes a score tile on the MXU and
+                        merges it into a running per-query top-K
+                        accumulator held in VMEM scratch. A per-tile
+                        threshold test skips merge work for tiles that
+                        cannot contribute, and the merge itself is an
+                        early-exit extraction loop (a tile rarely adds
+                        more than 1-2 entries). Two orientations exist;
+                        the default "qmajor" keeps queries on the sublane
+                        axis so all K-select reductions run lane-wise.
 - :func:`cosine_topk` — dispatcher with padding/masking plumbing; picks the
                         Pallas path on TPU and interpret-mode Pallas or XLA
                         elsewhere.
@@ -227,6 +230,178 @@ def _fused_topk_kernel(
         out_idx_ref[:] = acc_idx[:]
 
 
+def _fused_topk_kernel_qmajor(
+    q_ref,  # [TB, D] VMEM (f32/bf16, or int8 codes)
+    c_ref,  # [TN, D] VMEM (corpus tile)
+    pen_ref,  # [1, TN] VMEM (additive penalty for this tile's rows)
+    cscale_ref,  # [1, TN] VMEM (per-row corpus scales; ones unless int8)
+    qscale_ref,  # [TB, 1] VMEM (per-query scales; ones unless int8)
+    out_vals_ref,  # [TB, K] VMEM
+    out_idx_ref,  # [TB, K] VMEM (int32)
+    acc_vals,  # scratch [TB, K] f32 (sorted desc along axis 1)
+    acc_idx,  # scratch [TB, K] i32
+    *,
+    k: int,
+    block_n: int,
+):
+    """Query-major orientation: the score tile is ``Q @ C_tile^T -> [TB,
+    TN]`` so every selection reduction (tile max, argmax, the K insert
+    passes) runs along the LANE axis — the cheap VPU direction. The
+    transposed kernel above keeps the MXU M-dimension fully fed but pays
+    ~3x in sublane-axis reductions whenever a merge triggers; with B
+    queries sharing one skip floor a merge fires on most steps, so this
+    orientation is faster end-to-end for every dtype (measured fp32
+    B=32: 6.9 vs 10.1 ms at 500k; int8 B=128: 3.6 vs 6.8 ms at 1M —
+    tools/bench_topk_kernel.py). int8 queries are padded to 32 rows to
+    satisfy the int8 MXU sublane tile."""
+    n_tile = pl.program_id(0)
+    num_n = pl.num_programs(0)
+
+    @pl.when(n_tile == 0)
+    def _init():
+        acc_vals[:] = jnp.full_like(acc_vals, NEG)
+        acc_idx[:] = jnp.zeros_like(acc_idx)
+
+    is_int8 = c_ref.dtype == jnp.int8
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if q_ref.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    s = jax.lax.dot_general(
+        q_ref[:],
+        c_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32 if is_int8 else jnp.float32,
+        precision=precision,
+    )  # [TB, TN]
+    if is_int8:
+        s = s.astype(jnp.float32) * cscale_ref[:] * qscale_ref[:]
+    s = s + pen_ref[:]  # [1, TN] broadcast over queries
+
+    base = n_tile * block_n
+    tb = s.shape[0]
+
+    tile_qmax = jnp.max(s, axis=1)  # [TB]; lane reduction
+    needs_merge = jnp.any(tile_qmax > acc_vals[:, k - 1])
+
+    @pl.when(needs_merge)
+    def _merge():
+        col = jax.lax.broadcasted_iota(jnp.int32, (tb, block_n), 1)
+        kcol = jax.lax.broadcasted_iota(jnp.int32, (tb, k), 1)
+
+        # Early-exit extraction: a tile usually contributes only 1-2 new
+        # top-K entries, so instead of K fixed passes, loop until the
+        # best remaining tile score no longer beats any query's kth
+        # value (amortized ~1 pass/step instead of K).
+        def cond(state):
+            i, scores, new_vals, _ = state
+            still = jnp.any(jnp.max(scores, axis=1) > new_vals[:, k - 1])
+            return jnp.logical_and(i < k, still)
+
+        def body(state):
+            i, scores, new_vals, new_idx = state
+            m = jnp.max(scores, axis=1, keepdims=True)  # [TB, 1]
+            hit = scores == m
+            pos = jnp.min(
+                jnp.where(hit, col, jnp.int32(2**30)), axis=1, keepdims=True
+            )  # [TB, 1]; lowest corpus index wins ties
+            scores = jnp.where(col == pos, NEG, scores)
+            m_idx = pos + base  # [TB, 1]
+
+            below = new_vals < m  # [TB, K] sorted desc -> suffix mask
+            ins_pos = jnp.sum(
+                jnp.where(below, 0, 1), axis=1, keepdims=True
+            )  # [TB, 1]
+            if k > 1:
+                prev_vals = jnp.concatenate(
+                    [jnp.full((tb, 1), NEG, new_vals.dtype), new_vals[:, :-1]],
+                    axis=1,
+                )
+                prev_idx = jnp.concatenate(
+                    [jnp.zeros((tb, 1), new_idx.dtype), new_idx[:, :-1]], axis=1
+                )
+            else:
+                prev_vals = jnp.full((tb, 1), NEG, new_vals.dtype)
+                prev_idx = jnp.zeros((tb, 1), new_idx.dtype)
+            # queries whose m doesn't beat their kth get ins_pos == k,
+            # which makes both masks all-False — a natural no-op
+            take_new = kcol == ins_pos
+            shift = kcol > ins_pos
+            new_vals = jnp.where(take_new, m, jnp.where(shift, prev_vals, new_vals))
+            new_idx = jnp.where(
+                take_new, m_idx, jnp.where(shift, prev_idx, new_idx)
+            )
+            return i + 1, scores, new_vals, new_idx
+
+        _, _, new_vals, new_idx = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), s, acc_vals[:], acc_idx[:])
+        )
+        acc_vals[:] = new_vals
+        acc_idx[:] = new_idx
+
+    @pl.when(n_tile == num_n - 1)
+    def _emit():
+        out_vals_ref[:] = acc_vals[:]
+        out_idx_ref[:] = acc_idx[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "block_n", "interpret")
+)
+def _topk_pallas_qmajor_jit(
+    queries: jax.Array,
+    corpus: jax.Array,
+    pen2d: jax.Array,  # [1, N] f32
+    cscale2d: jax.Array,  # [1, N] f32
+    qscale2d: jax.Array,  # [B, 1] f32
+    k: int,
+    block_n: int,
+    interpret: bool,
+) -> tuple[jax.Array, jax.Array]:
+    b, d = queries.shape
+    n = corpus.shape[0]
+    grid = (n // block_n,)
+    kernel = functools.partial(_fused_topk_kernel_qmajor, k=k, block_n=block_n)
+    bytes_per = jnp.dtype(corpus.dtype).itemsize
+    out_vals, out_idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, d), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, k), jnp.float32),
+            pltpu.VMEM((b, k), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * d,
+            bytes_accessed=n * d * bytes_per + b * d * bytes_per + b * k * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        queries if queries.dtype == corpus.dtype else queries.astype(corpus.dtype),
+        corpus,
+        pen2d,
+        cscale2d,
+        qscale2d,
+    )
+    return out_vals, out_idx
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "block_b", "block_n", "interpret")
 )
@@ -295,10 +470,16 @@ def topk_pallas(
     block_b: int = 64,  # kept for API compat; B is padded to a multiple of 8
     block_n: int = 1024,
     interpret: bool | None = None,
+    orientation: str = "auto",  # auto | qmajor | cmajor
 ) -> tuple[jax.Array, jax.Array]:
     """Fused score+top-K. Requires B % 8 == 0 and N % block_n == 0
     (use :func:`cosine_topk` for automatic padding). For int8 corpora pass
-    pre-quantized int8 queries plus both scale vectors."""
+    pre-quantized int8 queries plus both scale vectors.
+
+    ``orientation``: "qmajor" puts queries on the MXU/VPU sublane axis so
+    the K-select runs lane-wise (fastest for float paths); "cmajor" is the
+    corpus-rows-major transposed kernel (fastest for int8, whose 32-row
+    MXU tiles align with the corpus dimension). "auto" picks by dtype."""
     b, d = queries.shape
     n = corpus.shape[0]
     assert corpus.shape[1] == d, (queries.shape, corpus.shape)
@@ -307,6 +488,21 @@ def topk_pallas(
         penalty = jnp.zeros((n,), jnp.float32)
     if interpret is None:
         interpret = not _on_tpu()
+    if orientation == "auto":
+        orientation = "qmajor"  # faster for every dtype (see kernel note)
+    # int8 MXU tiles want >= 32 sublanes; qmajor puts queries there
+    if orientation == "qmajor" and corpus.dtype == jnp.int8 and b % 32:
+        pad = _round_up(b, 32) - b
+        queries = jnp.pad(queries, ((0, pad), (0, 0)))
+        if query_scales is not None:
+            query_scales = jnp.pad(query_scales, ((0, pad),))
+        vals, idx = topk_pallas(
+            queries, corpus, k, penalty,
+            corpus_scales=corpus_scales, query_scales=query_scales,
+            block_b=block_b, block_n=block_n, interpret=interpret,
+            orientation=orientation,
+        )
+        return vals[:b], idx[:b]
 
     # Very large corpora are processed in row segments (one kernel launch
     # each, merged on device): keeps per-launch grid sizes within what the
@@ -328,10 +524,27 @@ def topk_pallas(
                 block_b=block_b,
                 block_n=block_n,
                 interpret=interpret,
+                orientation=orientation,
             )
             si = si + start
             acc = (sv, si) if acc is None else merge_topk(acc[0], acc[1], sv, si, k)
         return acc
+
+    if orientation == "qmajor":
+        pen_r = penalty.reshape(1, n).astype(jnp.float32)
+        cscale_r = (
+            corpus_scales.reshape(1, n).astype(jnp.float32)
+            if corpus_scales is not None
+            else jnp.ones((1, n), jnp.float32)
+        )
+        qscale_r = (
+            query_scales.reshape(b, 1).astype(jnp.float32)
+            if query_scales is not None
+            else jnp.ones((b, 1), jnp.float32)
+        )
+        return _topk_pallas_qmajor_jit(
+            queries, corpus, pen_r, cscale_r, qscale_r, k, block_n, interpret
+        )
 
     pen2d = penalty.reshape(n, 1).astype(jnp.float32)
     cscale2d = (

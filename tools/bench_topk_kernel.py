@@ -1,0 +1,133 @@
+"""Dissect the fused top-K kernel's per-step cost on the real chip.
+
+Variants:
+  full    — the production kernel (ops/topk.py)
+  nomerge — matmul + tile max only (floor: DMA + MXU + minimal VPU)
+  matmul  — matmul only, accumulate max into scratch (no per-step max over
+            the tile output — pure MXU/DMA floor)
+
+Usage: python tools/bench_topk_kernel.py [N] [B] [DTYPE]
+"""
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from outline_rag_tpu.ops.topk import topk_pallas, topk_xla
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+B = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+DT = {"f32": jnp.float32, "bf16": jnp.bfloat16}[
+    sys.argv[3] if len(sys.argv) > 3 else "f32"
+]
+D = 1024
+BLOCK_N = int(os.environ.get("BLOCK_N", 1024))
+N = (N // BLOCK_N) * BLOCK_N
+
+key = jax.random.key(0)
+corpus = jax.random.normal(key, (N, D), jnp.float32)
+corpus = (corpus / jnp.linalg.norm(corpus, axis=1, keepdims=True)).astype(DT)
+queries = jax.random.normal(jax.random.key(1), (B, D), jnp.float32)
+queries = (queries / jnp.linalg.norm(queries, axis=1, keepdims=True)).astype(DT)
+jax.block_until_ready((corpus, queries))
+
+
+def _mk_kernel(mode):
+    def kernel(q_ref, c_ref, out_ref, acc):
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _():
+            acc[:] = jnp.full_like(acc, -1e30)
+
+        precision = (
+            jax.lax.Precision.HIGHEST
+            if q_ref.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        )
+        s = jax.lax.dot_general(
+            c_ref[:], q_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        if mode == "nomerge":
+            acc[:] = jnp.maximum(acc[:], jnp.max(s, axis=0, keepdims=True))
+        else:  # matmul: cheapest possible consumption of s
+            acc[:] = jnp.maximum(acc[:], s[:1, :])
+
+        @pl.when(j == pl.num_programs(0) - 1)
+        def _():
+            out_ref[:] = acc[:]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("mode",))
+def run_variant(q, c, mode):
+    return pl.pallas_call(
+        _mk_kernel(mode),
+        grid=(N // BLOCK_N,),
+        in_specs=[
+            pl.BlockSpec((B, D), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_N, D), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, B), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, B), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, B), jnp.float32)],
+    )(q, c)
+
+
+def make_chained(fn):
+    def chained(iters):
+        carry = jnp.float32(0)
+        for _ in range(iters):
+            out = fn(queries + (carry * 0).astype(DT), corpus)
+            first = out[0] if isinstance(out, tuple) else out
+            carry = carry + jnp.sum(first.astype(jnp.float32)[:1])
+        return float(carry)
+
+    return chained
+
+
+VARIANTS = {
+    "matmul": lambda q, c: run_variant(q, c, "matmul"),
+    "nomerge": lambda q, c: run_variant(q, c, "nomerge"),
+    "full": lambda q, c: topk_pallas(q, c, 12, block_n=BLOCK_N, interpret=False),
+    "xla": lambda q, c: topk_xla(q, c, 12),
+}
+
+print(f"N={N} B={B} D={D} dtype={np.dtype(DT).name} block_n={BLOCK_N}")
+# the remote tunnel's throughput swings 2-4x on a seconds timescale, so:
+# interleave variants round-robin and keep the MIN over rounds (min is
+# robust against slow phases; all variants see the same phases)
+chains = {name: make_chained(fn) for name, fn in VARIANTS.items()}
+for ch in chains.values():
+    ch(1)  # compile
+best = {name: float("inf") for name in VARIANTS}
+ROUNDS, ITERS = 4, 6
+for _ in range(ROUNDS):
+    for name, ch in chains.items():
+        t0 = time.perf_counter()
+        ch(1)
+        t_one = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        ch(ITERS)
+        t_many = time.perf_counter() - t0
+        dt = max(t_many - max(t_one - t_many / ITERS, 0.0), t_many / ITERS) / ITERS
+        best[name] = min(best[name], dt)
+steps = N // BLOCK_N
+for name, dt in best.items():
+    gbs = N * D * jnp.dtype(DT).itemsize / dt / 1e9
+    print(
+        f"{name:10s} {dt * 1e3:8.2f} ms  {gbs:6.0f} GB/s  {dt / steps * 1e6:6.2f} us/step"
+    )
