@@ -92,13 +92,9 @@ def build_app(
 
     bus = make_bus(settings.redis_url)
     if meta is None:
-        db_path = (
-            ":memory:"
-            if not settings.database_url
-            and not settings.data_dir
-            else os.path.join(settings.data_dir, "meta.sqlite3")
-        )
-        meta = SqliteMetaStore(db_path)
+        from outline_rag_tpu.storage.postgres import make_meta_store
+
+        meta = make_meta_store(settings)
     if embedder is None:
         embedder = get_embedder(settings)
     if index is None:

@@ -17,4 +17,18 @@ small interfaces with batteries-included backends:
 from outline_rag_tpu.storage.bus import InMemoryBus, make_bus
 from outline_rag_tpu.storage.sqlite import SqliteMetaStore
 
-__all__ = ["InMemoryBus", "make_bus", "SqliteMetaStore"]
+__all__ = [
+    "InMemoryBus",
+    "make_bus",
+    "SqliteMetaStore",
+    "PostgresMetaStore",
+    "make_meta_store",
+]
+
+
+def __getattr__(name):  # lazy: pgwire only loads when a PG url is used
+    if name in ("PostgresMetaStore", "make_meta_store"):
+        from outline_rag_tpu.storage import postgres
+
+        return getattr(postgres, name)
+    raise AttributeError(name)
