@@ -57,12 +57,55 @@ def _encode_text(value) -> bytes:
     return str(value).encode()
 
 
+def make_self_signed_context():
+    """Server SSLContext with a fresh self-signed cert (cryptography)."""
+    import datetime
+    import ssl
+    import tempfile
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, "fakepg")])
+    now = datetime.datetime.now(datetime.timezone.utc)
+    cert = (
+        x509.CertificateBuilder()
+        .subject_name(name)
+        .issuer_name(name)
+        .public_key(key.public_key())
+        .serial_number(x509.random_serial_number())
+        .not_valid_before(now)
+        .not_valid_after(now + datetime.timedelta(days=1))
+        .sign(key, hashes.SHA256())
+    )
+    with tempfile.NamedTemporaryFile(delete=False, suffix=".pem") as f:
+        f.write(cert.public_bytes(serialization.Encoding.PEM))
+        f.write(
+            key.private_bytes(
+                serialization.Encoding.PEM,
+                serialization.PrivateFormat.TraditionalOpenSSL,
+                serialization.NoEncryption(),
+            )
+        )
+        path = f.name
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(path)
+    return ctx
+
+
 class _Conn:
     """Buffered socket wrapper (recv can return partial/merged frames)."""
 
     def __init__(self, sock):
         self.sock = sock
         self.buf = b""
+
+    def starttls(self, ctx) -> None:
+        assert not self.buf, "TLS upgrade with buffered plaintext"
+        self.sock = ctx.wrap_socket(self.sock, server_side=True)
 
     def read_exact(self, n: int) -> bytes:
         while len(self.buf) < n:
@@ -83,10 +126,18 @@ class _Conn:
 class FakePostgresServer:
     """auth: "trust" | "cleartext" | "md5" | "scram"."""
 
-    def __init__(self, auth: str = "trust", user: str = "u", password: str = "pw"):
+    def __init__(
+        self,
+        auth: str = "trust",
+        user: str = "u",
+        password: str = "pw",
+        ssl: str = "off",  # off (no SSLRequest expected) | refuse | on
+    ):
         self.auth = auth
         self.user = user
         self.password = password
+        self.ssl = ssl
+        self.ssl_ctx = make_self_signed_context() if ssl == "on" else None
         self.db = sqlite3.connect(":memory:", check_same_thread=False)
         self.db_lock = threading.Lock()
         self._srv = socket.create_server(("127.0.0.1", 0))
@@ -118,9 +169,18 @@ class FakePostgresServer:
         return conn.read_exact(n)
 
     def _read_startup(self, conn) -> dict:
-        (length,) = struct.unpack(">I", self._read_exact(conn, 4))
-        body = self._read_exact(conn, length - 4)
-        (proto,) = struct.unpack(">I", body[:4])
+        while True:
+            (length,) = struct.unpack(">I", self._read_exact(conn, 4))
+            body = self._read_exact(conn, length - 4)
+            (proto,) = struct.unpack(">I", body[:4])
+            if proto == 80877103:  # SSLRequest
+                if self.ssl == "on":
+                    conn.sendall(b"S")
+                    conn.starttls(self.ssl_ctx)
+                else:
+                    conn.sendall(b"N")
+                continue
+            break
         assert proto == 196608, proto
         parts = body[4:].split(b"\x00")
         params = {}

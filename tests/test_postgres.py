@@ -30,7 +30,9 @@ def test_dsn_parse():
         "user": "alice",
         "password": "s@crt",
         "database": "wiki",
+        "sslmode": "disable",
     }
+    assert parse_dsn("postgres://h/db?sslmode=require")["sslmode"] == "require"
 
 
 @pytest.mark.parametrize("auth", ["trust", "cleartext", "md5", "scram"])
@@ -51,6 +53,32 @@ def test_wrong_password_rejected(auth):
     try:
         with pytest.raises(Exception):
             PgConnection.from_url(url(srv, password="nope"))
+    finally:
+        srv.close()
+
+
+def test_tls_required_and_honoured():
+    """sslmode=require upgrades the socket via SSLRequest; SCRAM then
+    runs inside the TLS channel."""
+    srv = FakePostgresServer(auth="scram", ssl="on")
+    try:
+        conn = PgConnection.from_url(url(srv) + "?sslmode=require")
+        rows, _, _ = conn.query("SELECT 41+1")
+        assert rows == [(42,)]
+        conn.close()
+    finally:
+        srv.close()
+
+
+def test_tls_refused_fails_require_but_allows_prefer():
+    srv = FakePostgresServer(auth="trust", ssl="refuse")
+    try:
+        with pytest.raises(Exception, match="refused SSL"):
+            PgConnection.from_url(url(srv) + "?sslmode=require")
+        conn = PgConnection.from_url(url(srv) + "?sslmode=prefer")
+        rows, _, _ = conn.query("SELECT 7")
+        assert rows == [(7,)]
+        conn.close()
     finally:
         srv.close()
 
