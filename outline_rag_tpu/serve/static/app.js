@@ -17,6 +17,7 @@ const state = {
   current: null,
   streaming: false,
   abort: null,
+  params: { temperature: null, top_p: null }, // null -> model defaults
 };
 
 // ---------- tiny helpers ----------
@@ -38,25 +39,162 @@ function esc(s) {
   return s.replace(/&/g, "&amp;").replace(/</g, "&lt;").replace(/>/g, "&gt;");
 }
 
-/* minimal markdown: fenced code blocks, inline code, bold, paragraphs */
-function renderMarkdownLite(text) {
+/* ---------- markdown pipeline (reference: core.js parseMarkdownSafe) ----
+ * LaTeX spans are masked BEFORE markdown so underscores/asterisks inside
+ * math never get mangled, then restored into styled math elements. */
+
+const HASH_COMMENT_LANGS = new Set(["py", "python", "sh", "bash", "shell", "yaml", "yml", "rb", "ruby", "toml"]);
+const SLASH_COMMENT_LANGS = new Set(["js", "javascript", "ts", "typescript", "c", "cpp", "c++", "java", "go", "rust", "rs", "json5", "css", "kotlin", "swift", "scala", "proto"]);
+const KEYWORDS = new Set((
+  "def class return if elif else for while in not and or import from as with try except finally lambda yield pass break continue raise global nonlocal assert del True False None async await " +
+  "function var let const new delete typeof instanceof this null undefined true false switch case default do throw catch extends super static get set export " +
+  "int long float double char bool void struct enum union template typename public private protected virtual override namespace using sizeof nullptr " +
+  "fn mut impl trait pub use mod match crate dyn ref where loop unsafe type " +
+  "func go defer chan select package interface map range " +
+  "SELECT FROM WHERE INSERT INTO UPDATE DELETE CREATE TABLE INDEX JOIN LEFT RIGHT INNER OUTER ON GROUP BY ORDER LIMIT OFFSET VALUES SET AND OR NOT NULL PRIMARY KEY DISTINCT AS select from where insert into update delete create table index join left right inner outer on group by order limit offset values set primary key distinct"
+).split(/\s+/));
+
+/* token-at-a-time highlighter: strings, comments, numbers, keywords */
+function highlightCode(code, lang) {
+  lang = (lang || "").toLowerCase();
+  const parts = [];
+  const re = /("(?:[^"\\\n]|\\.)*"|'(?:[^'\\\n]|\\.)*'|`(?:[^`\\]|\\.)*`)|(#[^\n]*|\/\/[^\n]*|\/\*[\s\S]*?\*\/|--[^\n]*)|(\b\d(?:[\w.])*\b)|([A-Za-z_][A-Za-z0-9_]*)/g;
+  let last = 0, m;
+  while ((m = re.exec(code))) {
+    parts.push(esc(code.slice(last, m.index)));
+    last = m.index + m[0].length;
+    const tok = esc(m[0]);
+    if (m[1]) parts.push(`<span class="tok-str">${tok}</span>`);
+    else if (m[2]) {
+      const ok =
+        (m[0][0] === "#" && (HASH_COMMENT_LANGS.has(lang) || !lang)) ||
+        (m[0][0] === "/" && (SLASH_COMMENT_LANGS.has(lang) || !lang)) ||
+        (m[0][0] === "-" && (lang === "sql" || lang === "lua"));
+      parts.push(ok ? `<span class="tok-com">${tok}</span>` : tok);
+    } else if (m[3]) parts.push(`<span class="tok-num">${tok}</span>`);
+    else if (m[4]) parts.push(KEYWORDS.has(m[0]) ? `<span class="tok-kw">${tok}</span>` : tok);
+  }
+  parts.push(esc(code.slice(last)));
+  return parts.join("");
+}
+
+function safeHref(url) {
+  const u = (url || "").trim();
+  if (/^(https?:\/\/|\/|#|mailto:)/i.test(u)) return esc(u);
+  return "#";
+}
+
+function renderInline(text) {
+  /* input is already HTML-escaped */
+  return text
+    .replace(/`([^`]+)`/g, (m, c) => `<code>${c}</code>`)
+    .replace(/\[([^\]]+)\]\(([^)\s]+)\)/g, (m, t, u) => `<a href="${safeHref(u)}" target="_blank" rel="noopener">${t}</a>`)
+    .replace(/\*\*([^*]+)\*\*/g, "<strong>$1</strong>")
+    .replace(/~~([^~]+)~~/g, "<del>$1</del>")
+    .replace(/(^|[\s(])\*([^*\s][^*]*)\*/g, "$1<em>$2</em>")
+    .replace(/(^|[\s(])_([^_\s][^_]*)_/g, "$1<em>$2</em>");
+}
+
+function renderBlocks(text) {
+  const lines = text.split("\n");
+  let html = "", i = 0;
+  const flushPara = (buf) => {
+    if (buf.length) html += "<p>" + renderInline(buf.join("<br/>")) + "</p>";
+    buf.length = 0;
+  };
+  const para = [];
+  while (i < lines.length) {
+    const line = lines[i];
+    let m;
+    if ((m = line.match(/^(#{1,6})\s+(.*)$/))) {
+      flushPara(para);
+      const lvl = m[1].length;
+      html += `<h${lvl}>` + renderInline(m[2]) + `</h${lvl}>`;
+      i++;
+    } else if (/^(\s*)([-*+]|\d+[.)])\s+/.test(line)) {
+      flushPara(para);
+      const ordered = /^\s*\d/.test(line);
+      const tag = ordered ? "ol" : "ul";
+      html += `<${tag}>`;
+      while (i < lines.length && /^(\s*)([-*+]|\d+[.)])\s+/.test(lines[i])) {
+        html += "<li>" + renderInline(lines[i].replace(/^(\s*)([-*+]|\d+[.)])\s+/, "")) + "</li>";
+        i++;
+      }
+      html += `</${tag}>`;
+    } else if (/^\s*>\s?/.test(line)) {
+      flushPara(para);
+      const quote = [];
+      while (i < lines.length && /^\s*>\s?/.test(lines[i])) {
+        quote.push(lines[i].replace(/^\s*>\s?/, ""));
+        i++;
+      }
+      html += "<blockquote>" + renderBlocks(quote.join("\n")) + "</blockquote>";
+    } else if (/^\s*(---+|\*\*\*+|___+)\s*$/.test(line)) {
+      flushPara(para);
+      html += "<hr/>";
+      i++;
+    } else if (
+      line.includes("|") && i + 1 < lines.length &&
+      /^\s*\|?[\s:|-]+\|[\s:|-]*$/.test(lines[i + 1])
+    ) {
+      flushPara(para);
+      const cells = (l) => l.replace(/^\s*\|/, "").replace(/\|\s*$/, "").split("|").map((c) => renderInline(c.trim()));
+      html += "<table><thead><tr>" + cells(line).map((c) => `<th>${c}</th>`).join("") + "</tr></thead><tbody>";
+      i += 2;
+      while (i < lines.length && lines[i].includes("|") && lines[i].trim()) {
+        html += "<tr>" + cells(lines[i]).map((c) => `<td>${c}</td>`).join("") + "</tr>";
+        i++;
+      }
+      html += "</tbody></table>";
+    } else if (!line.trim()) {
+      flushPara(para);
+      i++;
+    } else {
+      para.push(line);
+      i++;
+    }
+  }
+  flushPara(para);
+  return html;
+}
+
+function renderMarkdown(text) {
+  /* 1. mask LaTeX so markdown can't corrupt it */
+  const math = [];
+  const MASK = (tex, block) => {
+    math.push({ tex, block });
+    return "\x00M" + (math.length - 1) + "\x00";
+  };
+  text = text
+    .replace(/\$\$([\s\S]+?)\$\$/g, (m, tex) => MASK(tex, true))
+    .replace(/\\\[([\s\S]+?)\\\]/g, (m, tex) => MASK(tex, true))
+    .replace(/\\\(([\s\S]+?)\\\)/g, (m, tex) => MASK(tex, false))
+    .replace(/\$([^$\n]+?)\$/g, (m, tex) => MASK(tex, false));
+
+  /* 2. fenced code out first, then block markdown on the rest */
   const blocks = text.split(/```/);
   let html = "";
   blocks.forEach((blk, i) => {
     if (i % 2 === 1) {
-      html += "<pre><code>" + esc(blk.replace(/^[a-z]*\n/, "")) + "</code></pre>";
+      const lang = (blk.match(/^([A-Za-z0-9+#-]*)\n/) || [])[1] || "";
+      const code = blk.replace(/^[A-Za-z0-9+#-]*\n/, "");
+      html += `<pre><code class="lang-${esc(lang)}">` + highlightCode(code, lang) + "</code></pre>";
     } else {
-      const para = esc(blk)
-        .replace(/`([^`]+)`/g, "<code>$1</code>")
-        .replace(/\*\*([^*]+)\*\*/g, "<strong>$1</strong>")
-        .split(/\n{2,}/)
-        .map((p) => (p.trim() ? "<p>" + p.replace(/\n/g, "<br/>") + "</p>" : ""))
-        .join("");
-      html += para;
+      html += renderBlocks(esc(blk));
     }
   });
-  return html;
+
+  /* 3. restore math as styled (non-typeset) spans */
+  return html.replace(/\x00M(\d+)\x00/g, (m, n) => {
+    const item = math[+n];
+    if (!item) return "";
+    const tag = item.block ? "div" : "span";
+    return `<${tag} class="math${item.block ? " math-block" : ""}">${esc(item.tex.trim())}</${tag}>`;
+  });
 }
+
+/* kept as an alias: user bubbles + thinking blocks share the renderer */
+const renderMarkdownLite = renderMarkdown;
 
 /* Extract hidden sources map + thinking block, linkify [source n]. */
 function renderAssistant(content) {
@@ -222,6 +360,8 @@ async function sendQuestion() {
         question,
         conversation_id: state.current,
         model: $("#model-picker").value,
+        temperature: state.params.temperature ?? undefined,
+        top_p: state.params.top_p ?? undefined,
         edit_message_id: editId ? parseInt(editId, 10) : undefined,
       }),
     });
@@ -297,21 +437,59 @@ async function pollRefresh() {
   }, 3000);
 }
 
+// ---------- theme / composer helpers (reference: main.js) ----------
+
+function applyTheme(theme) {
+  document.documentElement.dataset.theme = theme;
+  try { localStorage.setItem("theme", theme); } catch (e) {}
+  const btn = $("#theme-toggle");
+  if (btn) btn.textContent = theme === "light" ? "🌙" : "☀";
+}
+
+function autoresize(el) {
+  el.style.height = "auto";
+  el.style.height = Math.min(el.scrollHeight, 200) + "px";
+}
+
+async function uploadFile(file) {
+  const form = new FormData();
+  form.append("file", file);
+  const resp = await fetch(API + "/upload", {
+    method: "POST",
+    credentials: "same-origin",
+    body: form,
+  });
+  const st = $("#refresh-status");
+  if (resp.ok) {
+    st.textContent = `uploaded ${file.name}`;
+  } else {
+    let msg = "upload failed";
+    try { msg = (await resp.json()).error || msg; } catch (e) {}
+    st.textContent = msg;
+  }
+  setTimeout(() => { if (st.textContent.includes(file.name) || st.textContent.includes("upload")) st.textContent = ""; }, 4000);
+}
+
 // ---------- boot ----------
 
 window.addEventListener("DOMContentLoaded", async () => {
+  let theme = "dark";
+  try { theme = localStorage.getItem("theme") || "dark"; } catch (e) {}
+  applyTheme(theme);
   await loadMe();
   await loadConversations();
   const m = window.location.pathname.match(/\/chat\/([0-9a-f-]{36})$/);
   if (m) await selectConversation(m[1]);
   $("#send").onclick = sendQuestion;
   $("#stop").onclick = () => state.abort && state.abort.abort();
-  $("#input").addEventListener("keydown", (e) => {
+  const input = $("#input");
+  input.addEventListener("keydown", (e) => {
     if (e.key === "Enter" && !e.shiftKey) {
       e.preventDefault();
       sendQuestion();
     }
   });
+  input.addEventListener("input", () => autoresize(input));
   $("#new-conv").onclick = async () => {
     state.current = null;
     $("#messages").innerHTML = "";
@@ -320,4 +498,35 @@ window.addEventListener("DOMContentLoaded", async () => {
   };
   $("#refresh-kb").onclick = triggerRefresh;
   $("#menu-toggle").onclick = () => $("#sidebar").classList.toggle("open");
+  $("#theme-toggle").onclick = () =>
+    applyTheme(document.documentElement.dataset.theme === "light" ? "dark" : "light");
+
+  // sampling-params popover (reference: model/temp/top-p popovers)
+  const pop = $("#params-pop");
+  $("#params-toggle").onclick = () => pop.classList.toggle("open");
+  const tempSlider = $("#temp-slider"), topPSlider = $("#top-p-slider");
+  const sync = () => {
+    state.params.temperature = tempSlider.value === "" ? null : parseFloat(tempSlider.value);
+    state.params.top_p = topPSlider.value === "" ? null : parseFloat(topPSlider.value);
+    $("#temp-val").textContent = tempSlider.value;
+    $("#top-p-val").textContent = topPSlider.value;
+  };
+  tempSlider.oninput = sync;
+  topPSlider.oninput = sync;
+  $("#params-reset").onclick = () => {
+    tempSlider.value = "0.7";
+    topPSlider.value = "0.9";
+    sync();
+    state.params = { temperature: null, top_p: null };
+    $("#temp-val").textContent = "default";
+    $("#top-p-val").textContent = "default";
+  };
+
+  // attachment upload (reference: upload button -> /api/upload)
+  const fileInput = $("#file-input");
+  $("#upload-btn").onclick = () => fileInput.click();
+  fileInput.onchange = () => {
+    if (fileInput.files.length) uploadFile(fileInput.files[0]);
+    fileInput.value = "";
+  };
 });
