@@ -99,15 +99,45 @@ def main() -> None:
     k = 12
     block_n = 1024
     n = (n // block_n) * block_n
-    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
-        os.environ.get("BENCH_DTYPE", "float32")
-    ]
+    dtype_name = os.environ.get("BENCH_DTYPE", "float32")
+    int8_mode = dtype_name == "int8"
+    dtype = {
+        "float32": jnp.float32,
+        "bfloat16": jnp.bfloat16,
+        "int8": jnp.float32,  # int8 quantizes below
+    }[dtype_name]
 
     key = jax.random.key(0)
     kc, kq = jax.random.split(key)
-    corpus = jax.random.normal(kc, (n, d), jnp.float32)
-    corpus = corpus / jnp.linalg.norm(corpus, axis=1, keepdims=True)
-    corpus = corpus.astype(dtype)
+    corpus_scales = None
+    if int8_mode:
+        # quantize in segments: a 10M-row f32 staging matrix would be
+        # 40 GB; int8 codes + scales fit a single chip at 10M rows
+        from outline_rag_tpu.ops.quant import quantize_rows_int8
+
+        @jax.jit
+        def gen_int8(k_seg):
+            seg = jax.random.normal(k_seg, (min(n, 1_000_000), d), jnp.float32)
+            seg = seg / jnp.linalg.norm(seg, axis=1, keepdims=True)
+            return quantize_rows_int8(seg)
+
+        # kept as segments: a device-side concat would peak at 2x the
+        # corpus bytes, and the XLA oracle's [B, N] scores at 10M rows
+        # are another 5 GB — per-segment top-K + on-device merge keeps
+        # peak memory at corpus + one segment's scores.
+        int8_segments = []  # (codes, scales, row_offset)
+        remaining, offset = n, 0
+        for k_seg in jax.random.split(kc, (n + 999_999) // 1_000_000):
+            cq, cs = gen_int8(k_seg)
+            take = min(remaining, cq.shape[0])
+            int8_segments.append((cq[:take], cs[:take], offset))
+            offset += take
+            remaining -= take
+        corpus, corpus_scales = int8_segments[0][0], int8_segments[0][1]
+    else:
+        corpus = jax.random.normal(kc, (n, d), jnp.float32)
+        corpus = corpus / jnp.linalg.norm(corpus, axis=1, keepdims=True)
+        corpus = corpus.astype(dtype)
     # distinct query batches per iteration so no layer (device, tunnel,
     # runtime) can serve cached results
     n_batches = 20
@@ -120,24 +150,42 @@ def main() -> None:
 
     mode = os.environ.get("BENCH_MODE", "auto")  # auto | pallas | xla
 
-    def run_fused(i=0):
-        q = qbatches[i % n_batches]
-        if mode == "pallas":
-            return topk_pallas(
-                q, corpus, k, block_n=block_n, interpret=not on_tpu
-            )
-        if mode == "xla":
-            return topk_xla(q, corpus, k)
-        from outline_rag_tpu.ops.topk import cosine_topk
+    if int8_mode:
+        from outline_rag_tpu.ops.quant import (
+            int8_topk,
+            int8_topk_xla,
+            quantize_rows_int8,
+        )
+        from outline_rag_tpu.ops.topk import merge_topk
 
-        return cosine_topk(q, corpus, k, block_n=block_n)
+        def _int8_sweep(q, segments, impl):
+            qq, qs = quantize_rows_int8(q)
+            acc = None
+            for codes, scales, off in segments:
+                if impl == "xla":
+                    v, i = int8_topk_xla(qq, qs, codes, scales, k)
+                else:
+                    v, i = int8_topk(qq, qs, codes, scales, k, impl=impl)
+                i = i + off
+                acc = (v, i) if acc is None else merge_topk(*acc, v, i, k)
+            return acc
+
+        # eager per-segment dispatch: jitting the whole 10-launch sweep
+        # into one program takes the remote compiler many minutes, and
+        # per-call dispatch overhead is a tunnel artifact, not intrinsic
+        def int8_sweep(q, impl):
+            return _int8_sweep(q, int8_segments, impl)
 
     # correctness: recall@12 vs the XLA oracle on the same device (the
-    # pallas path must agree exactly in fp32)
-    vals, idx = jax.block_until_ready(
-        topk_pallas(queries, corpus, k, block_n=block_n, interpret=not on_tpu)
-    )
-    ovals, oidx = jax.block_until_ready(topk_xla(queries, corpus, k))
+    # pallas path must agree exactly within the scoring dtype)
+    if int8_mode:
+        vals, idx = jax.block_until_ready(int8_sweep(queries, "pallas"))
+        ovals, oidx = jax.block_until_ready(int8_sweep(queries, "xla"))
+    else:
+        vals, idx = jax.block_until_ready(
+            topk_pallas(queries, corpus, k, block_n=block_n, interpret=not on_tpu)
+        )
+        ovals, oidx = jax.block_until_ready(topk_xla(queries, corpus, k))
     recall = float(
         np.mean(
             [
@@ -163,6 +211,8 @@ def main() -> None:
         return carry
 
     def run_fused_q(q):
+        if int8_mode:
+            return int8_sweep(q, mode if mode in ("pallas", "xla") else "auto")
         if mode == "pallas":
             return topk_pallas(q, corpus, k, block_n=block_n, interpret=not on_tpu)
         if mode == "xla":
@@ -186,6 +236,8 @@ def main() -> None:
     # baseline: NumPy exact scan on the host (reference-pipeline stand-in)
     nb = min(n, 20_000)
     c_np = np.asarray(corpus[:nb], np.float32)
+    if int8_mode:
+        c_np = c_np * np.asarray(corpus_scales[:nb], np.float32)[:, None]
     q_np = np.asarray(queries, np.float32)
     t0 = time.perf_counter()
     reps = 2
@@ -197,14 +249,14 @@ def main() -> None:
     base_qps = b * reps / (base_dt * (n / nb))
 
     print(
-        f"# backend={backend} n={n} d={d} b={b} dtype={np.dtype(dtype).name} "
+        f"# backend={backend} n={n} d={d} b={b} dtype={dtype_name} "
         f"recall@12={recall:.4f} fused_qps={qps:.1f} numpy_qps={base_qps:.1f}",
         file=sys.stderr,
     )
     print(
         json.dumps(
             {
-                "metric": f"fused top-12 query throughput, {n} x {d} corpus, recall@12={recall:.3f}",
+                "metric": f"fused top-12 query throughput, {n} x {d} {dtype_name} corpus, recall@12={recall:.3f}",
                 "value": round(qps, 1),
                 "unit": "queries/s",
                 "vs_baseline": round(qps / base_qps, 2) if base_qps > 0 else None,

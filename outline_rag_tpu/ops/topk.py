@@ -490,6 +490,26 @@ def topk_pallas(
         interpret = not _on_tpu()
     if orientation == "auto":
         orientation = "qmajor"  # faster for every dtype (see kernel note)
+
+    # Large query batches: chunk so the [TB, TN] score tile and its
+    # while-loop copies fit VMEM (B=256 f32 at block_n=1024 blows the
+    # 16M scoped limit); 128-query chunks keep the fast configuration.
+    if orientation == "qmajor" and b > 128:
+        out_v, out_i = [], []
+        for start in range(0, b, 128):
+            stop = min(start + 128, b)
+            sv, si = topk_pallas(
+                queries[start:stop], corpus, k, penalty,
+                corpus_scales=corpus_scales,
+                query_scales=query_scales[start:stop]
+                if query_scales is not None
+                else None,
+                block_b=block_b, block_n=block_n, interpret=interpret,
+                orientation=orientation,
+            )
+            out_v.append(sv)
+            out_i.append(si)
+        return jnp.concatenate(out_v, axis=0), jnp.concatenate(out_i, axis=0)
     # int8 MXU tiles want >= 32 sublanes; qmajor puts queries there
     if orientation == "qmajor" and corpus.dtype == jnp.int8 and b % 32:
         pad = _round_up(b, 32) - b
@@ -590,13 +610,16 @@ def cosine_topk(
     if impl == "auto":
         # XLA's fused matmul+top_k wins while the [B, N] f32 score matrix
         # is cheap to materialize; the fused kernel takes over when score
-        # traffic would rival corpus traffic (large N, large B).
+        # traffic rivals corpus traffic. Measured crossover (same-run,
+        # v5e, 500k x 1024 fp32): B=32 XLA 2x faster; B=128 kernel
+        # edges ahead (7.2 vs 7.9 ms) — i.e. score_bytes ~ corpus/8.
         score_bytes = b * n * 4
         corpus_bytes = n * corpus.shape[1] * jnp.dtype(corpus.dtype).itemsize
         use_pallas = (
             _on_tpu()
             and n % block_n == 0
-            and score_bytes > max(256 << 20, corpus_bytes // 4)
+            and score_bytes >= (128 << 20)
+            and score_bytes * 8 >= corpus_bytes
         )
         impl = "pallas" if use_pallas else "xla"
     if impl == "xla" or n % block_n != 0:

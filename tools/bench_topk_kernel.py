@@ -100,11 +100,12 @@ def make_chained(fn):
 
 
 VARIANTS = {
-    "matmul": lambda q, c: run_variant(q, c, "matmul"),
-    "nomerge": lambda q, c: run_variant(q, c, "nomerge"),
     "full": lambda q, c: topk_pallas(q, c, 12, block_n=BLOCK_N, interpret=False),
     "xla": lambda q, c: topk_xla(q, c, 12),
 }
+if B <= 128:  # the stripped diagnostics don't chunk B and OOM VMEM past it
+    VARIANTS["matmul"] = lambda q, c: run_variant(q, c, "matmul")
+    VARIANTS["nomerge"] = lambda q, c: run_variant(q, c, "nomerge")
 
 print(f"N={N} B={B} D={D} dtype={np.dtype(DT).name} block_n={BLOCK_N}")
 # the remote tunnel's throughput swings 2-4x on a seconds timescale, so:
