@@ -242,6 +242,10 @@ class Settings:
     encoder_buckets: tuple[int, ...] = (32, 64, 128, 256, 512)
     encoder_weights_path: str = ""  # empty -> deterministic fallback embedder
     reranker_weights_path: str = ""
+    # Llama/Qwen-family checkpoint for fully-local generation (the chat
+    # provider runs on-TPU instead of calling an OpenAI-compatible API)
+    decoder_weights_path: str = ""
+    decoder_max_new_tokens: int = 512
     query_batch_window_ms: float = 4.0
     query_batch_max: int = 32
     lex_weight: float = 0.0  # >0 blends BGE-m3 lexical overlap into retrieval
@@ -340,6 +344,8 @@ def load_settings(env: dict[str, str] | None = None) -> Settings:
             encoder_max_tokens=_env_int("ENCODER_MAX_TOKENS", 512),
             encoder_weights_path=_env("ENCODER_WEIGHTS_PATH"),
             reranker_weights_path=_env("RERANKER_WEIGHTS_PATH"),
+            decoder_weights_path=_env("DECODER_WEIGHTS_PATH"),
+            decoder_max_new_tokens=_env_int("DECODER_MAX_NEW_TOKENS", 512),
             query_batch_window_ms=_env_float("QUERY_BATCH_WINDOW_MS", 4.0),
             query_batch_max=_env_int("QUERY_BATCH_MAX", 32),
             lex_weight=_env_float("LEX_WEIGHT", 0.0),

@@ -143,3 +143,83 @@ def load_pretrained(path: str):
                 }
             return cfg, params
     raise FileNotFoundError(f"no weight file found under {path}")
+
+
+# ---------------------------------------------------------------------------
+# Decoder LM (Llama / Qwen2 family) -> models/decoder.py params
+# ---------------------------------------------------------------------------
+
+
+def decoder_config_from_hf(hf_config):
+    from outline_rag_tpu.models.decoder import DecoderConfig
+
+    return DecoderConfig(
+        vocab_size=hf_config.vocab_size,
+        hidden=hf_config.hidden_size,
+        layers=hf_config.num_hidden_layers,
+        heads=hf_config.num_attention_heads,
+        kv_heads=getattr(
+            hf_config, "num_key_value_heads", hf_config.num_attention_heads
+        ),
+        intermediate=hf_config.intermediate_size,
+        head_dim=getattr(hf_config, "head_dim", None),
+        rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+        norm_eps=hf_config.rms_norm_eps,
+        attn_bias=bool(
+            getattr(hf_config, "attention_bias", False)
+            or getattr(hf_config, "model_type", "") == "qwen2"
+        ),
+        tie_embeddings=bool(getattr(hf_config, "tie_word_embeddings", False)),
+    )
+
+
+def decoder_params_from_state_dict(sd: Mapping[str, Any], cfg) -> Params:
+    """HF LlamaForCausalLM/Qwen2ForCausalLM state_dict -> decoder pytree."""
+    p: Params = {
+        "embed": _np(sd["model.embed_tokens.weight"]),
+        "final_norm": _np(sd["model.norm.weight"]),
+        "layers": [],
+    }
+    if not cfg.tie_embeddings and "lm_head.weight" in sd:
+        p["lm_head"] = _np(sd["lm_head.weight"]).T
+    for i in range(cfg.layers):
+        pre = f"model.layers.{i}."
+        layer = {
+            "ln1": _np(sd[pre + "input_layernorm.weight"]),
+            "ln2": _np(sd[pre + "post_attention_layernorm.weight"]),
+            "wq": _np(sd[pre + "self_attn.q_proj.weight"]).T,
+            "wk": _np(sd[pre + "self_attn.k_proj.weight"]).T,
+            "wv": _np(sd[pre + "self_attn.v_proj.weight"]).T,
+            "wo": _np(sd[pre + "self_attn.o_proj.weight"]).T,
+            "wg": _np(sd[pre + "mlp.gate_proj.weight"]).T,
+            "wu": _np(sd[pre + "mlp.up_proj.weight"]).T,
+            "wd": _np(sd[pre + "mlp.down_proj.weight"]).T,
+        }
+        if cfg.attn_bias:
+            layer["bq"] = _np(sd[pre + "self_attn.q_proj.bias"])
+            layer["bk"] = _np(sd[pre + "self_attn.k_proj.bias"])
+            layer["bv"] = _np(sd[pre + "self_attn.v_proj.bias"])
+        p["layers"].append(layer)
+    return p
+
+
+def load_pretrained_decoder(path: str):
+    """Load (cfg, params) for a local Llama/Qwen-family HF checkpoint."""
+    import os
+
+    import torch  # noqa: PLC0415
+    from transformers import AutoConfig  # noqa: PLC0415
+
+    hf_cfg = AutoConfig.from_pretrained(path)
+    cfg = decoder_config_from_hf(hf_cfg)
+    for fname in ("pytorch_model.bin", "model.safetensors"):
+        full = os.path.join(path, fname)
+        if os.path.exists(full):
+            if fname.endswith(".safetensors"):
+                from safetensors.torch import load_file  # noqa: PLC0415
+
+                sd = load_file(full)
+            else:
+                sd = torch.load(full, map_location="cpu", weights_only=True)
+            return cfg, decoder_params_from_state_dict(sd, cfg)
+    raise FileNotFoundError(f"no weight file found under {path}")

@@ -1,0 +1,333 @@
+"""Llama/Qwen-family decoder LM in pure functional JAX — the optional
+on-TPU chat provider.
+
+The reference delegates answer generation to a remote OpenAI-compatible
+API (reference ``app/llm_services.py:146-173``) and the north star keeps
+that seam; this module is the *local* implementation behind it
+(``serve/llm.py::LocalChatProvider``), so the whole RAG stack — embed,
+retrieve, rerank, generate — can run on one TPU with no external service.
+
+Architecture (HF ``LlamaForCausalLM`` / ``Qwen2ForCausalLM`` semantics for
+weight compatibility): RMSNorm (pre-norm), rotary position embeddings
+(half-split rotate, configurable theta), grouped-query attention,
+SwiGLU MLP, optional attention biases (Qwen2), optional tied embeddings.
+
+TPU shape discipline:
+- layers are stacked and scanned (one traced layer — same compile-time
+  trick as ``models/encoder.py``);
+- the KV cache is a static-capacity ring of ``[L, B, KvH, C, Dh]``
+  updated with ``dynamic_update_slice`` — no reallocation, no recompiles
+  as generation advances;
+- generation runs as a device-side ``lax.scan`` over token chunks
+  (sampling included), so the host only dispatches once per chunk —
+  essential through a high-latency tunnel and cheap everywhere else.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+Params = dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    vocab_size: int = 32000
+    hidden: int = 2048
+    layers: int = 16
+    heads: int = 16
+    kv_heads: int = 8
+    intermediate: int = 5632
+    head_dim: int | None = None  # default hidden // heads
+    rope_theta: float = 10000.0
+    norm_eps: float = 1e-5
+    attn_bias: bool = False  # Qwen2 uses q/k/v biases
+    tie_embeddings: bool = False
+    max_cache: int = 2048  # KV ring capacity
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def hd(self) -> int:
+        return self.head_dim or self.hidden // self.heads
+
+    @classmethod
+    def tiny(cls, dtype=jnp.float32) -> "DecoderConfig":
+        return cls(
+            vocab_size=256,
+            hidden=64,
+            layers=2,
+            heads=4,
+            kv_heads=2,
+            intermediate=128,
+            max_cache=64,
+            dtype=dtype,
+        )
+
+
+# ---------------------------------------------------------------------------
+# init / conversion helpers
+# ---------------------------------------------------------------------------
+
+
+def _init(key, shape, scale=0.02):
+    return scale * jax.random.normal(key, shape, jnp.float32)
+
+
+def init_decoder_params(key: jax.Array, cfg: DecoderConfig) -> Params:
+    keys = iter(jax.random.split(key, 8 + 12 * cfg.layers))
+    hd = cfg.hd
+    p: Params = {
+        "embed": _init(next(keys), (cfg.vocab_size, cfg.hidden)),
+        "final_norm": jnp.ones((cfg.hidden,), jnp.float32),
+        "layers": [],
+    }
+    if not cfg.tie_embeddings:
+        p["lm_head"] = _init(next(keys), (cfg.hidden, cfg.vocab_size))
+    for _ in range(cfg.layers):
+        layer = {
+            "ln1": jnp.ones((cfg.hidden,), jnp.float32),
+            "ln2": jnp.ones((cfg.hidden,), jnp.float32),
+            "wq": _init(next(keys), (cfg.hidden, cfg.heads * hd)),
+            "wk": _init(next(keys), (cfg.hidden, cfg.kv_heads * hd)),
+            "wv": _init(next(keys), (cfg.hidden, cfg.kv_heads * hd)),
+            "wo": _init(next(keys), (cfg.heads * hd, cfg.hidden)),
+            "wg": _init(next(keys), (cfg.hidden, cfg.intermediate)),
+            "wu": _init(next(keys), (cfg.hidden, cfg.intermediate)),
+            "wd": _init(next(keys), (cfg.intermediate, cfg.hidden)),
+        }
+        if cfg.attn_bias:
+            layer["bq"] = jnp.zeros((cfg.heads * hd,), jnp.float32)
+            layer["bk"] = jnp.zeros((cfg.kv_heads * hd,), jnp.float32)
+            layer["bv"] = jnp.zeros((cfg.kv_heads * hd,), jnp.float32)
+        p["layers"].append(layer)
+    return p
+
+
+def stack_decoder_params(params: Params) -> Params:
+    layers = params["layers"]
+    if isinstance(layers, dict):
+        return params
+    out = dict(params)
+    out["layers"] = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+    return out
+
+
+def cast_decoder_params(params: Params, dtype) -> Params:
+    def cast(path, x):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name in ("ln1", "ln2", "final_norm") or name.startswith("b"):
+            return x
+        return x.astype(dtype)
+
+    return jax.tree_util.tree_map_with_path(cast, params)
+
+
+# ---------------------------------------------------------------------------
+# forward pieces
+# ---------------------------------------------------------------------------
+
+
+def _rms_norm(x, scale, eps):
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+    return (x32 * jax.lax.rsqrt(var + eps) * scale).astype(x.dtype)
+
+
+def _rope(x, positions, theta):
+    """Half-split rotary embedding (HF llama rotate_half convention).
+
+    x: [B, T, H, Dh]; positions: [B, T] int32.
+    """
+    b, t, h, d = x.shape
+    half = d // 2
+    freqs = theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    ang = positions.astype(jnp.float32)[:, :, None] * freqs[None, None, :]
+    cos = jnp.cos(ang)[:, :, None, :]  # [B, T, 1, half]
+    sin = jnp.sin(ang)[:, :, None, :]
+    x1, x2 = x[..., :half].astype(jnp.float32), x[..., half:].astype(jnp.float32)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+def _layer(x, layer, cache_kv, positions, mask_bias, cfg: DecoderConfig):
+    """One decoder block over T new tokens against a C-slot KV cache.
+
+    x: [B, T, H]; cache_kv: (k, v) each [B, KvH, C, Dh] — the new T
+    entries are already written at ``positions``; mask_bias: [B, T, C].
+    """
+    dt = x.dtype
+    hd, nh, nkv = cfg.hd, cfg.heads, cfg.kv_heads
+    b, t, _ = x.shape
+    h = _rms_norm(x, layer["ln1"], cfg.norm_eps)
+    q = h @ layer["wq"].astype(dt)
+    if cfg.attn_bias:
+        q = q + layer["bq"].astype(dt)
+    q = _rope(q.reshape(b, t, nh, hd), positions, cfg.rope_theta)
+
+    k_cache, v_cache = cache_kv  # [B, KvH, C, Dh]
+    group = nh // nkv
+    qg = q.reshape(b, t, nkv, group, hd)
+    logits = jnp.einsum(
+        "btngd,bncd->btngc", qg, k_cache, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.float32(hd))
+    logits = logits + mask_bias[:, :, None, None, :]
+    probs = jax.nn.softmax(logits, axis=-1).astype(dt)
+    ctx = jnp.einsum("btngc,bncd->btngd", probs, v_cache)
+    ctx = ctx.reshape(b, t, nh * hd)
+    x = x + ctx @ layer["wo"].astype(dt)
+
+    h = _rms_norm(x, layer["ln2"], cfg.norm_eps)
+    gate = jax.nn.silu(h @ layer["wg"].astype(dt))
+    up = h @ layer["wu"].astype(dt)
+    x = x + (gate * up) @ layer["wd"].astype(dt)
+    return x
+
+
+def _project_kv(x_normed, layer, positions, cfg: DecoderConfig):
+    """K/V for T new tokens: [B, T, KvH, Dh] (K already rotated)."""
+    dt = x_normed.dtype
+    b, t, _ = x_normed.shape
+    k = x_normed @ layer["wk"].astype(dt)
+    v = x_normed @ layer["wv"].astype(dt)
+    if cfg.attn_bias:
+        k = k + layer["bk"].astype(dt)
+        v = v + layer["bv"].astype(dt)
+    k = _rope(k.reshape(b, t, cfg.kv_heads, cfg.hd), positions, cfg.rope_theta)
+    v = v.reshape(b, t, cfg.kv_heads, cfg.hd)
+    return k, v
+
+
+def init_cache(cfg: DecoderConfig, batch: int) -> tuple[jax.Array, jax.Array]:
+    """KV ring: (k, v), each [L, B, KvH, C, Dh] in cfg.dtype."""
+    shape = (cfg.layers, batch, cfg.kv_heads, cfg.max_cache, cfg.hd)
+    return jnp.zeros(shape, cfg.dtype), jnp.zeros(shape, cfg.dtype)
+
+
+def decoder_forward(
+    params: Params,  # stacked (see stack_decoder_params)
+    tokens: jax.Array,  # [B, T] int32 — new tokens
+    cache: tuple[jax.Array, jax.Array],  # KV ring [L, B, KvH, C, Dh]
+    start_pos: jax.Array,  # [B] int32 — absolute position of tokens[:, 0]
+    cfg: DecoderConfig,
+) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
+    """Run T tokens (prefill T>1, decode T=1) against the cache.
+
+    Returns (logits [B, T, V] f32, updated cache). Causality: token i may
+    attend to all cache slots < start+i+1; cache slots beyond the current
+    length are masked by position.
+    """
+    dt = cfg.dtype
+    b, t = tokens.shape
+    c = cfg.max_cache
+    x = jnp.take(params["embed"], tokens, axis=0).astype(dt)
+    positions = start_pos[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+
+    # attention bias [B, T, C]: slot j visible to token i iff j <= pos_i
+    slot = jnp.arange(c, dtype=jnp.int32)
+    mask = slot[None, None, :] <= positions[:, :, None]
+    mask_bias = jnp.where(mask, 0.0, -1e9).astype(jnp.float32)
+
+    k_ring, v_ring = cache
+
+    def body(carry, inputs):
+        x = carry
+        layer, k_layer, v_layer = inputs
+        h = _rms_norm(x, layer["ln1"], cfg.norm_eps)
+        k_new, v_new = _project_kv(h, layer, positions, cfg)
+        # write the T new entries at start_pos (per batch row)
+        def write(ring, new):
+            # ring [B, KvH, C, Dh]; new [B, T, KvH, Dh]
+            def one(ring_b, new_b, pos0):
+                return jax.lax.dynamic_update_slice(
+                    ring_b, new_b.transpose(1, 0, 2), (0, pos0, 0)
+                )
+
+            return jax.vmap(one)(ring, new, start_pos)
+
+        k_layer = write(k_layer, k_new.astype(dt))
+        v_layer = write(v_layer, v_new.astype(dt))
+        x = _layer(x, layer, (k_layer, v_layer), positions, mask_bias, cfg)
+        return x, (k_layer, v_layer)
+
+    layers = params["layers"]
+    x, (k_ring, v_ring) = jax.lax.scan(body, x, (layers, k_ring, v_ring))
+    x = _rms_norm(x, params["final_norm"], cfg.norm_eps)
+    head = params.get("lm_head")
+    if head is None:
+        head = params["embed"].T
+    logits = (x @ head.astype(dt)).astype(jnp.float32)
+    return logits, (k_ring, v_ring)
+
+
+# ---------------------------------------------------------------------------
+# sampling + chunked generation
+# ---------------------------------------------------------------------------
+
+
+def sample_token(
+    logits: jax.Array,  # [B, V] f32
+    key: jax.Array,
+    temperature: float | jax.Array,
+    top_p: float | jax.Array,
+) -> jax.Array:
+    """Temperature + nucleus sampling; temperature <= 0 means greedy."""
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    temp = jnp.maximum(jnp.asarray(temperature, jnp.float32), 1e-4)
+    scaled = logits / temp
+    probs = jax.nn.softmax(scaled, axis=-1)
+    sorted_p = jnp.sort(probs, axis=-1)[:, ::-1]
+    csum = jnp.cumsum(sorted_p, axis=-1)
+    # smallest set with cumulative mass >= top_p; keep at least 1
+    cutoff_count = jnp.sum(csum < jnp.asarray(top_p, jnp.float32), axis=-1) + 1
+    kth = jnp.take_along_axis(
+        sorted_p, (cutoff_count - 1)[:, None], axis=-1
+    )  # [B, 1] smallest kept prob
+    masked = jnp.where(probs >= kth, scaled, -jnp.inf)
+    sampled = jax.random.categorical(key, masked, axis=-1).astype(jnp.int32)
+    return jnp.where(jnp.asarray(temperature) <= 0.0, greedy, sampled)
+
+
+def generate_chunk(
+    params: Params,
+    cache: tuple[jax.Array, jax.Array],
+    token: jax.Array,  # [B] int32 — next token to feed (not yet written)
+    pos: jax.Array,  # [B] int32 — its absolute position
+    key: jax.Array,
+    cfg: DecoderConfig,
+    *,
+    n_steps: int,
+    temperature: float,
+    top_p: float,
+    eos_id: int,
+) -> tuple[jax.Array, tuple[jax.Array, jax.Array], jax.Array, jax.Array]:
+    """Generate n_steps tokens device-side in one dispatch.
+
+    Caller protocol: prefill with :func:`decoder_forward` over the
+    prompt, sample the first token from the final logits (that token is
+    *emitted by the caller*), then call this with (token=first_sampled,
+    pos=prompt_len). Each step writes ``token`` into the cache and emits
+    the next sample; after eos the stream freezes on eos (callers stop
+    at the first one). Returns (tokens [B, n_steps], cache, next_token,
+    next_pos) for chaining chunks.
+    """
+
+    def step(carry, k_step):
+        cache, tok, pos, done = carry
+        logits, cache = decoder_forward(
+            params, tok[:, None], cache, pos, cfg
+        )
+        nxt = sample_token(logits[:, -1, :], k_step, temperature, top_p)
+        nxt = jnp.where(done, jnp.int32(eos_id), nxt)
+        done = jnp.logical_or(done, nxt == eos_id)
+        return (cache, nxt, pos + 1, done), nxt
+
+    done0 = jnp.zeros(token.shape, bool)
+    keys = jax.random.split(key, n_steps)
+    (cache, tok, pos, _), toks = jax.lax.scan(
+        step, (cache, token, pos, done0), keys
+    )
+    return toks.T, cache, tok, pos

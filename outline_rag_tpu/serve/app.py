@@ -129,11 +129,33 @@ def build_app(
         async def retrieve(self, query: str):
             return await batcher.retrieve(query)
     if provider is None:
-        if settings.llm_api_base:
+        if settings.decoder_weights_path:
+            # fully-local generation: Llama/Qwen-family decoder on-TPU
+            try:
+                from transformers import AutoTokenizer
+
+                from outline_rag_tpu.models.convert import load_pretrained_decoder
+                from outline_rag_tpu.serve.llm import LocalChatProvider
+
+                dec_cfg, dec_params = load_pretrained_decoder(
+                    settings.decoder_weights_path
+                )
+                provider = LocalChatProvider(
+                    dec_params,
+                    dec_cfg,
+                    AutoTokenizer.from_pretrained(settings.decoder_weights_path),
+                    max_new_tokens=settings.decoder_max_new_tokens,
+                )
+            except Exception:
+                log.exception(
+                    "failed to load decoder from %s; falling back",
+                    settings.decoder_weights_path,
+                )
+        if provider is None and settings.llm_api_base:
             provider = OpenAICompatProvider(
                 settings.llm_api_base, settings.llm_api_key, bus=bus
             )
-        else:
+        if provider is None:
             provider = FakeChatProvider()
     outline = (
         OutlineClient(

@@ -179,3 +179,195 @@ class FakeChatProvider:
         words = (f"Answer based on: {ctx[:160]}" or "I have no context").split()
         for w in words[: self.answer_words]:
             yield {"content": w + " ", "thinking": None, "model": model}
+
+
+class LocalChatProvider:
+    """On-TPU decoder LM behind the same provider seam.
+
+    The reference can ONLY call a remote API for generation (reference
+    ``app/llm_services.py:151``); this provider runs a Llama/Qwen-family
+    checkpoint on the chip (``models/decoder.py``), so embed -> retrieve
+    -> rerank -> generate all execute locally. Generation is dispatched
+    in token *chunks* (device-side ``lax.scan`` with sampling fused in),
+    and each chunk's new text streams out as a delta — the same
+    {"content", "thinking", "model"} contract as the remote provider.
+    """
+
+    def __init__(
+        self,
+        params,
+        cfg,
+        tokenizer,  # needs .encode(str)->list[int], .decode(list[int])->str;
+        # HF tokenizers (with chat templates) and the test stub both fit
+        eos_id: int | None = None,
+        chunk_tokens: int = 16,
+        max_new_tokens: int = 512,
+        model_name: str = "local-tpu",
+        prompt_buckets: tuple = (64, 128, 256, 512, 1024, 2048),
+    ):
+        import functools
+
+        import jax
+
+        from outline_rag_tpu.models.decoder import (
+            cast_decoder_params,
+            decoder_forward,
+            generate_chunk,
+            init_cache,
+            stack_decoder_params,
+        )
+
+        self.cfg = cfg
+        self.params = stack_decoder_params(cast_decoder_params(params, cfg.dtype))
+        self.tokenizer = tokenizer
+        self.eos_id = eos_id if eos_id is not None else getattr(
+            tokenizer, "eos_token_id", 2
+        )
+        self.chunk_tokens = chunk_tokens
+        self.max_new_tokens = max_new_tokens
+        self.model_name = model_name
+        self.prompt_buckets = tuple(
+            b for b in prompt_buckets if b <= cfg.max_cache
+        ) or (cfg.max_cache,)
+        self._init_cache = lambda: init_cache(cfg, 1)
+        self._prefill = jax.jit(
+            lambda p, toks, cache, start: decoder_forward(
+                p, toks, cache, start, cfg
+            )
+        )
+        self._chunk = jax.jit(
+            functools.partial(
+                generate_chunk,
+                cfg=cfg,
+                n_steps=chunk_tokens,
+                eos_id=self.eos_id,
+            ),
+            static_argnames=("temperature", "top_p"),
+        )
+
+    # -- prompt rendering -------------------------------------------------
+
+    def _render(self, messages: list[dict]) -> str:
+        tok = self.tokenizer
+        if hasattr(tok, "apply_chat_template"):
+            try:
+                return tok.apply_chat_template(
+                    messages, tokenize=False, add_generation_prompt=True
+                )
+            except Exception:  # no template in the checkpoint
+                pass
+        parts = [f"{m['role']}: {m['content']}" for m in messages]
+        return "\n".join(parts) + "\nassistant:"
+
+    def _encode_prompt(self, text: str) -> list[int]:
+        ids = self.tokenizer.encode(text)
+        if hasattr(ids, "ids"):  # raw tokenizers.Encoding
+            ids = ids.ids
+        limit = self.cfg.max_cache - self.max_new_tokens - 1
+        return list(ids)[-max(limit, 8):]
+
+    # -- blocking generator (runs under asyncio.to_thread) ----------------
+
+    def _generate_blocking(self, messages, temperature, top_p, max_new):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        ids = self._encode_prompt(self._render(messages))
+        t = len(ids)
+        bucket = next((b for b in self.prompt_buckets if b >= t),
+                      self.prompt_buckets[-1])
+        padded = ids + [0] * (bucket - t)
+        cache = self._init_cache()
+        logits, cache = self._prefill(
+            self.params,
+            jnp.asarray([padded], jnp.int32),
+            cache,
+            jnp.zeros((1,), jnp.int32),
+        )
+        # sampling params are static jit args: quantize to limit variants
+        temp = round(float(temperature or 0.0), 2)
+        tp = round(float(top_p if top_p is not None else 1.0), 2)
+        key = jax.random.key(abs(hash(tuple(ids))) % (2**31))
+        from outline_rag_tpu.models.decoder import sample_token
+
+        tok = sample_token(logits[:, t - 1, :], key, temp, tp)
+        out_ids: list[int] = []
+        pos = t
+        emitted = ""
+
+        def flush():
+            nonlocal emitted
+            text = self.tokenizer.decode(out_ids) if out_ids else ""
+            # hold back while the tail is an incomplete UTF-8 sequence
+            if text and not text.endswith("�") and len(text) > len(emitted):
+                piece = text[len(emitted):]
+                emitted = text
+                return piece
+            return None
+
+        if int(tok[0]) == self.eos_id:
+            return
+        out_ids.append(int(tok[0]))
+        piece = flush()
+        if piece:
+            yield piece
+        while len(out_ids) < max_new:
+            key, sub = jax.random.split(key)
+            toks, cache, tok, _ = self._chunk(
+                self.params, cache, tok,
+                jnp.full((1,), pos, jnp.int32), sub,
+                temperature=temp, top_p=tp,
+            )
+            pos += self.chunk_tokens
+            chunk = [int(x) for x in np.asarray(toks)[0]]
+            stop = self.eos_id in chunk
+            if stop:
+                chunk = chunk[: chunk.index(self.eos_id)]
+            out_ids.extend(chunk)
+            piece = flush()
+            if piece:
+                yield piece
+            if stop:
+                break
+
+    async def complete(
+        self, model, messages, temperature=0.0, top_p=None,
+        json_mode=False, max_tokens=None,
+    ) -> str:
+        import asyncio
+
+        def run():
+            return "".join(
+                self._generate_blocking(
+                    messages, temperature, top_p, max_tokens or self.max_new_tokens
+                )
+            )
+
+        return await asyncio.to_thread(run)
+
+    async def stream(
+        self, model, messages, temperature=0.7, top_p=0.9, extra_body=None
+    ):
+        import asyncio
+        import queue as _q
+
+        q: _q.Queue = _q.Queue()
+        DONE = object()
+
+        def worker():
+            try:
+                for piece in self._generate_blocking(
+                    messages, temperature, top_p, self.max_new_tokens
+                ):
+                    q.put(piece)
+            finally:
+                q.put(DONE)
+
+        task = asyncio.get_running_loop().run_in_executor(None, worker)
+        while True:
+            piece = await asyncio.to_thread(q.get)
+            if piece is DONE:
+                break
+            yield {"content": piece, "thinking": None, "model": self.model_name}
+        await task

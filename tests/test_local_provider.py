@@ -1,0 +1,126 @@
+"""LocalChatProvider: on-TPU generation behind the provider seam.
+
+With a tiny random decoder the text is gibberish — these tests pin the
+*plumbing*: streaming deltas, termination, eos handling, and the full
+SSE ask path falling back to the General chain when the local model's
+classifier output is unparseable (fail-open contract)."""
+
+import asyncio
+
+import jax
+import pytest
+
+from outline_rag_tpu.models.decoder import DecoderConfig, init_decoder_params
+from outline_rag_tpu.serve.llm import LocalChatProvider
+
+
+class StubTok:
+    """Reversible-enough tokenizer stub (no HF asset needed)."""
+
+    eos_token_id = 0
+
+    def encode(self, text: str):
+        return [1 + (b % 250) for b in text.encode()][:120]
+
+    def decode(self, ids):
+        return "".join(chr(97 + (i % 26)) for i in ids)
+
+
+@pytest.fixture(scope="module")
+def provider():
+    cfg = DecoderConfig.tiny()
+    params = init_decoder_params(jax.random.key(0), cfg)
+    return LocalChatProvider(
+        params, cfg, StubTok(), chunk_tokens=8, max_new_tokens=24
+    )
+
+
+def test_stream_yields_and_terminates(provider):
+    async def run():
+        out = []
+        async for delta in provider.stream(
+            "local", [{"role": "user", "content": "hello"}],
+            temperature=0.7, top_p=0.9,
+        ):
+            assert set(delta) == {"content", "thinking", "model"}
+            out.append(delta["content"] or "")
+        return "".join(out)
+
+    text = asyncio.run(run())
+    assert 0 < len(text) <= 24 * 4
+
+
+def test_complete_returns_text(provider):
+    text = asyncio.run(
+        provider.complete(
+            "local", [{"role": "user", "content": "classify this"}],
+            temperature=0.0, max_tokens=12,
+        )
+    )
+    assert isinstance(text, str)
+
+
+def test_greedy_deterministic(provider):
+    msgs = [{"role": "user", "content": "same prompt"}]
+
+    async def once():
+        return await provider.complete("local", msgs, temperature=0.0)
+
+    a = asyncio.run(once())
+    b = asyncio.run(once())
+    assert a == b
+
+
+def test_ask_sse_with_local_provider():
+    """Full serve path: classifier (gibberish -> General fallback),
+    streamed answer, persistence — all on the local decoder."""
+    import json
+
+    from outline_rag_tpu.config import load_settings
+    from outline_rag_tpu.models.hash_embedder import HashEmbedder
+    from outline_rag_tpu.serve.app import build_app
+    from outline_rag_tpu.serve.http import TestClient
+    from outline_rag_tpu.storage import SqliteMetaStore
+
+    cfg = DecoderConfig.tiny()
+    params = init_decoder_params(jax.random.key(1), cfg)
+    provider = LocalChatProvider(
+        params, cfg, StubTok(), chunk_tokens=8, max_new_tokens=16
+    )
+    settings = load_settings(
+        {"SECRET_KEY": "k", "VECTOR_DIM": "64", "DATA_DIR": ""}
+    )
+    app = build_app(
+        settings,
+        provider=provider,
+        embedder=HashEmbedder(dim=64),
+        meta=SqliteMetaStore(":memory:"),
+        start_workers=False,
+    )
+
+    async def run():
+        client = TestClient(app)
+        await client.post(
+            "/chat/login", body=b"name=local",
+            headers={"content-type": "application/x-www-form-urlencoded"},
+        )
+        resp = await client.post(
+            "/chat/api/conversations", json_body={"title": "local"}
+        )
+        conv = json.loads(resp.body)
+        events = await client.sse(
+            "POST", "/chat/api/ask",
+            json_body={"conversation_id": conv["id"], "question": "hi there"},
+        )
+        content = "".join(
+            e["choices"][0]["delta"].get("content") or ""
+            for e in events
+            if isinstance(e, dict) and e.get("choices")
+        )
+        assert content  # something streamed end-to-end
+        msgs = json.loads(
+            (await client.get(f"/chat/api/conversations/{conv['id']}/messages")).body
+        )["messages"]
+        assert msgs[-1]["role"] == "assistant" and msgs[-1]["content"]
+
+    asyncio.run(run())
