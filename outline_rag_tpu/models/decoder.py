@@ -273,22 +273,33 @@ def sample_token(
     key: jax.Array,
     temperature: float | jax.Array,
     top_p: float | jax.Array,
+    top_k_cap: int = 64,
 ) -> jax.Array:
-    """Temperature + nucleus sampling; temperature <= 0 means greedy."""
+    """Temperature + nucleus sampling; temperature <= 0 means greedy.
+
+    The nucleus is taken within the top ``top_k_cap`` logits (the
+    standard top-k+top-p combination): a full-vocab sort per decode step
+    costs more than a whole transformer layer, while the probability
+    mass beyond the top-64 of a trained LM is negligible."""
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     temp = jnp.maximum(jnp.asarray(temperature, jnp.float32), 1e-4)
     scaled = logits / temp
-    probs = jax.nn.softmax(scaled, axis=-1)
-    sorted_p = jnp.sort(probs, axis=-1)[:, ::-1]
-    csum = jnp.cumsum(sorted_p, axis=-1)
-    # smallest set with cumulative mass >= top_p; keep at least 1
-    cutoff_count = jnp.sum(csum < jnp.asarray(top_p, jnp.float32), axis=-1) + 1
-    kth = jnp.take_along_axis(
-        sorted_p, (cutoff_count - 1)[:, None], axis=-1
-    )  # [B, 1] smallest kept prob
-    masked = jnp.where(probs >= kth, scaled, -jnp.inf)
-    sampled = jax.random.categorical(key, masked, axis=-1).astype(jnp.int32)
-    return jnp.where(jnp.asarray(temperature) <= 0.0, greedy, sampled)
+    cap = min(top_k_cap, scaled.shape[-1])
+    top_vals, top_idx = jax.lax.top_k(scaled, cap)  # [B, cap] desc
+    probs = jax.nn.softmax(top_vals, axis=-1)
+    csum = jnp.cumsum(probs, axis=-1)
+    # smallest prefix with cumulative mass >= top_p; keep at least 1
+    keep = jnp.concatenate(
+        [jnp.ones((scaled.shape[0], 1), bool),
+         csum[:, :-1] < jnp.asarray(top_p, jnp.float32)],
+        axis=1,
+    )
+    masked = jnp.where(keep, top_vals, -jnp.inf)
+    choice = jax.random.categorical(key, masked, axis=-1)  # [B] in [0, cap)
+    sampled = jnp.take_along_axis(top_idx, choice[:, None], axis=-1)[:, 0]
+    return jnp.where(
+        jnp.asarray(temperature) <= 0.0, greedy, sampled.astype(jnp.int32)
+    )
 
 
 def generate_chunk(
