@@ -105,7 +105,13 @@ class VectorIndex:
             elif self.dtype == "bfloat16":
                 pass  # cast happens on device append
             if len(chunk_ids) > self._shard.free:
-                self._grow(len(chunk_ids))
+                # churn case (the delta-update protocol tombstones before
+                # re-adding): if dropping tombstones makes room, compact
+                # at the same capacity instead of doubling HBM
+                if self.size + len(chunk_ids) <= self._shard.capacity:
+                    self.compact()
+                else:
+                    self._grow(len(chunk_ids))
             start = self._shard.cursor
             rows = self._shard.append(chunk_ids, vecs, scales)
             if self.tokens is not None and token_ids is not None:

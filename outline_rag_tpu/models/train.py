@@ -83,6 +83,48 @@ def load_train_state(path: str, template: TrainState) -> TrainState:
     return ckptr.restore(os.path.abspath(path), item=template)
 
 
+def reranker_loss(
+    params: Params,
+    pair_ids: jax.Array,  # [B*group, T] pair sequences, positives first
+    pair_mask: jax.Array,  # [B*group, T]
+    cfg: EncoderConfig,
+    group: int,
+) -> jax.Array:
+    """Cross-encoder fine-tuning (the bge-reranker recipe): each query
+    contributes ``group`` pairs — its positive chunk at slot 0 followed
+    by group-1 hard negatives — and the loss is cross-entropy over the
+    group's relevance scores."""
+    from outline_rag_tpu.models.reranker import reranker_forward
+
+    scores = reranker_forward(params, pair_ids, pair_mask, cfg)  # [B*group]
+    logits = scores.reshape(-1, group)
+    labels = jnp.zeros((logits.shape[0],), jnp.int32)
+    return jnp.mean(
+        optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    )
+
+
+def make_reranker_train_step(cfg: EncoderConfig, optimizer, group: int):
+    """Jittable (state, batch) -> (state, metrics) for the cross-encoder.
+    ``batch`` = dict(pair_ids, pair_mask) with group pairs per query."""
+
+    def step(state: TrainState, batch: dict) -> tuple[TrainState, dict]:
+        def loss_fn(p):
+            return reranker_loss(
+                p, batch["pair_ids"], batch["pair_mask"], cfg, group
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(params=params, opt_state=opt_state, step=state.step + 1),
+            {"loss": loss},
+        )
+
+    return step
+
+
 def make_train_step(
     cfg: EncoderConfig, optimizer, temperature: float = 0.05, remat: bool = False
 ):

@@ -88,6 +88,20 @@ def test_growth(rng):
     assert got_ids[0][0] == "c1400"
 
 
+def test_churn_compacts_instead_of_growing(rng):
+    """Repeated delete+re-add (the delta-update protocol) must reclaim
+    tombstoned rows at the same capacity, not double HBM every cycle."""
+    idx = VectorIndex(dim=DIM, capacity=1024, dtype="float32")
+    for cycle in range(4):
+        vecs = _vecs(rng, 600)
+        ids = [f"v{cycle}:{i}" for i in range(600)]
+        idx.add_chunks(ids, vecs, source_id="doc")  # replace tombstones prior
+        assert idx.size == 600
+        assert idx._shard.capacity == 1024, f"grew on cycle {cycle}"
+        got, _ = idx.query(vecs[123:124], k=1)
+        assert got[0][0] == f"v{cycle}:123"
+
+
 def test_int8_mode(rng):
     idx = VectorIndex(dim=DIM, capacity=2048, dtype="int8")
     vecs = _vecs(rng, 50)

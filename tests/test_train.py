@@ -106,3 +106,30 @@ def test_remat_scan_train_step_matches():
     np.testing.assert_allclose(
         float(m_list["loss"]), float(m_scan["loss"]), rtol=1e-5
     )
+
+
+def test_reranker_loss_decreases():
+    """Cross-encoder fine-tuning: loss falls over steps on a fixed batch."""
+    from outline_rag_tpu.models.reranker import init_reranker_params
+    from outline_rag_tpu.models.train import make_reranker_train_step
+
+    cfg = EncoderConfig.tiny()
+    params = init_reranker_params(jax.random.key(0), cfg)
+    opt = make_optimizer(lr=3e-4)
+    state = init_train_state(params, opt)
+    group = 4
+    step = jax.jit(make_reranker_train_step(cfg, opt, group))
+    rng = np.random.default_rng(1)
+    b, s = 4, 24
+    batch = {
+        "pair_ids": jnp.asarray(
+            rng.integers(3, cfg.vocab_size, size=(b * group, s)).astype(np.int32)
+        ),
+        "pair_mask": jnp.ones((b * group, s), jnp.int32),
+    }
+    losses = []
+    for _ in range(6):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
