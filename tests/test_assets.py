@@ -39,8 +39,11 @@ def test_real_assets_minify():
         js = f.read()
     out = minify_js(js)
     assert len(out) < len(js)
-    assert out.count("{") == out.count("}")
-    assert out.count("(") == out.count(")")
+    # the minifier must not eat brackets; raw counts can be legitimately
+    # unbalanced as text (regex char classes like [^)\s]), so compare the
+    # input/output imbalance instead of asserting absolute balance
+    assert out.count("{") - out.count("}") == js.count("{") - js.count("}")
+    assert out.count("(") - out.count(")") == js.count("(") - js.count(")")
     with open(os.path.join(static, "style.css")) as f:
         css = f.read()
     outc = minify_css(css)
