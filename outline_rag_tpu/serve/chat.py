@@ -71,20 +71,11 @@ class ChatPipeline:
     # -- stages ---------------------------------------------------------
 
     async def classify(self, question: str, history_text: str) -> str:
+        from outline_rag_tpu.utils.profiling import metrics
+
         try:
-            raw = await self.provider.complete(
-                self.s.base_chat_model,
-                [
-                    {
-                        "role": "user",
-                        "content": self.s.classifier_prompt.format(
-                            history=history_text, question=question
-                        ),
-                    }
-                ],
-                temperature=0.0,
-                json_mode=True,
-            )
+            with metrics.timeit("llm.classify"):
+                raw = await self._classify_call(question, history_text)
             category = json.loads(raw).get("category", "General")
             if category not in ("Query", "Creative", "Roleplay", "General"):
                 return "General"
@@ -93,22 +84,40 @@ class ChatPipeline:
             log.warning("classifier failed; routing to General", exc_info=True)
             return "General"
 
+    async def _classify_call(self, question: str, history_text: str) -> str:
+        return await self.provider.complete(
+            self.s.base_chat_model,
+            [
+                {
+                    "role": "user",
+                    "content": self.s.classifier_prompt.format(
+                        history=history_text, question=question
+                    ),
+                }
+            ],
+            temperature=0.0,
+            json_mode=True,
+        )
+
     async def rewrite(self, question: str, history_text: str) -> str:
+        from outline_rag_tpu.utils.profiling import metrics
+
         if not history_text.strip():
             return question
         try:
-            out = await self.provider.complete(
-                self.s.base_chat_model,
-                [
-                    {
-                        "role": "user",
-                        "content": self.s.rewrite_prompt.format(
-                            history=history_text, question=question
-                        ),
-                    }
-                ],
-                temperature=0.0,
-            )
+            with metrics.timeit("llm.rewrite"):
+                out = await self.provider.complete(
+                    self.s.base_chat_model,
+                    [
+                        {
+                            "role": "user",
+                            "content": self.s.rewrite_prompt.format(
+                                history=history_text, question=question
+                            ),
+                        }
+                    ],
+                    temperature=0.0,
+                )
             return out.strip() or question
         except Exception:
             log.warning("rewrite failed; using raw question", exc_info=True)
