@@ -282,24 +282,26 @@ def sample_token(
     costs more than a whole transformer layer, while the probability
     mass beyond the top-64 of a trained LM is negligible."""
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    temp = jnp.maximum(jnp.asarray(temperature, jnp.float32), 1e-4)
-    scaled = logits / temp
+    # temperature/top_p accept scalars or per-row [B] arrays (the
+    # continuous batcher mixes requests with different sampling params)
+    temp = jnp.broadcast_to(
+        jnp.asarray(temperature, jnp.float32), (logits.shape[0],)
+    )
+    tp = jnp.broadcast_to(jnp.asarray(top_p, jnp.float32), (logits.shape[0],))
+    scaled = logits / jnp.maximum(temp, 1e-4)[:, None]
     cap = min(top_k_cap, scaled.shape[-1])
     top_vals, top_idx = jax.lax.top_k(scaled, cap)  # [B, cap] desc
     probs = jax.nn.softmax(top_vals, axis=-1)
     csum = jnp.cumsum(probs, axis=-1)
     # smallest prefix with cumulative mass >= top_p; keep at least 1
     keep = jnp.concatenate(
-        [jnp.ones((scaled.shape[0], 1), bool),
-         csum[:, :-1] < jnp.asarray(top_p, jnp.float32)],
+        [jnp.ones((scaled.shape[0], 1), bool), csum[:, :-1] < tp[:, None]],
         axis=1,
     )
     masked = jnp.where(keep, top_vals, -jnp.inf)
     choice = jax.random.categorical(key, masked, axis=-1)  # [B] in [0, cap)
     sampled = jnp.take_along_axis(top_idx, choice[:, None], axis=-1)[:, 0]
-    return jnp.where(
-        jnp.asarray(temperature) <= 0.0, greedy, sampled.astype(jnp.int32)
-    )
+    return jnp.where(temp <= 0.0, greedy, sampled.astype(jnp.int32))
 
 
 def generate_chunk(

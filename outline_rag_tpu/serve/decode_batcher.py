@@ -1,0 +1,260 @@
+"""Continuous batching for the on-TPU chat decoder.
+
+One device program serves N concurrent conversations: the KV cache is a
+``[L, B_slots, KvH, C, Dh]`` ring, each slot owns a row, and requests
+join/leave at chunk boundaries — the vLLM-style scheduling idea expressed
+in JAX terms. Per-row state that varies across requests (position,
+temperature, top_p, done) is *traced*, so admission never recompiles:
+the decode-chunk program is compiled once per (slots, chunk) and reused
+for the life of the process.
+
+Row isolation is structural: attention in ``models/decoder.py`` runs
+within each batch row's own cache slots, so a finished/inactive row
+decoding garbage cannot influence its neighbours; its position is
+clamped below capacity and its writes land in its own row.
+
+Host side is a single worker thread (one chip = one writer) that:
+  admit:  prefill the prompt into a fresh 1-row cache (bucketed widths),
+          scatter it into the slot row (``dynamic_update_slice``),
+  step:   run one chunked decode over the whole batch,
+  emit:   push each active row's new token ids to its request queue.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from typing import Any
+
+import numpy as np
+
+DONE = object()  # sentinel on request queues
+
+
+@dataclasses.dataclass
+class _Request:
+    prompt_ids: list[int]
+    temperature: float
+    top_p: float
+    max_new: int
+    out: "queue.Queue[Any]"
+    seed: int
+
+
+class DecodeBatcher:
+    def __init__(
+        self,
+        params,
+        cfg,
+        slots: int = 4,
+        chunk_tokens: int = 8,
+        eos_id: int = 2,
+        prompt_buckets: tuple = (64, 128, 256, 512, 1024, 2048),
+    ):
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        from outline_rag_tpu.models.decoder import (
+            decoder_forward,
+            init_cache,
+            sample_token,
+        )
+
+        self._jax, self._jnp = jax, jnp
+        self.params = params
+        self.cfg = cfg
+        self.slots = slots
+        self.chunk_tokens = chunk_tokens
+        self.eos_id = eos_id
+        self.prompt_buckets = tuple(
+            b for b in prompt_buckets if b <= cfg.max_cache
+        ) or (cfg.max_cache,)
+
+        self.cache = init_cache(cfg, slots)
+        self._init_row_cache = functools.partial(init_cache, cfg, 1)
+        self.tok = np.zeros((slots,), np.int32)
+        self.pos = np.zeros((slots,), np.int32)
+        self.temp = np.zeros((slots,), np.float32)
+        self.tp = np.ones((slots,), np.float32)
+        self.active: list[_Request | None] = [None] * slots
+        self.produced = [0] * slots
+        self.pending: "queue.Queue[_Request]" = queue.Queue()
+        self._wake = threading.Event()
+        self._stop = False
+        self._key = jax.random.key(0)
+
+        self._prefill = jax.jit(
+            lambda p, toks, cache: decoder_forward(
+                p, toks, cache, jnp.zeros((1,), jnp.int32), cfg
+            )
+        )
+
+        def insert(cache, row_cache, row):
+            k, v = cache
+            k1, v1 = row_cache
+            idx = (0, row, 0, 0, 0)
+            return (
+                jax.lax.dynamic_update_slice(k, k1, idx),
+                jax.lax.dynamic_update_slice(v, v1, idx),
+            )
+
+        self._insert = jax.jit(insert)
+
+        def step_chunk(p, cache, tok, pos, key, temp, tp, active):
+            cap = cfg.max_cache - 2
+
+            def body(carry, k_step):
+                cache, tok, pos, done = carry
+                logits, cache = decoder_forward(p, tok[:, None], cache, pos, cfg)
+                nxt = sample_token(logits[:, -1, :], k_step, temp, tp)
+                nxt = jnp.where(done, jnp.int32(eos_id), nxt)
+                done = jnp.logical_or(done, nxt == eos_id)
+                pos = jnp.minimum(pos + 1, cap)
+                return (cache, nxt, pos, done), nxt
+
+            done0 = jnp.logical_not(active)
+            keys = jax.random.split(key, chunk_tokens)
+            (cache, tok, pos, _), toks = jax.lax.scan(
+                body, (cache, tok, pos, done0), keys
+            )
+            return toks.T, cache, tok, pos
+
+        self._step_chunk = jax.jit(step_chunk)
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    # -- public API (thread-safe) -----------------------------------------
+
+    def submit(
+        self,
+        prompt_ids: list[int],
+        temperature: float,
+        top_p: float,
+        max_new: int,
+        seed: int = 0,
+    ) -> "queue.Queue[Any]":
+        """Enqueue a request; returns a queue yielding lists of token ids
+        and finally the DONE sentinel."""
+        out: "queue.Queue[Any]" = queue.Queue()
+        limit = self.cfg.max_cache - max_new - 2
+        prompt_ids = list(prompt_ids)[-max(limit, 4):]
+        self.pending.put(
+            _Request(prompt_ids, float(temperature), float(top_p), max_new, out, seed)
+        )
+        self._wake.set()
+        return out
+
+    def close(self) -> None:
+        self._stop = True
+        self._wake.set()
+
+    # -- worker ------------------------------------------------------------
+
+    def _free_slot(self) -> int | None:
+        for i, r in enumerate(self.active):
+            if r is None:
+                return i
+        return None
+
+    def _admit(self, req: _Request, row: int) -> None:
+        jnp = self._jnp
+        jax = self._jax
+        from outline_rag_tpu.models.decoder import sample_token
+
+        t = len(req.prompt_ids)
+        bucket = next(
+            (b for b in self.prompt_buckets if b >= t), self.prompt_buckets[-1]
+        )
+        padded = req.prompt_ids + [0] * (bucket - t)
+        logits, row_cache = self._prefill(
+            self.params, jnp.asarray([padded], jnp.int32), self._init_row_cache()
+        )
+        key = jax.random.key(req.seed or (abs(hash(tuple(req.prompt_ids))) % (2**31)))
+        first = sample_token(
+            logits[:, t - 1, :],
+            key,
+            jnp.full((1,), req.temperature, jnp.float32),
+            jnp.full((1,), req.top_p, jnp.float32),
+        )
+        first_id = int(first[0])
+        if first_id == self.eos_id or req.max_new < 1:
+            req.out.put(DONE)
+            return
+        self.cache = self._insert(self.cache, row_cache, row)
+        self.tok[row] = first_id
+        self.pos[row] = t
+        self.temp[row] = req.temperature
+        self.tp[row] = req.top_p
+        self.active[row] = req
+        self.produced[row] = 1
+        req.out.put([first_id])
+
+    def _finish(self, row: int) -> None:
+        req = self.active[row]
+        self.active[row] = None
+        if req is not None:
+            req.out.put(DONE)
+
+    def _run(self) -> None:
+        jnp = self._jnp
+        jax = self._jax
+
+        while not self._stop:
+            # admit pending requests into free slots
+            while True:
+                row = self._free_slot()
+                if row is None:
+                    break
+                try:
+                    req = self.pending.get_nowait()
+                except queue.Empty:
+                    break
+                try:
+                    self._admit(req, row)
+                except Exception as e:  # surface failures to the caller
+                    req.out.put(e)
+                    req.out.put(DONE)
+
+            if not any(r is not None for r in self.active):
+                self._wake.wait(timeout=0.1)
+                self._wake.clear()
+                continue
+
+            active_mask = np.asarray(
+                [r is not None for r in self.active], bool
+            )
+            self._key, sub = jax.random.split(self._key)
+            toks, self.cache, tok_dev, pos_dev = self._step_chunk(
+                self.params,
+                self.cache,
+                jnp.asarray(self.tok),
+                jnp.asarray(self.pos),
+                sub,
+                jnp.asarray(self.temp),
+                jnp.asarray(self.tp),
+                jnp.asarray(active_mask),
+            )
+            toks_np = np.asarray(toks)  # [slots, chunk]
+            # np.array copies: np.asarray of a jax array is read-only and
+            # the admit path writes rows in place
+            self.tok = np.array(tok_dev, np.int32)
+            self.pos = np.array(pos_dev, np.int32)
+            for row, req in enumerate(self.active):
+                if req is None:
+                    continue
+                ids = toks_np[row].tolist()
+                stop = self.eos_id in ids
+                if stop:
+                    ids = ids[: ids.index(self.eos_id)]
+                room = req.max_new - self.produced[row]
+                if len(ids) >= room:
+                    ids = ids[:room]
+                    stop = True
+                self.produced[row] += len(ids)
+                if ids:
+                    req.out.put(ids)
+                if stop:
+                    self._finish(row)

@@ -204,6 +204,7 @@ class LocalChatProvider:
         max_new_tokens: int = 512,
         model_name: str = "local-tpu",
         prompt_buckets: tuple = (64, 128, 256, 512, 1024, 2048),
+        batch_slots: int = 0,  # >1 -> continuous batching across requests
     ):
         import functools
 
@@ -244,6 +245,18 @@ class LocalChatProvider:
             ),
             static_argnames=("temperature", "top_p"),
         )
+        self._batcher = None
+        if batch_slots and batch_slots > 1:
+            from outline_rag_tpu.serve.decode_batcher import DecodeBatcher
+
+            self._batcher = DecodeBatcher(
+                self.params,
+                cfg,
+                slots=batch_slots,
+                chunk_tokens=chunk_tokens,
+                eos_id=self.eos_id,
+                prompt_buckets=self.prompt_buckets,
+            )
 
     # -- prompt rendering -------------------------------------------------
 
@@ -324,12 +337,46 @@ class LocalChatProvider:
             stop = self.eos_id in chunk
             if stop:
                 chunk = chunk[: chunk.index(self.eos_id)]
+            room = max_new - len(out_ids)
+            if len(chunk) >= room:
+                chunk = chunk[:room]
+                stop = True
             out_ids.extend(chunk)
             piece = flush()
             if piece:
                 yield piece
             if stop:
                 break
+
+    def _batched_blocking(self, messages, temperature, top_p, max_new):
+        """Text-piece generator over the continuous batcher."""
+        from outline_rag_tpu.serve.decode_batcher import DONE as B_DONE
+
+        ids = self._encode_prompt(self._render(messages))
+        out_q = self._batcher.submit(
+            ids,
+            float(temperature or 0.0),
+            float(top_p if top_p is not None else 1.0),
+            max_new,
+        )
+        out_ids: list[int] = []
+        emitted = ""
+        while True:
+            item = out_q.get()
+            if item is B_DONE:
+                break
+            if isinstance(item, Exception):
+                raise item
+            out_ids.extend(item)
+            text = self.tokenizer.decode(out_ids)
+            if not text.endswith("�") and len(text) > len(emitted):
+                yield text[len(emitted):]
+                emitted = text
+
+    def _pieces(self, messages, temperature, top_p, max_new):
+        if self._batcher is not None:
+            return self._batched_blocking(messages, temperature, top_p, max_new)
+        return self._generate_blocking(messages, temperature, top_p, max_new)
 
     async def complete(
         self, model, messages, temperature=0.0, top_p=None,
@@ -339,7 +386,7 @@ class LocalChatProvider:
 
         def run():
             return "".join(
-                self._generate_blocking(
+                self._pieces(
                     messages, temperature, top_p, max_tokens or self.max_new_tokens
                 )
             )
@@ -357,7 +404,7 @@ class LocalChatProvider:
 
         def worker():
             try:
-                for piece in self._generate_blocking(
+                for piece in self._pieces(
                     messages, temperature, top_p, self.max_new_tokens
                 ):
                     q.put(piece)
