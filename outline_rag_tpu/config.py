@@ -246,6 +246,7 @@ class Settings:
     # provider runs on-TPU instead of calling an OpenAI-compatible API)
     decoder_weights_path: str = ""
     decoder_max_new_tokens: int = 512
+    decoder_batch_slots: int = 0  # >1 -> continuous batching across chats
     query_batch_window_ms: float = 4.0
     query_batch_max: int = 32
     lex_weight: float = 0.0  # >0 blends BGE-m3 lexical overlap into retrieval
@@ -346,6 +347,7 @@ def load_settings(env: dict[str, str] | None = None) -> Settings:
             reranker_weights_path=_env("RERANKER_WEIGHTS_PATH"),
             decoder_weights_path=_env("DECODER_WEIGHTS_PATH"),
             decoder_max_new_tokens=_env_int("DECODER_MAX_NEW_TOKENS", 512),
+            decoder_batch_slots=_env_int("DECODER_BATCH_SLOTS", 0),
             query_batch_window_ms=_env_float("QUERY_BATCH_WINDOW_MS", 4.0),
             query_batch_max=_env_int("QUERY_BATCH_MAX", 32),
             lex_weight=_env_float("LEX_WEIGHT", 0.0),

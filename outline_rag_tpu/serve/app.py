@@ -145,6 +145,7 @@ def build_app(
                     dec_cfg,
                     AutoTokenizer.from_pretrained(settings.decoder_weights_path),
                     max_new_tokens=settings.decoder_max_new_tokens,
+                    batch_slots=settings.decoder_batch_slots,
                 )
             except Exception:
                 log.exception(
