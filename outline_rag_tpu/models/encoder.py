@@ -379,6 +379,10 @@ def late_interaction_scores(
     mean over query tokens; the sim tensor is small (K=12, T<=192) so XLA
     keeps the whole thing fused on device.
     """
+    if precision is None and q_vecs.dtype == jnp.float32:
+        # the [B,K,Tq,Tc] tensor is tiny (K=12, T<=192); full fp32 MXU
+        # passes keep the score exact vs the reference implementation
+        precision = jax.lax.Precision.HIGHEST
     sim = jnp.einsum(
         "bqh,bkth->bkqt", q_vecs, c_vecs, preferred_element_type=jnp.float32,
         precision=precision,

@@ -148,8 +148,20 @@ class DecodeBatcher:
         return out
 
     def close(self) -> None:
+        """Stop the worker; active and pending requests get DONE so no
+        caller blocks forever on a dead batcher."""
         self._stop = True
         self._wake.set()
+        self._thread.join(timeout=10)
+        for row, req in enumerate(self.active):
+            if req is not None:
+                self.active[row] = None
+                req.out.put(DONE)
+        while True:
+            try:
+                self.pending.get_nowait().out.put(DONE)
+            except queue.Empty:
+                break
 
     # -- worker ------------------------------------------------------------
 

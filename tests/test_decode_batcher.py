@@ -137,3 +137,27 @@ def test_provider_batched_stream_parity(setup):
     solo = [asyncio.run(run(prov_s, "alpha")), asyncio.run(run(prov_s, "beta"))]
     assert batched == solo
     prov_b._batcher.close()
+
+
+def test_close_releases_waiters(setup):
+    """close() must unblock in-flight and queued requests."""
+    cfg, params = setup
+    from outline_rag_tpu.models.decoder import (
+        cast_decoder_params,
+        stack_decoder_params,
+    )
+
+    stacked = stack_decoder_params(cast_decoder_params(params, cfg.dtype))
+    batcher = DecodeBatcher(stacked, cfg, slots=1, chunk_tokens=2, eos_id=0)
+    q1 = batcher.submit([5, 9], 0.0, 1.0, 1000)  # long-running
+    q2 = batcher.submit([7, 7], 0.0, 1.0, 1000)  # queued behind 1 slot
+    q1.get(timeout=30)  # first token flowing
+    batcher.close()
+
+    def drain(q):
+        while True:
+            item = q.get(timeout=10)
+            if item is DONE:
+                return True
+
+    assert drain(q1) and drain(q2)
