@@ -141,6 +141,8 @@ class DecodeBatcher:
         out: "queue.Queue[Any]" = queue.Queue()
         limit = self.cfg.max_cache - max_new - 2
         prompt_ids = list(prompt_ids)[-max(limit, 4):]
+        # cap generation so positions never reach the ring capacity
+        max_new = min(max_new, self.cfg.max_cache - len(prompt_ids) - 2)
         self.pending.put(
             _Request(prompt_ids, float(temperature), float(top_p), max_new, out, seed)
         )

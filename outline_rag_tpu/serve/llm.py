@@ -288,6 +288,9 @@ class LocalChatProvider:
 
         ids = self._encode_prompt(self._render(messages))
         t = len(ids)
+        # never generate past the KV ring capacity (callers may pass a
+        # max_tokens larger than the cache allows)
+        max_new = min(max_new, self.cfg.max_cache - t - 1)
         bucket = next((b for b in self.prompt_buckets if b >= t),
                       self.prompt_buckets[-1])
         padded = ids + [0] * (bucket - t)
