@@ -222,16 +222,22 @@ def main() -> None:
         return cosine_topk(q, corpus, k, block_n=block_n)
 
     float(chained(1))  # warm/compile + one round-trip
-    t0 = time.perf_counter()
-    rt = float(chained(1))  # measure single-sweep + round-trip
-    t_one = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    total = float(chained(iters))
-    t_many = time.perf_counter() - t0
-    assert np.isfinite(total)
-    # subtract the fixed round-trip measured by the single-sweep call
-    dt = max(t_many - max(t_one - t_many / iters, 0.0), t_many / iters)
-    qps = b * iters / dt
+    # the tunnel's throughput swings 2-4x on a seconds timescale; take
+    # the best of a few rounds (same policy as tools/bench_topk_kernel)
+    best_dt = float("inf")
+    rounds = 3 if on_tpu else 1
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        rt = float(chained(1))  # measure single-sweep + round-trip
+        t_one = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        total = float(chained(iters))
+        t_many = time.perf_counter() - t0
+        assert np.isfinite(total)
+        # subtract the fixed round-trip measured by the single-sweep call
+        dt = max(t_many - max(t_one - t_many / iters, 0.0), t_many / iters)
+        best_dt = min(best_dt, dt)
+    qps = b * iters / best_dt
 
     # baseline: NumPy exact scan on the host (reference-pipeline stand-in)
     nb = min(n, 20_000)
