@@ -1,0 +1,84 @@
+"""Tensor parallelism for the decoder LM — pure GSPMD.
+
+The encoder-class retrieval models fit one chip, so the query path only
+row-shards the *corpus* (``parallel/query.py``). The optional local chat
+LM is the one model family that can outgrow a chip; this module shards
+it Megatron-style with nothing but ``NamedSharding`` annotations on the
+params — the forward (``models/decoder.py``) is untouched and XLA
+inserts the all-reduces where the row-sharded projections need them
+(the scaling-book recipe: pick a mesh, annotate, let GSPMD do the
+collectives).
+
+Layout per block (axis name ``model``):
+- column-parallel: wq/wk/wv (attention heads split across devices),
+  wg/wu (MLP intermediate split) — activations stay sharded head-/
+  intermediate-wise, no communication;
+- row-parallel: wo/wd — each device holds a slice of the contraction
+  dim; XLA emits one psum per projection (2 all-reduces per layer,
+  the Megatron minimum);
+- replicated: norms, embeddings, lm_head (vocab-sharding the head is a
+  further option; the logits matmul is a small fraction of decode time).
+
+Constraints: heads % n and kv_heads % n must be 0 (head-granular
+sharding); the KV cache shards on its KvH axis so per-device cache
+memory also scales down.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+MODEL_AXIS = "model"
+
+# leaf name -> PartitionSpec for stacked layer params [L, ...]
+_LAYER_SPECS = {
+    "wq": P(None, None, MODEL_AXIS),  # [L, H, nh*hd]
+    "wk": P(None, None, MODEL_AXIS),
+    "wv": P(None, None, MODEL_AXIS),
+    "bq": P(None, MODEL_AXIS),
+    "bk": P(None, MODEL_AXIS),
+    "bv": P(None, MODEL_AXIS),
+    "wo": P(None, MODEL_AXIS, None),  # [L, nh*hd, H] row-parallel
+    "wg": P(None, None, MODEL_AXIS),  # [L, H, I]
+    "wu": P(None, None, MODEL_AXIS),
+    "wd": P(None, MODEL_AXIS, None),  # [L, I, H] row-parallel
+    "ln1": P(),
+    "ln2": P(),
+}
+
+
+def model_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (MODEL_AXIS,))
+
+
+def decoder_param_shardings(params, mesh: Mesh):
+    """Sharding pytree matching a *stacked* decoder params dict."""
+
+    def spec_for(path, leaf):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name in _LAYER_SPECS:
+            return NamedSharding(mesh, _LAYER_SPECS[name])
+        return NamedSharding(mesh, P())  # embed / final_norm / lm_head
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def shard_decoder_params(params, mesh: Mesh):
+    """Place a stacked decoder params pytree onto the TP mesh.
+
+    ``cfg.heads % mesh.size == 0 and cfg.kv_heads % mesh.size == 0``
+    is required so the head reshape keeps the sharding aligned.
+    """
+    return jax.device_put(params, decoder_param_shardings(params, mesh))
+
+
+def shard_decoder_cache(cache, mesh: Mesh):
+    """Shard the KV ring [L, B, KvH, C, Dh] on its KvH axis."""
+    sharding = NamedSharding(mesh, P(None, None, MODEL_AXIS, None, None))
+    k, v = cache
+    return jax.device_put(k, sharding), jax.device_put(v, sharding)
