@@ -131,3 +131,54 @@ def test_bad_content_length_gets_400():
             await app.shutdown()
 
     asyncio.run(run())
+
+
+def test_malformed_requests_do_not_kill_the_server():
+    """Raw-socket fuzz: garbage bytes, bad request lines, huge header
+    lines, truncated bodies — each connection may be rejected, but the
+    server must keep serving well-formed requests afterwards."""
+
+    async def run():
+        app = _demo_app()
+        server = await serve(app, "127.0.0.1", 0)
+        port = server.sockets[0].getsockname()[1]
+
+        async def raw(payload: bytes) -> bytes:
+            reader, writer = await asyncio.open_connection("127.0.0.1", port)
+            try:
+                writer.write(payload)
+                await writer.drain()
+                try:
+                    return await asyncio.wait_for(reader.read(256), timeout=3)
+                except asyncio.TimeoutError:
+                    return b"<timeout>"
+            finally:
+                writer.close()
+
+        cases = [
+            b"\x00\xff\xfe garbage not http\r\n\r\n",
+            b"GET\r\n\r\n",  # no path/version
+            b"FROB /ping HTTP/1.1\r\nHost: x\r\n\r\n",  # unknown method
+            b"GET /ping HTTP/9.9\r\n\r\n",
+            b"GET /ping HTTP/1.1\r\n" + b"X-Big: " + b"a" * 100_000 + b"\r\n\r\n",
+            b"POST /echo HTTP/1.1\r\nContent-Length: 50\r\n\r\n{\"a\":",  # truncated
+            b"GET /ping HTTP/1.1\r\nContent-Length: -5\r\n\r\n",
+            b"",  # connect-and-close
+        ]
+        for payload in cases:
+            out = await raw(payload)
+            # any outcome except a hang/crash is acceptable; most get an
+            # HTTP error status line
+            assert out == b"" or out == b"<timeout>" or out.startswith(b"HTTP/1.1"), (
+                payload[:30],
+                out[:60],
+            )
+
+        # the server is still healthy for real clients
+        async with httpx.AsyncClient() as client:
+            r = await client.get(f"http://127.0.0.1:{port}/ping?x=ok")
+            assert r.status_code == 200 and r.json()["q"] == "ok"
+        server.close()
+        await server.wait_closed()
+
+    asyncio.run(run())

@@ -207,3 +207,50 @@ def test_serve_app_with_postgres_store(server):
         assert any(c["id"] == conv["id"] for c in convs)
 
     asyncio.run(run())
+
+
+def test_client_survives_malformed_servers():
+    """Evil-server fuzz: the wire client must raise a typed error (never
+    hang) on truncated frames, unknown auth kinds, and abrupt closes."""
+    import socket
+    import struct
+    import threading
+
+    from outline_rag_tpu.storage.pgwire import PgProtocolError
+
+    def evil_server(behavior):
+        srv = socket.create_server(("127.0.0.1", 0))
+        port = srv.getsockname()[1]
+
+        def run():
+            conn, _ = srv.accept()
+            # read the startup packet
+            head = conn.recv(4)
+            if len(head) == 4:
+                (length,) = struct.unpack(">I", head)
+                conn.recv(length - 4)
+            if behavior == "close":
+                pass
+            elif behavior == "bad-auth-kind":
+                conn.sendall(b"R" + struct.pack(">II", 8, 99))
+                conn.recv(64)
+            elif behavior == "unknown-type":
+                conn.sendall(b"R" + struct.pack(">II", 8, 0))
+                conn.sendall(b"@" + struct.pack(">I", 8) + b"zzzz")
+            elif behavior == "truncated":
+                conn.sendall(b"R" + struct.pack(">I", 500))  # promises 496 bytes
+            conn.close()
+            srv.close()
+
+        threading.Thread(target=run, daemon=True).start()
+        return port
+
+    from outline_rag_tpu.storage.pgwire import PgConnection
+
+    for behavior in ("close", "bad-auth-kind", "unknown-type", "truncated"):
+        port = evil_server(behavior)
+        with pytest.raises((PgProtocolError, OSError)):
+            PgConnection(
+                host="127.0.0.1", port=port, user="u", password="p",
+                database="d", connect_timeout=5,
+            )
