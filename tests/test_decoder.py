@@ -177,3 +177,49 @@ def test_generation_greedy_matches_stepwise(tiny):
     )
     got = [int(first[0])] + [int(x) for x in np.asarray(toks)[0]]
     assert got == want
+
+
+def test_hf_qwen2_parity():
+    """Qwen2 exercises the attention-bias path of the converter."""
+    torch = pytest.importorskip("torch")
+    try:
+        from transformers import Qwen2Config, Qwen2ForCausalLM
+    except ImportError:
+        pytest.skip("no Qwen2 in this transformers")
+
+    from outline_rag_tpu.models.convert import (
+        decoder_config_from_hf,
+        decoder_params_from_state_dict,
+    )
+
+    hf_cfg = Qwen2Config(
+        vocab_size=193,
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        intermediate_size=96,
+        max_position_embeddings=64,
+        rope_theta=10000.0,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(1)
+    model = Qwen2ForCausalLM(hf_cfg).eval()
+    cfg = dataclasses.replace(
+        decoder_config_from_hf(hf_cfg), dtype=jnp.float32, max_cache=32
+    )
+    assert cfg.attn_bias  # qwen2 -> qkv biases active
+    params = stack_decoder_params(
+        decoder_params_from_state_dict(model.state_dict(), cfg)
+    )
+    toks = np.random.default_rng(1).integers(0, 193, size=(2, 11)).astype(np.int64)
+    with torch.no_grad():
+        want = model(torch.from_numpy(toks)).logits.numpy()
+    got, _ = decoder_forward(
+        params,
+        jnp.asarray(toks, jnp.int32),
+        init_cache(cfg, 2),
+        jnp.zeros((2,), jnp.int32),
+        cfg,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-4, rtol=3e-4)
