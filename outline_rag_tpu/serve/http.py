@@ -408,6 +408,10 @@ async def _read_request(reader: asyncio.StreamReader) -> Request | None:
         if ":" in line:
             k, v = line.split(":", 1)
             headers[k.strip().lower()] = v.strip()
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        body = await _read_chunked_body(reader)
+        headers["content-length"] = str(len(body))
+        return Request(method, target, headers, body)
     try:
         length = int(headers.get("content-length", 0) or 0)
     except ValueError as e:
@@ -416,6 +420,31 @@ async def _read_request(reader: asyncio.StreamReader) -> Request | None:
         raise _BadRequest(413, "payload too large")
     body = await reader.readexactly(length) if length else b""
     return Request(method, target, headers, body)
+
+
+async def _read_chunked_body(reader: asyncio.StreamReader) -> bytes:
+    """Chunked transfer decoding for request bodies (some webhook senders
+    and streaming clients use it; the reference's uvicorn accepts it)."""
+    chunks: list[bytes] = []
+    total = 0
+    while True:
+        size_line = (await reader.readline()).strip()
+        try:
+            size = int(size_line.split(b";", 1)[0], 16)
+        except ValueError as e:
+            raise _BadRequest(400, "bad chunk size") from e
+        if size == 0:
+            # consume trailer headers up to the blank line
+            while True:
+                line = await reader.readline()
+                if line in (b"\r\n", b"\n", b""):
+                    break
+            return b"".join(chunks)
+        total += size
+        if total > MAX_BODY:
+            raise _BadRequest(413, "payload too large")
+        chunks.append(await reader.readexactly(size))
+        await reader.readexactly(2)  # trailing CRLF
 
 
 async def _write_response(

@@ -182,3 +182,56 @@ def test_malformed_requests_do_not_kill_the_server():
         await server.wait_closed()
 
     asyncio.run(run())
+
+
+def test_chunked_request_body():
+    """Transfer-Encoding: chunked request bodies are decoded (the
+    reference's uvicorn accepts these; webhook senders sometimes use
+    them). Oversized chunked streams get 413."""
+
+    async def run():
+        app = _demo_app()
+        server = await serve(app, "127.0.0.1", 0)
+        port = server.sockets[0].getsockname()[1]
+        try:
+            reader, writer = await asyncio.open_connection("127.0.0.1", port)
+            payload = json.dumps({"k": "chunked!"}).encode()
+            half = len(payload) // 2
+            writer.write(
+                b"POST /echo HTTP/1.1\r\nhost: x\r\n"
+                b"content-type: application/json\r\n"
+                b"transfer-encoding: chunked\r\n\r\n"
+                + f"{half:x}\r\n".encode() + payload[:half] + b"\r\n"
+                + f"{len(payload) - half:x}\r\n".encode() + payload[half:] + b"\r\n"
+                + b"0\r\n\r\n"
+            )
+            await writer.drain()
+            status = await reader.readline()
+            assert b"200" in status, status
+            raw = status
+            while True:
+                line = await reader.readline()
+                raw += line
+                if line in (b"\r\n", b""):
+                    break
+            body = await asyncio.wait_for(reader.read(256), timeout=3)
+            assert b"chunked!" in body, (raw, body)
+            writer.close()
+
+            # oversized chunked body -> 413, connection survives server
+            reader, writer = await asyncio.open_connection("127.0.0.1", port)
+            writer.write(
+                b"POST /echo HTTP/1.1\r\nhost: x\r\n"
+                b"transfer-encoding: chunked\r\n\r\n"
+                + b"7fffffff\r\n"  # 2 GB chunk promised
+            )
+            await writer.drain()
+            status = await reader.readline()
+            assert b"413" in status, status
+            writer.close()
+        finally:
+            server.close()
+            await server.wait_closed()
+            await app.shutdown()
+
+    asyncio.run(run())
