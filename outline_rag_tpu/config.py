@@ -284,83 +284,95 @@ def _parse_models(raw: str) -> tuple[ModelSpec, ...]:
 
 
 def load_settings(env: dict[str, str] | None = None) -> Settings:
-    """Build Settings from ``env`` (defaults to ``os.environ``)."""
-    if env is not None:
-        env = dict(env)  # snapshot: caller may pass os.environ itself,
-        # which the clear() below would otherwise empty before the update
-        saved = os.environ.copy()
-        os.environ.clear()
-        os.environ.update(env)
-    try:
-        models = _parse_models(_env("CHAT_MODELS_JSON"))
-        persona = dict(_DEFAULT_PROMPTS)
-        for key in list(persona):
-            override = _env(f"PROMPT_{key.upper()}")
-            if override:
-                persona[key] = override
-        return Settings(
-            app_name=_env("APP_NAME", "Outline RAG (TPU)"),
-            host=_env("HOST", "0.0.0.0"),
-            port=_env_int("PORT", 8000),
-            secret_key=_env("SECRET_KEY"),
-            session_max_age=_env_int("SESSION_MAX_AGE", 7 * 24 * 3600),
-            url_prefix=_env("URL_PREFIX", "/chat"),
-            database_url=_env("DATABASE_URL"),
-            redis_url=_env("REDIS_URL"),
-            data_dir=_env("DATA_DIR", "./data"),
-            attachments_dir=_env("ATTACHMENTS_DIR", "./data/attachments"),
-            upload_max_bytes=_env_int("UPLOAD_MAX_BYTES", 5 * 1024 * 1024),
-            outline_api_url=_env("OUTLINE_API_URL"),
-            outline_api_token=_env("OUTLINE_API_TOKEN"),
-            outline_webhook_secret=_env("OUTLINE_WEBHOOK_SECRET"),
-            outline_webhook_sign=_env_bool("OUTLINE_WEBHOOK_SIGN", True),
-            outline_collections=tuple(
-                c for c in _env("OUTLINE_COLLECTIONS").split(",") if c
-            ),
-            llm_api_base=_env("LLM_API_BASE"),
-            llm_api_key=_env("LLM_API_KEY"),
-            base_chat_model=_env("BASE_CHAT_MODEL", "deepseek-v3"),
-            chat_models=models,
-            beta_user_ids=tuple(
-                u for u in _env("BETA_AUTHORIZED_USER_IDS").split(",") if u
-            ),
-            worldview=_env("CORE_WORLDVIEW", _DEFAULT_WORLDVIEW),
-            persona_prompts=persona,
-            classifier_prompt=_env("CLASSIFIER_PROMPT", _DEFAULT_CLASSIFIER_PROMPT),
-            rewrite_prompt=_env("REWRITE_PROMPT", _DEFAULT_REWRITE_PROMPT),
-            answer_template=_env("ANSWER_TEMPLATE", _DEFAULT_ANSWER_TEMPLATE),
-            max_history_messages=_env_int("MAX_HISTORY_MESSAGES", 20),
-            vector_dim=_env_int("VECTOR_DIM", 1024),
-            top_k=_env_int("TOP_K", 12),
-            rerank_k=_env_int("RERANK_K", _env_int("K", 3)),
-            chunk_size=_env_int("CHUNK_SIZE", 1024),
-            chunk_overlap=_env_int("CHUNK_OVERLAP", 100),
-            refresh_batch_size=_env_int("REFRESH_BATCH_SIZE", 100),
-            webhook_debounce_s=_env_float("WEBHOOK_DEBOUNCE_S", 60.0),
-            sse_ping_interval_s=_env_float("SSE_PING_INTERVAL_S", 20.0),
-            index_dtype=_env("INDEX_DTYPE", "float32"),
-            shard_capacity=_env_int("SHARD_CAPACITY", 1 << 17),
-            mesh_data_axis=_env_int("MESH_DATA_AXIS", 0),
-            encoder_model=_env("ENCODER_MODEL", "bge-m3"),
-            encoder_max_tokens=_env_int("ENCODER_MAX_TOKENS", 512),
-            encoder_weights_path=_env("ENCODER_WEIGHTS_PATH"),
-            reranker_weights_path=_env("RERANKER_WEIGHTS_PATH"),
-            decoder_weights_path=_env("DECODER_WEIGHTS_PATH"),
-            decoder_max_new_tokens=_env_int("DECODER_MAX_NEW_TOKENS", 512),
-            decoder_batch_slots=_env_int("DECODER_BATCH_SLOTS", 0),
-            query_batch_window_ms=_env_float("QUERY_BATCH_WINDOW_MS", 4.0),
-            query_batch_max=_env_int("QUERY_BATCH_MAX", 32),
-            lex_weight=_env_float("LEX_WEIGHT", 0.0),
-            colbert_weight=_env_float("COLBERT_WEIGHT", 0.0),
-            oidc_issuer=_env("OIDC_ISSUER"),
-            oidc_client_id=_env("OIDC_CLIENT_ID"),
-            oidc_client_secret=_env("OIDC_CLIENT_SECRET"),
-            oidc_redirect_url=_env("OIDC_REDIRECT_URL"),
-            log_level=_env("LOG_LEVEL", "INFO"),
-            safe_log_chat_input=_env_bool("SAFE_LOG_CHAT_INPUT", True),
-            max_log_input_chars=_env_int("MAX_LOG_INPUT_CHARS", 120),
-        )
-    finally:
-        if env is not None:
-            os.environ.clear()
-            os.environ.update(saved)
+    """Build Settings from ``env`` (defaults to ``os.environ``).
+
+    Reads the mapping directly — never mutates ``os.environ`` — so it is
+    safe to call while other threads read the process environment.
+    """
+    src = os.environ if env is None else dict(env)
+
+    def _env(key: str, default: str = "") -> str:
+        return src.get(key, default)
+
+    def _env_int(key: str, default: int) -> int:
+        raw = src.get(key)
+        return default if raw is None or raw == "" else int(raw)
+
+    def _env_float(key: str, default: float) -> float:
+        raw = src.get(key)
+        return default if raw is None or raw == "" else float(raw)
+
+    def _env_bool(key: str, default: bool = False) -> bool:
+        raw = src.get(key)
+        if raw is None or raw == "":
+            return default
+        return raw.strip().lower() in ("1", "true", "yes", "on")
+
+    models = _parse_models(_env("CHAT_MODELS_JSON"))
+    persona = dict(_DEFAULT_PROMPTS)
+    for key in list(persona):
+        override = _env(f"PROMPT_{key.upper()}")
+        if override:
+            persona[key] = override
+    return Settings(
+        app_name=_env("APP_NAME", "Outline RAG (TPU)"),
+        host=_env("HOST", "0.0.0.0"),
+        port=_env_int("PORT", 8000),
+        secret_key=_env("SECRET_KEY"),
+        session_max_age=_env_int("SESSION_MAX_AGE", 7 * 24 * 3600),
+        url_prefix=_env("URL_PREFIX", "/chat"),
+        database_url=_env("DATABASE_URL"),
+        redis_url=_env("REDIS_URL"),
+        data_dir=_env("DATA_DIR", "./data"),
+        attachments_dir=_env("ATTACHMENTS_DIR", "./data/attachments"),
+        upload_max_bytes=_env_int("UPLOAD_MAX_BYTES", 5 * 1024 * 1024),
+        outline_api_url=_env("OUTLINE_API_URL"),
+        outline_api_token=_env("OUTLINE_API_TOKEN"),
+        outline_webhook_secret=_env("OUTLINE_WEBHOOK_SECRET"),
+        outline_webhook_sign=_env_bool("OUTLINE_WEBHOOK_SIGN", True),
+        outline_collections=tuple(
+            c for c in _env("OUTLINE_COLLECTIONS").split(",") if c
+        ),
+        llm_api_base=_env("LLM_API_BASE"),
+        llm_api_key=_env("LLM_API_KEY"),
+        base_chat_model=_env("BASE_CHAT_MODEL", "deepseek-v3"),
+        chat_models=models,
+        beta_user_ids=tuple(
+            u for u in _env("BETA_AUTHORIZED_USER_IDS").split(",") if u
+        ),
+        worldview=_env("CORE_WORLDVIEW", _DEFAULT_WORLDVIEW),
+        persona_prompts=persona,
+        classifier_prompt=_env("CLASSIFIER_PROMPT", _DEFAULT_CLASSIFIER_PROMPT),
+        rewrite_prompt=_env("REWRITE_PROMPT", _DEFAULT_REWRITE_PROMPT),
+        answer_template=_env("ANSWER_TEMPLATE", _DEFAULT_ANSWER_TEMPLATE),
+        max_history_messages=_env_int("MAX_HISTORY_MESSAGES", 20),
+        vector_dim=_env_int("VECTOR_DIM", 1024),
+        top_k=_env_int("TOP_K", 12),
+        rerank_k=_env_int("RERANK_K", _env_int("K", 3)),
+        chunk_size=_env_int("CHUNK_SIZE", 1024),
+        chunk_overlap=_env_int("CHUNK_OVERLAP", 100),
+        refresh_batch_size=_env_int("REFRESH_BATCH_SIZE", 100),
+        webhook_debounce_s=_env_float("WEBHOOK_DEBOUNCE_S", 60.0),
+        sse_ping_interval_s=_env_float("SSE_PING_INTERVAL_S", 20.0),
+        index_dtype=_env("INDEX_DTYPE", "float32"),
+        shard_capacity=_env_int("SHARD_CAPACITY", 1 << 17),
+        mesh_data_axis=_env_int("MESH_DATA_AXIS", 0),
+        encoder_model=_env("ENCODER_MODEL", "bge-m3"),
+        encoder_max_tokens=_env_int("ENCODER_MAX_TOKENS", 512),
+        encoder_weights_path=_env("ENCODER_WEIGHTS_PATH"),
+        reranker_weights_path=_env("RERANKER_WEIGHTS_PATH"),
+        decoder_weights_path=_env("DECODER_WEIGHTS_PATH"),
+        decoder_max_new_tokens=_env_int("DECODER_MAX_NEW_TOKENS", 512),
+        decoder_batch_slots=_env_int("DECODER_BATCH_SLOTS", 0),
+        query_batch_window_ms=_env_float("QUERY_BATCH_WINDOW_MS", 4.0),
+        query_batch_max=_env_int("QUERY_BATCH_MAX", 32),
+        lex_weight=_env_float("LEX_WEIGHT", 0.0),
+        colbert_weight=_env_float("COLBERT_WEIGHT", 0.0),
+        oidc_issuer=_env("OIDC_ISSUER"),
+        oidc_client_id=_env("OIDC_CLIENT_ID"),
+        oidc_client_secret=_env("OIDC_CLIENT_SECRET"),
+        oidc_redirect_url=_env("OIDC_REDIRECT_URL"),
+        log_level=_env("LOG_LEVEL", "INFO"),
+        safe_log_chat_input=_env_bool("SAFE_LOG_CHAT_INPUT", True),
+        max_log_input_chars=_env_int("MAX_LOG_INPUT_CHARS", 120),
+    )

@@ -222,4 +222,18 @@ def load_pretrained_decoder(path: str):
             else:
                 sd = torch.load(full, map_location="cpu", weights_only=True)
             return cfg, decoder_params_from_state_dict(sd, cfg)
+    # Sharded safetensors (the standard HF layout above ~2B params):
+    # model.safetensors.index.json maps tensor name -> shard file.
+    index = os.path.join(path, "model.safetensors.index.json")
+    if os.path.exists(index):
+        import json  # noqa: PLC0415
+
+        from safetensors.torch import load_file  # noqa: PLC0415
+
+        with open(index) as f:
+            weight_map = json.load(f)["weight_map"]
+        sd = {}
+        for shard in sorted(set(weight_map.values())):
+            sd.update(load_file(os.path.join(path, shard)))
+        return cfg, decoder_params_from_state_dict(sd, cfg)
     raise FileNotFoundError(f"no weight file found under {path}")

@@ -85,6 +85,7 @@ def global_row_sharded(
     mesh: Mesh,
     n_global: int | None = None,
     fill=0,
+    penalty: bool = False,
 ) -> jax.Array:
     """Assemble per-host row blocks into one global row-sharded array.
 
@@ -94,9 +95,15 @@ def global_row_sharded(
     cross-host copy, no full-matrix materialization anywhere).
 
     Blocks are padded to identical per-host sizes (XLA shards must be
-    equal); pass fill=NEG-like values for penalty rows so padding stays
-    masked out.
+    equal). For penalty/validity rows pass ``penalty=True``: padding is
+    filled with the NEG tombstone value so phantom pad rows can never
+    enter a top-K (a zero-filled pad row would score 0.0 and win whenever
+    every true similarity is negative).
     """
+    if penalty:
+        from outline_rag_tpu.ops.topk import NEG
+
+        fill = NEG
     nh = jax.process_count()
     n_local = local_rows.shape[0]
     if n_global is None:
@@ -141,7 +148,7 @@ def build_and_query_demo(
 
     corpus = global_row_sharded(local, mesh)
     penalty = global_row_sharded(
-        np.zeros((chunks_per_host,), np.float32), mesh
+        np.zeros((chunks_per_host,), np.float32), mesh, penalty=True
     )
     q = replicated_from_host0(queries.astype(np.float32), mesh)
     vals, idx = sharded_topk(q, corpus, k, penalty, mesh=mesh)

@@ -147,11 +147,15 @@ def build_app(
                     max_new_tokens=settings.decoder_max_new_tokens,
                     batch_slots=settings.decoder_batch_slots,
                 )
-            except Exception:
-                log.exception(
-                    "failed to load decoder from %s; falling back",
-                    settings.decoder_weights_path,
-                )
+            except Exception as exc:
+                # An explicitly configured local decoder that fails to load
+                # is a deployment error — fail fast (reference startup
+                # asserts exit, app/main.py:99-104), don't silently serve
+                # with a different provider.
+                raise RuntimeError(
+                    "DECODER_WEIGHTS_PATH is set but the checkpoint failed "
+                    f"to load from {settings.decoder_weights_path!r}"
+                ) from exc
         if provider is None and settings.llm_api_base:
             provider = OpenAICompatProvider(
                 settings.llm_api_base, settings.llm_api_key, bus=bus

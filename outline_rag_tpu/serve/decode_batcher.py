@@ -84,6 +84,7 @@ class DecodeBatcher:
         self.pending: "queue.Queue[_Request]" = queue.Queue()
         self._wake = threading.Event()
         self._stop = False
+        self.dead: Exception | None = None  # set when the worker crashes
         self._key = jax.random.key(0)
 
         self._prefill = jax.jit(
@@ -138,6 +139,8 @@ class DecodeBatcher:
     ) -> "queue.Queue[Any]":
         """Enqueue a request; returns a queue yielding lists of token ids
         and finally the DONE sentinel."""
+        if self.dead is not None:
+            raise RuntimeError("decode batcher worker is dead") from self.dead
         out: "queue.Queue[Any]" = queue.Queue()
         limit = self.cfg.max_cache - max_new - 2
         prompt_ids = list(prompt_ids)[-max(limit, 4):]
@@ -147,6 +150,8 @@ class DecodeBatcher:
             _Request(prompt_ids, float(temperature), float(top_p), max_new, out, seed)
         )
         self._wake.set()
+        if self.dead is not None:  # worker died between the check and the put
+            self._die(self.dead)
         return out
 
     def close(self) -> None:
@@ -237,38 +242,57 @@ class DecodeBatcher:
                 self._wake.clear()
                 continue
 
-            active_mask = np.asarray(
-                [r is not None for r in self.active], bool
-            )
-            self._key, sub = jax.random.split(self._key)
-            toks, self.cache, tok_dev, pos_dev = self._step_chunk(
-                self.params,
-                self.cache,
-                jnp.asarray(self.tok),
-                jnp.asarray(self.pos),
-                sub,
-                jnp.asarray(self.temp),
-                jnp.asarray(self.tp),
-                jnp.asarray(active_mask),
-            )
-            toks_np = np.asarray(toks)  # [slots, chunk]
-            # np.array copies: np.asarray of a jax array is read-only and
-            # the admit path writes rows in place
-            self.tok = np.array(tok_dev, np.int32)
-            self.pos = np.array(pos_dev, np.int32)
-            for row, req in enumerate(self.active):
-                if req is None:
-                    continue
-                ids = toks_np[row].tolist()
-                stop = self.eos_id in ids
-                if stop:
-                    ids = ids[: ids.index(self.eos_id)]
-                room = req.max_new - self.produced[row]
-                if len(ids) >= room:
-                    ids = ids[:room]
-                    stop = True
-                self.produced[row] += len(ids)
-                if ids:
-                    req.out.put(ids)
-                if stop:
-                    self._finish(row)
+            try:
+                active_mask = np.asarray(
+                    [r is not None for r in self.active], bool
+                )
+                self._key, sub = jax.random.split(self._key)
+                toks, self.cache, tok_dev, pos_dev = self._step_chunk(
+                    self.params,
+                    self.cache,
+                    jnp.asarray(self.tok),
+                    jnp.asarray(self.pos),
+                    sub,
+                    jnp.asarray(self.temp),
+                    jnp.asarray(self.tp),
+                    jnp.asarray(active_mask),
+                )
+                toks_np = np.asarray(toks)  # [slots, chunk]
+                # np.array copies: np.asarray of a jax array is read-only and
+                # the admit path writes rows in place
+                self.tok = np.array(tok_dev, np.int32)
+                self.pos = np.array(pos_dev, np.int32)
+                for row, req in enumerate(self.active):
+                    if req is None:
+                        continue
+                    ids = toks_np[row].tolist()
+                    stop = self.eos_id in ids
+                    if stop:
+                        ids = ids[: ids.index(self.eos_id)]
+                    room = req.max_new - self.produced[row]
+                    if len(ids) >= room:
+                        ids = ids[:room]
+                        stop = True
+                    self.produced[row] += len(ids)
+                    if ids:
+                        req.out.put(ids)
+                    if stop:
+                        self._finish(row)
+            except Exception as e:  # device/runtime failure: fail every
+                self._die(e)  # waiter, mark dead so submit() fails fast
+                return
+
+    def _die(self, exc: Exception) -> None:
+        self.dead = exc
+        for row, req in enumerate(self.active):
+            if req is not None:
+                self.active[row] = None
+                req.out.put(exc)
+                req.out.put(DONE)
+        while True:
+            try:
+                req = self.pending.get_nowait()
+            except queue.Empty:
+                break
+            req.out.put(exc)
+            req.out.put(DONE)

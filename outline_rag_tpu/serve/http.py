@@ -15,9 +15,6 @@ framework's needs:
 - a global exception handler returning JSON 500s (reference
   ``app/main.py:183-188``),
 - an in-process TestClient (SURVEY.md section 4: SSE-consuming fake client).
-
-The native transport seam: ``serve.native_loop`` can accelerate accept/parse
-with the C++ helper; this module is the pure-asyncio reference path.
 """
 
 from __future__ import annotations

@@ -15,6 +15,7 @@ from __future__ import annotations
 import hashlib
 import json
 import logging
+import queue
 from typing import AsyncIterator
 
 import httpx
@@ -365,7 +366,16 @@ class LocalChatProvider:
         out_ids: list[int] = []
         emitted = ""
         while True:
-            item = out_q.get()
+            try:
+                item = out_q.get(timeout=30.0)
+            except queue.Empty:
+                # No progress: either the worker died (surface it) or the
+                # queue is congested / a remote compile is in flight (wait on).
+                if self._batcher.dead is not None:
+                    raise RuntimeError(
+                        "decode batcher worker died mid-stream"
+                    ) from self._batcher.dead
+                continue
             if item is B_DONE:
                 break
             if isinstance(item, Exception):

@@ -169,7 +169,10 @@ function renderMarkdown(text) {
     .replace(/\$\$([\s\S]+?)\$\$/g, (m, tex) => MASK(tex, true))
     .replace(/\\\[([\s\S]+?)\\\]/g, (m, tex) => MASK(tex, true))
     .replace(/\\\(([\s\S]+?)\\\)/g, (m, tex) => MASK(tex, false))
-    .replace(/\$([^$\n]+?)\$/g, (m, tex) => MASK(tex, false));
+    /* Pandoc-style heuristic so currency ("between $5 and $10") is left
+       alone: no space adjacent to either delimiter, closing $ not
+       followed by a digit. */
+    .replace(/\$(?!\s)([^$\n]*[^$\s])\$(?!\d)/g, (m, tex) => MASK(tex, false));
 
   /* 2. fenced code out first, then block markdown on the rest */
   const blocks = text.split(/```/);

@@ -222,7 +222,10 @@ class PgConnection:
         Returns (rows, rowcount, column_type_oids). Values arrive decoded
         per OID: int/float/bool/bytes(bytea)/str, None for NULL.
         """
-        parse = sql.encode() + b"\x00" + b"\x00" + struct.pack(">H", 0)
+        # Parse body (after the statement name prepended at _send time):
+        # sql cstring + int16 param-type count. PostgreSQL validates exact
+        # message length (pq_getmsgend) — any stray byte is rejected.
+        parse = sql.encode() + b"\x00" + struct.pack(">H", 0)
         bind = bytearray(b"\x00\x00")  # unnamed portal, unnamed statement
         bind += struct.pack(">H", 0)  # all params text format
         bind += struct.pack(">H", len(params))

@@ -29,6 +29,10 @@ def _msg(type_: bytes, payload: bytes) -> bytes:
     return type_ + struct.pack(">I", len(payload) + 4) + payload
 
 
+class PgFramingError(Exception):
+    """Client message violated exact-length framing (pq_getmsgend)."""
+
+
 def _rewrite(sql: str) -> str:
     sql = re.sub(r"\$(\d+)", r"?\1", sql)
     sql = sql.replace("BIGSERIAL PRIMARY KEY", "INTEGER PRIMARY KEY AUTOINCREMENT")
@@ -287,9 +291,21 @@ class FakePostgresServer:
                 if t == b"X":
                     break
                 if t == b"P":
+                    # Strict framing, like pq_getmsgend: name cstring +
+                    # sql cstring + int16 count + int32[count], no slack.
                     zero = body.index(b"\x00")
                     rest = body[zero + 1 :]
-                    sql = rest[: rest.index(b"\x00")].decode()
+                    sql_end = rest.index(b"\x00")
+                    sql = rest[:sql_end].decode()
+                    tail = rest[sql_end + 1 :]
+                    if len(tail) < 2:
+                        raise PgFramingError("Parse: missing param-type count")
+                    (ntypes,) = struct.unpack(">H", tail[:2])
+                    if len(tail) != 2 + 4 * ntypes:
+                        raise PgFramingError(
+                            f"Parse: invalid message format "
+                            f"({len(tail) - 2 - 4 * ntypes:+d} bytes)"
+                        )
                     conn.sendall(_msg(b"1", b""))  # ParseComplete
                 elif t == b"B":
                     params = self._parse_bind(body)
@@ -300,6 +316,17 @@ class FakePostgresServer:
                     self._execute(conn, sql, params)
                 elif t == b"S":
                     conn.sendall(_msg(b"Z", b"I"))
+        except PgFramingError as exc:
+            # Real PostgreSQL: FATAL 08P01 protocol_violation, then close.
+            try:
+                conn.sendall(
+                    _msg(
+                        b"E",
+                        b"SFATAL\x00C08P01\x00M" + str(exc).encode() + b"\x00\x00",
+                    )
+                )
+            except OSError:
+                pass
         except (ConnectionError, OSError, struct.error):
             pass
         finally:

@@ -161,3 +161,39 @@ def test_close_releases_waiters(setup):
                 return True
 
     assert drain(q1) and drain(q2)
+
+
+def test_worker_crash_fails_fast(setup):
+    """A device/runtime error in the step loop must surface the exception
+    to every in-flight request (not hang), mark the batcher dead, and make
+    later submits fail fast."""
+    cfg, params = setup
+    from outline_rag_tpu.models.decoder import (
+        cast_decoder_params,
+        stack_decoder_params,
+    )
+
+    stacked = stack_decoder_params(cast_decoder_params(params, cfg.dtype))
+    batcher = DecodeBatcher(stacked, cfg, slots=2, chunk_tokens=2, eos_id=0)
+
+    boom = RuntimeError("simulated TPU runtime failure")
+
+    def exploding_step(*a, **k):
+        raise boom
+
+    q1 = batcher.submit([5, 9, 13], 0.0, 1.0, 1000)
+    q1.get(timeout=60)  # admitted, first token flowing
+    batcher._step_chunk = exploding_step
+
+    got = []
+    while True:
+        item = q1.get(timeout=30)
+        if item is DONE:
+            break
+        got.append(item)
+    assert any(isinstance(i, RuntimeError) for i in got)
+    assert batcher.dead is boom
+
+    with pytest.raises(RuntimeError, match="dead"):
+        batcher.submit([1, 2], 0.0, 1.0, 10)
+    batcher.close()
