@@ -38,69 +38,46 @@ from outline_rag_tpu.ops.topk import NEG, cosine_topk
 from outline_rag_tpu.index.store import VectorIndex
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "enc_cfg",
-        "rr_cfg",
-        "top_k",
-        "rerank_k",
-        "eos_id",
-        "block_n",
-        "lex_weight",
-        "colbert_weight",
-    ),
-)
-def fused_query(
-    enc_params,
-    rr_params,
-    q_ids: jax.Array,  # [B, Tq] int32
-    q_mask: jax.Array,  # [B, Tq] int32
-    vectors: jax.Array,  # [N, D]
-    scales: jax.Array,  # [N] (int8 mode; unused otherwise)
-    penalty: jax.Array,  # [N]
-    tok_ids: jax.Array,  # [N, Tc] int32
-    tok_mask: jax.Array,  # [N, Tc] int32
-    tok_weights: jax.Array | None = None,  # [N, Tc] f32 lexical weights
-    *,
-    enc_cfg: EncoderConfig,
-    rr_cfg: EncoderConfig,
-    top_k: int,
-    rerank_k: int,
-    eos_id: int = 2,
-    block_n: int = 1024,
-    lex_weight: float = 0.0,
-    colbert_weight: float = 0.0,
-):
-    b = q_ids.shape[0]
-    # 1. one query-encoder forward feeds all three BGE-m3 heads (dense
-    # CLS pooling, sparse lexical weights, ColBERT token vectors)
+def _encode_queries(enc_params, q_ids, q_mask, enc_cfg):
+    """One query-encoder forward feeds all three BGE-m3 heads (dense CLS
+    pooling, sparse lexical weights, ColBERT token vectors)."""
     q_hidden = encoder_forward(enc_params, q_ids, q_mask, enc_cfg)  # [B,Tq,H]
     cls = q_hidden[:, 0, :].astype(jnp.float32)
     q_emb = cls / jnp.linalg.norm(cls, axis=-1, keepdims=True).clip(1e-9)
+    return q_hidden, q_emb
 
-    # 2. fused retrieval top-K
-    if vectors.dtype == jnp.int8:
-        from outline_rag_tpu.ops.quant import int8_topk, quantize_rows_int8
 
-        qq, qs = quantize_rows_int8(q_emb)
-        vals, idx = int8_topk(qq, qs, vectors, scales, top_k, penalty)
-    else:
-        vals, idx = cosine_topk(q_emb, vectors, top_k, penalty, block_n=block_n)
-
-    # 3. gather candidate chunk tokens on device
-    cand_ids = jnp.take(tok_ids, idx, axis=0)  # [B, K, Tc]
-    cand_mask = jnp.take(tok_mask, idx, axis=0)
+def _rescore_and_rerank(
+    enc_params,
+    rr_params,
+    q_hidden,  # [B, Tq, H] encoder hidden states
+    q_ids,
+    q_mask,
+    vals,  # [B, K] retrieval scores
+    idx,  # [B, K] corpus row ids
+    cand_ids,  # [B, K, Tc] candidate chunk tokens (CLS-first)
+    cand_mask,
+    cand_w,  # [B, K, Tc] lexical weights (zeros when unused)
+    *,
+    enc_cfg: EncoderConfig,
+    rr_cfg: EncoderConfig,
+    rerank_k: int,
+    eos_id: int,
+    lex_weight: float,
+    colbert_weight: float,
+):
+    """Stages 3b-5 of the fused program, shared between the single-device
+    and mesh variants (candidates arrive already gathered)."""
+    b = q_ids.shape[0]
 
     # 3b. hybrid lexical rescoring (BGE-m3 sparse head): candidate dense
     # scores are blended with the lexical-overlap score before the
     # cross-encoder sees them (requires "sparse" head params + cached
     # chunk token weights)
-    if lex_weight > 0.0 and tok_weights is not None and "sparse" in enc_params:
+    if lex_weight > 0.0 and "sparse" in enc_params:
         from outline_rag_tpu.models.encoder import lexical_overlap_scores
 
         q_w = sparse_weights_from_hidden(enc_params, q_hidden, q_ids, q_mask)
-        cand_w = jnp.take(tok_weights, idx, axis=0)  # [B, K, Tc]
         lex = lexical_overlap_scores(q_ids, q_w, cand_ids, cand_w)
         vals = vals + lex_weight * lex
 
@@ -149,6 +126,131 @@ def fused_query(
     return r_rows, r_vals, retr_vals, idx, vals
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "enc_cfg",
+        "rr_cfg",
+        "top_k",
+        "rerank_k",
+        "eos_id",
+        "block_n",
+        "lex_weight",
+        "colbert_weight",
+    ),
+)
+def fused_query(
+    enc_params,
+    rr_params,
+    q_ids: jax.Array,  # [B, Tq] int32
+    q_mask: jax.Array,  # [B, Tq] int32
+    vectors: jax.Array,  # [N, D]
+    scales: jax.Array,  # [N] (int8 mode; unused otherwise)
+    penalty: jax.Array,  # [N]
+    tok_ids: jax.Array,  # [N, Tc] int32
+    tok_mask: jax.Array,  # [N, Tc] int32
+    tok_weights: jax.Array | None = None,  # [N, Tc] f32 lexical weights
+    *,
+    enc_cfg: EncoderConfig,
+    rr_cfg: EncoderConfig,
+    top_k: int,
+    rerank_k: int,
+    eos_id: int = 2,
+    block_n: int = 1024,
+    lex_weight: float = 0.0,
+    colbert_weight: float = 0.0,
+):
+    # 1. encode queries
+    q_hidden, q_emb = _encode_queries(enc_params, q_ids, q_mask, enc_cfg)
+
+    # 2. fused retrieval top-K
+    if vectors.dtype == jnp.int8:
+        from outline_rag_tpu.ops.quant import int8_topk, quantize_rows_int8
+
+        qq, qs = quantize_rows_int8(q_emb)
+        vals, idx = int8_topk(qq, qs, vectors, scales, top_k, penalty)
+    else:
+        vals, idx = cosine_topk(q_emb, vectors, top_k, penalty, block_n=block_n)
+
+    # 3. gather candidate chunk tokens on device
+    cand_ids = jnp.take(tok_ids, idx, axis=0)  # [B, K, Tc]
+    cand_mask = jnp.take(tok_mask, idx, axis=0)
+    cand_w = (
+        jnp.take(tok_weights, idx, axis=0)
+        if tok_weights is not None
+        else jnp.zeros(cand_ids.shape, jnp.float32)
+    )
+
+    return _rescore_and_rerank(
+        enc_params, rr_params, q_hidden, q_ids, q_mask, vals, idx,
+        cand_ids, cand_mask, cand_w,
+        enc_cfg=enc_cfg, rr_cfg=rr_cfg, rerank_k=rerank_k, eos_id=eos_id,
+        lex_weight=lex_weight, colbert_weight=colbert_weight,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "enc_cfg",
+        "rr_cfg",
+        "top_k",
+        "rerank_k",
+        "eos_id",
+        "block_n",
+        "lex_weight",
+        "colbert_weight",
+        "mesh",
+    ),
+)
+def fused_query_mesh(
+    enc_params,
+    rr_params,
+    q_ids: jax.Array,
+    q_mask: jax.Array,
+    vectors: jax.Array,  # [N, D] row-sharded over mesh "data"
+    scales: jax.Array,  # [N] row-sharded
+    penalty: jax.Array,  # [N] row-sharded
+    tok_ids: jax.Array,  # [N, Tc] row-sharded
+    tok_mask: jax.Array,  # [N, Tc] row-sharded
+    tok_weights: jax.Array,  # [N, Tc] row-sharded
+    *,
+    enc_cfg: EncoderConfig,
+    rr_cfg: EncoderConfig,
+    top_k: int,
+    rerank_k: int,
+    eos_id: int = 2,
+    block_n: int = 1024,
+    lex_weight: float = 0.0,
+    colbert_weight: float = 0.0,
+    mesh=None,
+):
+    """Mesh variant of :func:`fused_query` — still ONE XLA program.
+
+    Encoder and reranker run replicated (their params are tiny next to the
+    corpus); retrieval runs per-shard through ``shard_map`` + the fused
+    kernel with an all-gather of only the [B, K] lists and their cached
+    candidate tokens (``parallel/query.py::sharded_retrieve_tokens``).
+    Per-shard exact top-K + shard-major merge keeps the candidate set and
+    tie-breaks bit-identical to the single-device program. This is the
+    serving form of the BASELINE 10M-chunk mesh rung (reference seam
+    ``app/rag.py:85-87`` at scale).
+    """
+    from outline_rag_tpu.parallel.query import sharded_retrieve_tokens
+
+    q_hidden, q_emb = _encode_queries(enc_params, q_ids, q_mask, enc_cfg)
+    vals, idx, cand_ids, cand_mask, cand_w = sharded_retrieve_tokens(
+        q_emb, vectors, scales, penalty, tok_ids, tok_mask, tok_weights,
+        top_k, mesh=mesh, block_n=block_n,
+    )
+    return _rescore_and_rerank(
+        enc_params, rr_params, q_hidden, q_ids, q_mask, vals, idx,
+        cand_ids, cand_mask, cand_w,
+        enc_cfg=enc_cfg, rr_cfg=rr_cfg, rerank_k=rerank_k, eos_id=eos_id,
+        lex_weight=lex_weight, colbert_weight=colbert_weight,
+    )
+
+
 class FusedEngine:
     """Host wrapper: tokenization, state snapshot, row-id translation."""
 
@@ -180,7 +282,22 @@ class FusedEngine:
             # snapshot under the lock: mutations donate device buffers, so
             # a state captured outside could be invalidated before dispatch
             state, row_ids, gen = self.index._shard.snapshot()
-            r_rows, r_vals, retr_vals, idx, vals = fused_query(
+            mesh = self.index.mesh
+            ndev = mesh.size if mesh is not None else 1
+            common = dict(
+                enc_cfg=self.embedder.cfg,
+                rr_cfg=self.reranker.cfg,
+                top_k=min(self.top_k, state.capacity // ndev),
+                rerank_k=min(self.rerank_k, self.top_k),
+                eos_id=getattr(tok, "eos_id", 2),
+                block_n=self.index.block_n,
+                lex_weight=self.lex_weight,
+                colbert_weight=self.colbert_weight,
+            )
+            fn = fused_query if mesh is None else functools.partial(
+                fused_query_mesh, mesh=mesh
+            )
+            r_rows, r_vals, retr_vals, idx, vals = fn(
                 self.embedder.params,
                 self.reranker.params,
                 jnp.asarray(tb.input_ids),
@@ -191,14 +308,7 @@ class FusedEngine:
                 self.index.tokens.state.ids,
                 self.index.tokens.state.mask,
                 self.index.tokens.state.weights,
-                enc_cfg=self.embedder.cfg,
-                rr_cfg=self.reranker.cfg,
-                top_k=min(self.top_k, state.capacity),
-                rerank_k=min(self.rerank_k, self.top_k),
-                eos_id=getattr(tok, "eos_id", 2),
-                block_n=self.index.block_n,
-                lex_weight=self.lex_weight,
-                colbert_weight=self.colbert_weight,
+                **common,
             )
             r_rows = np.asarray(r_rows)
             r_vals = np.asarray(r_vals)

@@ -195,30 +195,65 @@ class VectorIndex:
     def generation(self) -> int:
         return self._shard.generation
 
+    @property
+    def mesh(self):
+        """The device mesh when the index is row-sharded over more than one
+        device (queries then route through the per-shard kernel +
+        all-gather merge), else None."""
+        from jax.sharding import NamedSharding
+
+        if (
+            isinstance(self._sharding, NamedSharding)
+            and self._sharding.mesh.size > 1
+        ):
+            return self._sharding.mesh
+        return None
+
     def query(
         self, queries: np.ndarray, k: int, impl: str = "auto"
     ) -> tuple[list[list[str]], np.ndarray]:
-        """Top-k chunk ids + cosine scores per query. ``queries`` [B, dim]."""
+        """Top-k chunk ids + cosine scores per query. ``queries`` [B, dim].
+
+        Row-sharded indexes dispatch ``parallel/query.py::sharded_topk``:
+        each device runs the fused kernel over its own [N/ndev, D] shard and
+        only the [B, K] lists cross the interconnect — never a per-device
+        [B, N] score matrix (the GSPMD fallback this replaces; the mesh
+        serving seam of reference ``app/rag.py:85-87`` at scale).
+        """
         with self._lock:
             state, row_ids, _ = self._shard.snapshot()
             q = _normalize_rows(np.atleast_2d(queries))
+            mesh = self.mesh
+            k_eff = min(k, state.capacity // (mesh.size if mesh else 1))
             if self.dtype == "int8":
                 from outline_rag_tpu.ops.quant import int8_topk
 
                 qq, qs = quantize_rows_int8(jnp.asarray(q))
-                vals, idx = int8_topk(
-                    qq,
-                    qs,
-                    state.vectors,
-                    state.scales,
-                    min(k, state.capacity),
-                    state.penalty,
+                if mesh is not None:
+                    from outline_rag_tpu.parallel.query import sharded_topk_int8
+
+                    vals, idx = sharded_topk_int8(
+                        qq, qs, state.vectors, state.scales, k_eff,
+                        state.penalty, mesh=mesh, impl=impl,
+                        block_n=self.block_n,
+                    )
+                else:
+                    vals, idx = int8_topk(
+                        qq, qs, state.vectors, state.scales, k_eff,
+                        state.penalty,
+                    )
+            elif mesh is not None:
+                from outline_rag_tpu.parallel.query import sharded_topk
+
+                vals, idx = sharded_topk(
+                    jnp.asarray(q), state.vectors, k_eff, state.penalty,
+                    mesh=mesh, impl=impl, block_n=self.block_n,
                 )
             else:
                 vals, idx = cosine_topk(
                     jnp.asarray(q),
                     state.vectors,
-                    min(k, state.capacity),
+                    k_eff,
                     state.penalty,
                     impl=impl,
                     block_n=self.block_n,

@@ -27,13 +27,7 @@ def _local_then_merge(q, c, pen, *, k: int, impl: str, block_n: int):
     vals, idx = cosine_topk(q, c, k, pen, impl=impl, block_n=block_n)
     shard = jax.lax.axis_index(DATA_AXIS)
     gidx = idx + (shard * c.shape[0]).astype(jnp.int32)
-    all_vals = jax.lax.all_gather(vals, DATA_AXIS)  # [ndev, B, k]
-    all_idx = jax.lax.all_gather(gidx, DATA_AXIS)
-    b = q.shape[0]
-    av = jnp.moveaxis(all_vals, 0, 1).reshape(b, -1)
-    ai = jnp.moveaxis(all_idx, 0, 1).reshape(b, -1)
-    out_vals, pos = jax.lax.top_k(av, k)
-    out_idx = jnp.take_along_axis(ai, pos, axis=1)
+    out_vals, out_idx, _ = _merge_gathered(vals, gidx, k, DATA_AXIS)
     return out_vals, out_idx
 
 
@@ -60,6 +54,140 @@ def sharded_topk(
         check_vma=False,
     )
     return fn(queries, corpus, penalty)
+
+
+def _merge_gathered(vals, gidx, k, axis, extras=()):
+    """Cross-shard merge of per-shard top-K lists (computed replicated on
+    every device — the payload is tiny). ``extras`` are per-candidate
+    arrays of shape [B, K, ...] merged with the same permutation.
+
+    Tie-break parity with a global ``lax.top_k``: the gathered layout is
+    shard-major ([shard0 k0..k-1, shard1 k0..]) and shard r owns global
+    rows [r*cap, (r+1)*cap), so for equal values the earliest position is
+    the lowest global index."""
+    b = vals.shape[0]
+    av = jnp.moveaxis(jax.lax.all_gather(vals, axis), 0, 1).reshape(b, -1)
+    ai = jnp.moveaxis(jax.lax.all_gather(gidx, axis), 0, 1).reshape(b, -1)
+    out_vals, pos = jax.lax.top_k(av, k)
+    out_idx = jnp.take_along_axis(ai, pos, axis=1)
+    merged_extras = []
+    for e in extras:
+        ae = jnp.moveaxis(jax.lax.all_gather(e, axis), 0, 1)
+        ae = ae.reshape(b, ae.shape[1] * ae.shape[2], *e.shape[2:])
+        p = pos.reshape(b, k, *([1] * (ae.ndim - 2)))
+        merged_extras.append(jnp.take_along_axis(ae, p, axis=1))
+    return out_vals, out_idx, merged_extras
+
+
+def _local_topk_int8(q_codes, q_scale, c, c_scale, pen, *, k: int, impl: str, block_n: int):
+    from outline_rag_tpu.ops.quant import int8_topk
+
+    vals, idx = int8_topk(q_codes, q_scale, c, c_scale, k, pen, impl=impl, block_n=block_n)
+    shard = jax.lax.axis_index(DATA_AXIS)
+    gidx = idx + (shard * c.shape[0]).astype(jnp.int32)
+    out_vals, out_idx, _ = _merge_gathered(vals, gidx, k, DATA_AXIS)
+    return out_vals, out_idx
+
+
+def sharded_topk_int8(
+    q_codes: jax.Array,  # [B, D] int8, replicated
+    q_scale: jax.Array,  # [B] f32, replicated
+    corpus: jax.Array,  # [N, D] int8, row-sharded over "data"
+    c_scale: jax.Array,  # [N] f32, row-sharded
+    k: int,
+    penalty: jax.Array | None = None,  # [N], row-sharded
+    *,
+    mesh: Mesh,
+    impl: str = "auto",
+    block_n: int = 1024,
+) -> tuple[jax.Array, jax.Array]:
+    """Quantized row-parallel top-K: per-shard fused int8 kernel, then the
+    same tiny all-gather merge as :func:`sharded_topk`."""
+    if penalty is None:
+        penalty = jnp.zeros((corpus.shape[0],), jnp.float32)
+    body = functools.partial(_local_topk_int8, k=k, impl=impl, block_n=block_n)
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(q_codes, q_scale, corpus, c_scale, penalty)
+
+
+def _local_retrieve_tokens(
+    q, q_codes, q_scale, c, c_scale, pen, tok_ids, tok_mask, tok_w,
+    *, k: int, impl: str, block_n: int, quantized: bool,
+):
+    """Per-device body of the mesh fused-query retrieval stage: local fused
+    top-K over this row shard, then gather the K winning candidates' cached
+    tokens *locally* (plain ``jnp.take`` on the local shard — no cross-device
+    gather of the [N, Tc] cache), and merge scores + candidate tokens across
+    shards with one all-gather each. Collective payload per device:
+    ``ndev * B * K * (2*Tc + 3) * 4`` bytes — KBs, never corpus-scale."""
+    if quantized:
+        from outline_rag_tpu.ops.quant import int8_topk
+
+        vals, idx = int8_topk(q_codes, q_scale, c, c_scale, k, pen, impl=impl, block_n=block_n)
+    else:
+        vals, idx = cosine_topk(q, c, k, pen, impl=impl, block_n=block_n)
+    shard = jax.lax.axis_index(DATA_AXIS)
+    gidx = idx + (shard * c.shape[0]).astype(jnp.int32)
+    cand_ids = jnp.take(tok_ids, idx, axis=0)  # [B, K, Tc]
+    cand_mask = jnp.take(tok_mask, idx, axis=0)
+    cand_w = jnp.take(tok_w, idx, axis=0)
+    out_vals, out_idx, (m_ids, m_mask, m_w) = _merge_gathered(
+        vals, gidx, k, DATA_AXIS, extras=(cand_ids, cand_mask, cand_w)
+    )
+    return out_vals, out_idx, m_ids, m_mask, m_w
+
+
+def sharded_retrieve_tokens(
+    q_emb: jax.Array,  # [B, D] f32 unit vectors, replicated
+    corpus: jax.Array,  # [N, D], row-sharded over "data"
+    scales: jax.Array,  # [N] f32 (int8 mode), row-sharded
+    penalty: jax.Array,  # [N], row-sharded
+    tok_ids: jax.Array,  # [N, Tc] int32, row-sharded
+    tok_mask: jax.Array,  # [N, Tc] int32, row-sharded
+    tok_weights: jax.Array,  # [N, Tc] f32, row-sharded
+    k: int,
+    *,
+    mesh: Mesh,
+    impl: str = "auto",
+    block_n: int = 1024,
+):
+    """Retrieval stage of the mesh fused-query program: returns replicated
+    (vals [B,K], global idx [B,K], cand_ids/mask [B,K,Tc], cand_weights)
+    with exact tie-break parity vs the single-device program. Traceable
+    under jit — this is one stage of one XLA program, not a dispatch."""
+    quantized = corpus.dtype == jnp.int8
+    if quantized:
+        from outline_rag_tpu.ops.quant import quantize_rows_int8
+
+        q_codes, q_scale = quantize_rows_int8(q_emb)
+    else:
+        q_codes = jnp.zeros((q_emb.shape[0], 0), jnp.int8)
+        q_scale = jnp.zeros((q_emb.shape[0],), jnp.float32)
+    body = functools.partial(
+        _local_retrieve_tokens,
+        k=k,
+        impl=impl,
+        block_n=block_n,
+        quantized=quantized,
+    )
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(),
+            P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS),
+            P(DATA_AXIS, None), P(DATA_AXIS, None), P(DATA_AXIS, None),
+        ),
+        out_specs=(P(), P(), P(), P(), P()),
+        check_vma=False,
+    )
+    return fn(q_emb, q_codes, q_scale, corpus, scales, penalty, tok_ids, tok_mask, tok_weights)
 
 
 # ---------------------------------------------------------------------------

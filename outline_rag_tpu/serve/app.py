@@ -98,10 +98,24 @@ def build_app(
     if embedder is None:
         embedder = get_embedder(settings)
     if index is None:
+        # Row-shard the index over the local device mesh when more than one
+        # device is visible (MESH_DATA_AXIS=0 -> all devices, N -> first N,
+        # 1 -> force single-device). Queries then run the per-shard fused
+        # kernel + all-gather merge (parallel/query.py) — the served form
+        # of the BASELINE 10M-chunk mesh rung.
+        sharding = None
+        import jax
+
+        ndev = settings.mesh_data_axis or len(jax.devices())
+        if ndev > 1 and settings.shard_capacity % ndev == 0:
+            from outline_rag_tpu.parallel.mesh import data_mesh, row_sharding
+
+            sharding = row_sharding(data_mesh(ndev))
         index = VectorIndex(
             dim=getattr(embedder, "dim", settings.vector_dim),
             capacity=settings.shard_capacity,
             dtype=settings.index_dtype,
+            sharding=sharding,
         )
     retrieval = RetrievalService(
         index,
@@ -146,6 +160,7 @@ def build_app(
                     AutoTokenizer.from_pretrained(settings.decoder_weights_path),
                     max_new_tokens=settings.decoder_max_new_tokens,
                     batch_slots=settings.decoder_batch_slots,
+                    int8_weights=settings.decoder_int8,
                 )
             except Exception as exc:
                 # An explicitly configured local decoder that fails to load
