@@ -247,6 +247,7 @@ class Settings:
     decoder_weights_path: str = ""
     decoder_max_new_tokens: int = 512
     decoder_batch_slots: int = 0  # >1 -> continuous batching across chats
+    decoder_int8: bool = False  # int8 decoder weights (fused VMEM dequant)
     query_batch_window_ms: float = 4.0
     query_batch_max: int = 32
     lex_weight: float = 0.0  # >0 blends BGE-m3 lexical overlap into retrieval
@@ -364,6 +365,7 @@ def load_settings(env: dict[str, str] | None = None) -> Settings:
         decoder_weights_path=_env("DECODER_WEIGHTS_PATH"),
         decoder_max_new_tokens=_env_int("DECODER_MAX_NEW_TOKENS", 512),
         decoder_batch_slots=_env_int("DECODER_BATCH_SLOTS", 0),
+        decoder_int8=_env_bool("DECODER_INT8", False),
         query_batch_window_ms=_env_float("QUERY_BATCH_WINDOW_MS", 4.0),
         query_batch_max=_env_int("QUERY_BATCH_MAX", 32),
         lex_weight=_env_float("LEX_WEIGHT", 0.0),

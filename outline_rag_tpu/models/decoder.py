@@ -126,6 +126,82 @@ def cast_decoder_params(params: Params, dtype) -> Params:
     return jax.tree_util.tree_map_with_path(cast, params)
 
 
+_INT8_WEIGHT_NAMES = ("wq", "wk", "wv", "wo", "wg", "wu", "wd")
+
+
+def quantize_decoder_params(params: Params) -> Params:
+    """int8-quantize the decode-bandwidth-dominant weights.
+
+    Every projection matrix (attention + MLP + lm_head) becomes
+    ``{"q": [N, K] int8, "s": [N] f32}`` with per-output-channel scales;
+    the forward dequantizes tile-by-tile in VMEM (``ops/int8_linear.py``),
+    so decode — which reads every weight once per token — moves half the
+    HBM bytes. Norm scales, biases, and the embedding table (a gather,
+    not a matmul) stay as-is. Apply AFTER ``stack_decoder_params`` /
+    ``cast_decoder_params``; quantized params must not be cast again.
+    """
+    from outline_rag_tpu.ops.int8_linear import quantize_linear_weight
+
+    params = stack_decoder_params(params)
+
+    def quant(w):  # [K, N] (or [L, K, N] stacked) -> {"q", "s"}
+        if w.ndim == 3:
+            q, s = jax.vmap(quantize_linear_weight)(w)
+        else:
+            q, s = quantize_linear_weight(w)
+        return {"q": q, "s": s}
+
+    out = dict(params)
+    if "lm_head" in params:
+        out["lm_head"] = quant(params["lm_head"])
+    layers = dict(params["layers"])
+    for name in _INT8_WEIGHT_NAMES:
+        layers[name] = quant(layers[name])
+    out["layers"] = layers
+    return out
+
+
+def _pick_block_n(n: int) -> int | None:
+    for b in (512, 256, 128, 64, 32, 16, 8):
+        if n % b == 0:
+            return b
+    return None
+
+
+def _mm(x: jax.Array, w, dt) -> jax.Array:
+    """x @ w for dense weights ([K, N]) or int8 ``{"q": [N,K], "s": [N]}``.
+
+    int8 path: small-M calls (decode steps) go through the fused
+    in-VMEM-dequant Pallas kernel; large-M calls (prefill, where the
+    weight read is amortized over many tokens and the [M, K] activation
+    tile would blow VMEM) dequantize through the MXU-fused XLA path.
+    """
+    if not isinstance(w, dict):
+        return x @ w.astype(dt)
+    q, s = w["q"], w["s"]
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    m = 1
+    for d in lead:
+        m *= d
+    block_n = _pick_block_n(q.shape[0])
+    if block_n is not None and m <= 256:
+        from outline_rag_tpu.ops.int8_linear import int8_linear
+
+        x2 = x.reshape(m, k)
+        pad = (-m) % 8
+        if pad:
+            x2 = jnp.concatenate(
+                [x2, jnp.zeros((pad, k), x2.dtype)], axis=0
+            )
+        out = int8_linear(x2, q, s, block_n=block_n)
+        if pad:
+            out = out[:m]
+        return out.reshape(*lead, q.shape[0]).astype(dt)
+    wd = (q.astype(dt) * s.astype(dt)[:, None]).T  # [K, N]
+    return x @ wd
+
+
 # ---------------------------------------------------------------------------
 # forward pieces
 # ---------------------------------------------------------------------------
@@ -163,7 +239,7 @@ def _layer(x, layer, cache_kv, positions, mask_bias, cfg: DecoderConfig):
     hd, nh, nkv = cfg.hd, cfg.heads, cfg.kv_heads
     b, t, _ = x.shape
     h = _rms_norm(x, layer["ln1"], cfg.norm_eps)
-    q = h @ layer["wq"].astype(dt)
+    q = _mm(h, layer["wq"], dt)
     if cfg.attn_bias:
         q = q + layer["bq"].astype(dt)
     q = _rope(q.reshape(b, t, nh, hd), positions, cfg.rope_theta)
@@ -178,12 +254,12 @@ def _layer(x, layer, cache_kv, positions, mask_bias, cfg: DecoderConfig):
     probs = jax.nn.softmax(logits, axis=-1).astype(dt)
     ctx = jnp.einsum("btngc,bncd->btngd", probs, v_cache)
     ctx = ctx.reshape(b, t, nh * hd)
-    x = x + ctx @ layer["wo"].astype(dt)
+    x = x + _mm(ctx, layer["wo"], dt)
 
     h = _rms_norm(x, layer["ln2"], cfg.norm_eps)
-    gate = jax.nn.silu(h @ layer["wg"].astype(dt))
-    up = h @ layer["wu"].astype(dt)
-    x = x + (gate * up) @ layer["wd"].astype(dt)
+    gate = jax.nn.silu(_mm(h, layer["wg"], dt))
+    up = _mm(h, layer["wu"], dt)
+    x = x + _mm(gate * up, layer["wd"], dt)
     return x
 
 
@@ -191,8 +267,8 @@ def _project_kv(x_normed, layer, positions, cfg: DecoderConfig):
     """K/V for T new tokens: [B, T, KvH, Dh] (K already rotated)."""
     dt = x_normed.dtype
     b, t, _ = x_normed.shape
-    k = x_normed @ layer["wk"].astype(dt)
-    v = x_normed @ layer["wv"].astype(dt)
+    k = _mm(x_normed, layer["wk"], dt)
+    v = _mm(x_normed, layer["wv"], dt)
     if cfg.attn_bias:
         k = k + layer["bk"].astype(dt)
         v = v + layer["bv"].astype(dt)
@@ -259,7 +335,7 @@ def decoder_forward(
     head = params.get("lm_head")
     if head is None:
         head = params["embed"].T
-    logits = (x @ head.astype(dt)).astype(jnp.float32)
+    logits = _mm(x, head, dt).astype(jnp.float32)
     return logits, (k_ring, v_ring)
 
 

@@ -206,6 +206,7 @@ class LocalChatProvider:
         model_name: str = "local-tpu",
         prompt_buckets: tuple = (64, 128, 256, 512, 1024, 2048),
         batch_slots: int = 0,  # >1 -> continuous batching across requests
+        int8_weights: bool = False,  # halve decode HBM traffic (DECODER_INT8)
     ):
         import functools
 
@@ -216,11 +217,14 @@ class LocalChatProvider:
             decoder_forward,
             generate_chunk,
             init_cache,
+            quantize_decoder_params,
             stack_decoder_params,
         )
 
         self.cfg = cfg
         self.params = stack_decoder_params(cast_decoder_params(params, cfg.dtype))
+        if int8_weights:
+            self.params = quantize_decoder_params(self.params)
         self.tokenizer = tokenizer
         self.eos_id = eos_id if eos_id is not None else getattr(
             tokenizer, "eos_token_id", 2

@@ -223,3 +223,90 @@ def test_hf_qwen2_parity():
         cfg,
     )
     np.testing.assert_allclose(np.asarray(got), want, atol=3e-4, rtol=3e-4)
+
+
+def test_int8_weights_logit_parity(tiny):
+    """int8-quantized weights (fused VMEM dequant path) must track the
+    float forward closely: the candidate ranking that decode actually
+    consumes has to survive quantization."""
+    from outline_rag_tpu.models.decoder import quantize_decoder_params
+
+    cfg, params = tiny
+    qparams = quantize_decoder_params(params)
+    b, t = 2, 9
+    toks = jax.random.randint(jax.random.key(5), (b, t), 0, cfg.vocab_size)
+    want, _ = decoder_forward(
+        params, toks, init_cache(cfg, b), jnp.zeros((b,), jnp.int32), cfg
+    )
+    got, _ = decoder_forward(
+        qparams, toks, init_cache(cfg, b), jnp.zeros((b,), jnp.int32), cfg
+    )
+    w = np.asarray(want)
+    g = np.asarray(got)
+    # per-position cosine similarity of the logit vectors
+    cos = (w * g).sum(-1) / (
+        np.linalg.norm(w, axis=-1) * np.linalg.norm(g, axis=-1)
+    )
+    assert cos.min() > 0.999, cos.min()
+    # and the argmax (greedy next-token) agrees almost everywhere
+    agree = (w.argmax(-1) == g.argmax(-1)).mean()
+    assert agree >= 0.9, agree
+
+
+def test_int8_weights_generation_runs(tiny):
+    """Chunked generation with int8 weights: same device-side protocol,
+    finite logits, positions advance."""
+    from outline_rag_tpu.models.decoder import quantize_decoder_params
+
+    cfg, params = tiny
+    qparams = quantize_decoder_params(params)
+    prompt = jnp.asarray([[5, 9, 13, 2]], jnp.int32)
+    cache = init_cache(cfg, 1)
+    logits, cache = decoder_forward(
+        qparams, prompt, cache, jnp.zeros((1,), jnp.int32), cfg
+    )
+    assert np.isfinite(np.asarray(logits)).all()
+    first = sample_token(
+        logits[:, -1, :], jax.random.key(0), 0.0, 1.0
+    )
+    toks, cache, nxt, pos = generate_chunk(
+        qparams, cache, first, jnp.full((1,), 4, jnp.int32),
+        jax.random.key(1), cfg, n_steps=6, temperature=0.0, top_p=1.0,
+        eos_id=0,
+    )
+    assert toks.shape == (1, 6)
+    assert int(pos[0]) == 10
+
+
+def test_int8_provider_stream(tiny):
+    """LocalChatProvider(int8_weights=True) streams text end-to-end."""
+    import asyncio
+
+    from outline_rag_tpu.serve.llm import LocalChatProvider
+
+    cfg, params = tiny
+
+    class StubTok:
+        eos_token_id = 0
+
+        def encode(self, text):
+            return [1 + (b % 250) for b in text.encode()][:40]
+
+        def decode(self, ids):
+            return "".join(chr(97 + (i % 26)) for i in ids)
+
+    prov = LocalChatProvider(
+        params, cfg, StubTok(), chunk_tokens=4, max_new_tokens=8,
+        int8_weights=True,
+    )
+
+    async def run():
+        out = []
+        async for d in prov.stream(
+            "m", [{"role": "user", "content": "hello"}], temperature=0.0
+        ):
+            out.append(d["content"])
+        return "".join(out)
+
+    text = asyncio.run(run())
+    assert isinstance(text, str)
