@@ -155,8 +155,9 @@ def quantize_decoder_params(params: Params) -> Params:
     if "lm_head" in params:
         out["lm_head"] = quant(params["lm_head"])
     layers = dict(params["layers"])
-    for name in _INT8_WEIGHT_NAMES:
-        layers[name] = quant(layers[name])
+    for name in _INT8_WEIGHT_NAMES + ("wqkv", "wgu"):
+        if name in layers:
+            layers[name] = quant(layers[name])
     out["layers"] = layers
     return out
 
@@ -168,13 +169,23 @@ def _pick_block_n(n: int) -> int | None:
     return None
 
 
+import os as _os
+
+# int8 matmul strategy (measured end-to-end in tools/bench_decode.py):
+#   "w8a8"  — dynamic per-row activation quantization + int8 x int8 MXU dot
+#             + f32 output rescale (pure XLA; weights stream from HBM as
+#             int8, dequant cost is O(M*N) on the output, not O(N*K)).
+#   "kernel" — bf16 activations, per-tile in-VMEM weight dequant
+#             (ops/int8_linear.py Pallas kernel).
+_INT8_MODE = _os.environ.get("DECODER_INT8_MODE", "w8a8")
+
+
 def _mm(x: jax.Array, w, dt) -> jax.Array:
     """x @ w for dense weights ([K, N]) or int8 ``{"q": [N,K], "s": [N]}``.
 
-    int8 path: small-M calls (decode steps) go through the fused
-    in-VMEM-dequant Pallas kernel; large-M calls (prefill, where the
-    weight read is amortized over many tokens and the [M, K] activation
-    tile would blow VMEM) dequantize through the MXU-fused XLA path.
+    int8 path: small-M calls (decode steps) use the _INT8_MODE strategy;
+    large-M calls (prefill, where the weight read is amortized over many
+    tokens) dequantize through the MXU-fused XLA path.
     """
     if not isinstance(w, dict):
         return x @ w.astype(dt)
@@ -185,6 +196,18 @@ def _mm(x: jax.Array, w, dt) -> jax.Array:
     for d in lead:
         m *= d
     block_n = _pick_block_n(q.shape[0])
+    if m <= 256 and _INT8_MODE == "w8a8":
+        x2 = x.reshape(m, k).astype(jnp.float32)
+        amax = jnp.max(jnp.abs(x2), axis=1, keepdims=True)
+        xs = jnp.maximum(amax / 127.0, 1e-12)
+        xq = jnp.clip(jnp.round(x2 / xs), -127, 127).astype(jnp.int8)
+        raw = jax.lax.dot_general(
+            xq, q,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        out = raw.astype(jnp.float32) * xs * s[None, :].astype(jnp.float32)
+        return out.reshape(*lead, q.shape[0]).astype(dt)
     if block_n is not None and m <= 256:
         from outline_rag_tpu.ops.int8_linear import int8_linear
 
@@ -229,21 +252,42 @@ def _rope(x, positions, theta):
     return out.astype(x.dtype)
 
 
-def _layer(x, layer, cache_kv, positions, mask_bias, cfg: DecoderConfig):
-    """One decoder block over T new tokens against a C-slot KV cache.
+def _qkv(h, layer, positions, cfg: DecoderConfig):
+    """Q/K/V projections for T new tokens from the ln1-normed input.
 
-    x: [B, T, H]; cache_kv: (k, v) each [B, KvH, C, Dh] — the new T
-    entries are already written at ``positions``; mask_bias: [B, T, C].
+    Returns (q [B,T,H,Dh] rotated, k [B,T,KvH,Dh] rotated, v [B,T,KvH,Dh]).
+    When the layer carries a fused ``wqkv`` (``fuse_decoder_params``), the
+    three projections run as ONE matmul — decode at M=1 is launch- and
+    tile-efficiency-bound, so fewer, wider matmuls win.
     """
-    dt = x.dtype
-    hd, nh, nkv = cfg.hd, cfg.heads, cfg.kv_heads
-    b, t, _ = x.shape
-    h = _rms_norm(x, layer["ln1"], cfg.norm_eps)
-    q = _mm(h, layer["wq"], dt)
-    if cfg.attn_bias:
-        q = q + layer["bq"].astype(dt)
-    q = _rope(q.reshape(b, t, nh, hd), positions, cfg.rope_theta)
+    dt = h.dtype
+    b, t, _ = h.shape
+    nq, nkv = cfg.heads * cfg.hd, cfg.kv_heads * cfg.hd
+    if "wqkv" in layer:
+        qkv = _mm(h, layer["wqkv"], dt)
+        if cfg.attn_bias:
+            qkv = qkv + layer["bqkv"].astype(dt)
+        q = qkv[..., :nq]
+        k = qkv[..., nq : nq + nkv]
+        v = qkv[..., nq + nkv :]
+    else:
+        q = _mm(h, layer["wq"], dt)
+        k = _mm(h, layer["wk"], dt)
+        v = _mm(h, layer["wv"], dt)
+        if cfg.attn_bias:
+            q = q + layer["bq"].astype(dt)
+            k = k + layer["bk"].astype(dt)
+            v = v + layer["bv"].astype(dt)
+    q = _rope(q.reshape(b, t, cfg.heads, cfg.hd), positions, cfg.rope_theta)
+    k = _rope(k.reshape(b, t, cfg.kv_heads, cfg.hd), positions, cfg.rope_theta)
+    return q, k, v.reshape(b, t, cfg.kv_heads, cfg.hd)
 
+
+def _attn_out(q, cache_kv, mask_bias, layer, cfg: DecoderConfig):
+    """GQA attention of q [B,T,H,Dh] against the KV cache, + output proj."""
+    dt = q.dtype
+    hd, nh, nkv = cfg.hd, cfg.heads, cfg.kv_heads
+    b, t = q.shape[0], q.shape[1]
     k_cache, v_cache = cache_kv  # [B, KvH, C, Dh]
     group = nh // nkv
     qg = q.reshape(b, t, nkv, group, hd)
@@ -254,27 +298,44 @@ def _layer(x, layer, cache_kv, positions, mask_bias, cfg: DecoderConfig):
     probs = jax.nn.softmax(logits, axis=-1).astype(dt)
     ctx = jnp.einsum("btngc,bncd->btngd", probs, v_cache)
     ctx = ctx.reshape(b, t, nh * hd)
-    x = x + _mm(ctx, layer["wo"], dt)
-
-    h = _rms_norm(x, layer["ln2"], cfg.norm_eps)
-    gate = jax.nn.silu(_mm(h, layer["wg"], dt))
-    up = _mm(h, layer["wu"], dt)
-    x = x + _mm(gate * up, layer["wd"], dt)
-    return x
+    return _mm(ctx, layer["wo"], dt)
 
 
-def _project_kv(x_normed, layer, positions, cfg: DecoderConfig):
-    """K/V for T new tokens: [B, T, KvH, Dh] (K already rotated)."""
-    dt = x_normed.dtype
-    b, t, _ = x_normed.shape
-    k = _mm(x_normed, layer["wk"], dt)
-    v = _mm(x_normed, layer["wv"], dt)
-    if cfg.attn_bias:
-        k = k + layer["bk"].astype(dt)
-        v = v + layer["bv"].astype(dt)
-    k = _rope(k.reshape(b, t, cfg.kv_heads, cfg.hd), positions, cfg.rope_theta)
-    v = v.reshape(b, t, cfg.kv_heads, cfg.hd)
-    return k, v
+def _mlp(h, layer, cfg: DecoderConfig):
+    """SwiGLU MLP; fused ``wgu`` runs gate+up as one matmul."""
+    dt = h.dtype
+    if "wgu" in layer:
+        gu = _mm(h, layer["wgu"], dt)
+        gate = gu[..., : cfg.intermediate]
+        up = gu[..., cfg.intermediate :]
+    else:
+        gate = _mm(h, layer["wg"], dt)
+        up = _mm(h, layer["wu"], dt)
+    return _mm(jax.nn.silu(gate) * up, layer["wd"], dt)
+
+
+def fuse_decoder_params(params: Params) -> Params:
+    """Concatenate per-layer QKV (and gate/up) along the output axis so
+    decode runs 4 matmuls per layer instead of 7. Column-independence of
+    the contraction makes the fused results bit-identical; per-output-
+    channel int8 scales survive fusion the same way (quantize after).
+    Not applied under tensor parallelism (``parallel/tp.py`` shards the
+    unfused names)."""
+    params = stack_decoder_params(params)
+    out = dict(params)
+    layers = dict(params["layers"])
+    layers["wqkv"] = jnp.concatenate(
+        [layers.pop("wq"), layers.pop("wk"), layers.pop("wv")], axis=-1
+    )
+    layers["wgu"] = jnp.concatenate(
+        [layers.pop("wg"), layers.pop("wu")], axis=-1
+    )
+    if "bq" in layers:
+        layers["bqkv"] = jnp.concatenate(
+            [layers.pop("bq"), layers.pop("bk"), layers.pop("bv")], axis=-1
+        )
+    out["layers"] = layers
+    return out
 
 
 def init_cache(cfg: DecoderConfig, batch: int) -> tuple[jax.Array, jax.Array]:
@@ -313,7 +374,7 @@ def decoder_forward(
         x = carry
         layer, k_layer, v_layer = inputs
         h = _rms_norm(x, layer["ln1"], cfg.norm_eps)
-        k_new, v_new = _project_kv(h, layer, positions, cfg)
+        q, k_new, v_new = _qkv(h, layer, positions, cfg)
         # write the T new entries at start_pos (per batch row)
         def write(ring, new):
             # ring [B, KvH, C, Dh]; new [B, T, KvH, Dh]
@@ -326,7 +387,9 @@ def decoder_forward(
 
         k_layer = write(k_layer, k_new.astype(dt))
         v_layer = write(v_layer, v_new.astype(dt))
-        x = _layer(x, layer, (k_layer, v_layer), positions, mask_bias, cfg)
+        x = x + _attn_out(q, (k_layer, v_layer), mask_bias, layer, cfg)
+        h2 = _rms_norm(x, layer["ln2"], cfg.norm_eps)
+        x = x + _mlp(h2, layer, cfg)
         return x, (k_layer, v_layer)
 
     layers = params["layers"]

@@ -215,6 +215,7 @@ class LocalChatProvider:
         from outline_rag_tpu.models.decoder import (
             cast_decoder_params,
             decoder_forward,
+            fuse_decoder_params,
             generate_chunk,
             init_cache,
             quantize_decoder_params,
@@ -222,7 +223,9 @@ class LocalChatProvider:
         )
 
         self.cfg = cfg
-        self.params = stack_decoder_params(cast_decoder_params(params, cfg.dtype))
+        self.params = fuse_decoder_params(
+            stack_decoder_params(cast_decoder_params(params, cfg.dtype))
+        )
         if int8_weights:
             self.params = quantize_decoder_params(self.params)
         self.tokenizer = tokenizer
