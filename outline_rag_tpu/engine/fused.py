@@ -278,9 +278,11 @@ class FusedEngine:
     def query(self, texts: list[str]):
         tok = self.embedder.tokenizer
         tb = tok.batch(texts, self.q_width, buckets=(self.q_width,))
-        with self.index._lock:
-            # snapshot under the lock: mutations donate device buffers, so
-            # a state captured outside could be invalidated before dispatch
+        with self.index.read_section():
+            # snapshot inside the read section: mutations donate device
+            # buffers only after in-flight readers drain, and queries run
+            # concurrently with each other (index/store.py concurrency
+            # notes)
             state, row_ids, gen = self.index._shard.snapshot()
             mesh = self.index.mesh
             ndev = mesh.size if mesh is not None else 1
@@ -313,18 +315,18 @@ class FusedEngine:
             r_rows = np.asarray(r_rows)
             r_vals = np.asarray(r_vals)
             retr_vals = np.asarray(retr_vals)
-        results = []
-        for b in range(r_rows.shape[0]):
-            row = []
-            for j in range(r_rows.shape[1]):
-                if r_vals[b, j] <= NEG / 2:
-                    continue
-                row.append(
-                    (
-                        str(row_ids[r_rows[b, j]]),
-                        float(r_vals[b, j]),  # cross-encoder score
-                        float(retr_vals[b, j]),  # retrieval (dense/hybrid)
+            results = []
+            for b in range(r_rows.shape[0]):
+                row = []
+                for j in range(r_rows.shape[1]):
+                    if r_vals[b, j] <= NEG / 2:
+                        continue
+                    row.append(
+                        (
+                            str(row_ids[r_rows[b, j]]),
+                            float(r_vals[b, j]),  # cross-encoder score
+                            float(retr_vals[b, j]),  # retrieval (dense/hybrid)
+                        )
                     )
-                )
-            results.append(row)
+                results.append(row)
         return results

@@ -15,17 +15,24 @@ pgvector (reference ``app/rag.py:67-80`` + ``app/database.py:118-139``):
   store (SURVEY.md section 5 checkpoint/resume); ``save``/``load`` persist
   it as a .npz snapshot for fast restarts.
 
-Concurrency: one writer, many readers, serialized by an RLock. Mutations
-donate device buffers (true in-place HBM updates), which requires that no
-query holding the old state dispatches after the donation — the lock keeps
-query dispatch and mutation dispatch mutually exclusive; queries block
-until device results are ready before releasing. This is the device-side
-analogue of the reference's single-writer Redis lock discipline
-(reference ``app/blueprints/api.py:957``, SURVEY.md section 5).
+Concurrency: one writer, many CONCURRENT readers (an RCU-flavoured
+reader-writer discipline). Mutations donate device buffers (true in-place
+HBM updates), which requires that no query holding the old state
+dispatches after the donation. Readers therefore enter a read section
+(``_RWLock.read``) around snapshot -> dispatch -> fetch -> row-id
+translation; the writer drains in-flight readers before its first
+donation and blocks new readers only for the duration of the device
+mutation dispatch itself — all host-side preparation (normalization,
+quantization, tokenization) happens before the write section, so an
+ingestion batch adds only the device-update time to concurrent query
+latency, and queries never serialize behind each other. This is the
+device-side analogue of the reference's single-writer Redis lock
+discipline (reference ``app/blueprints/api.py:957``, SURVEY.md section 5).
 """
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import threading
@@ -44,6 +51,49 @@ def _normalize_rows(x: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return (x / norms).astype(np.float32)
+
+
+class _RWLock:
+    """Writer-preferring reader-writer lock.
+
+    Readers run concurrently; a writer first blocks new readers, then
+    waits for in-flight readers to drain (they hold device buffers that
+    the writer is about to donate), then runs exclusively.
+    """
+
+    def __init__(self):
+        self._cv = threading.Condition()
+        self._readers = 0
+        self._writer = False
+
+    @contextlib.contextmanager
+    def read(self):
+        with self._cv:
+            while self._writer:
+                self._cv.wait()
+            self._readers += 1
+        try:
+            yield
+        finally:
+            with self._cv:
+                self._readers -= 1
+                if not self._readers:
+                    self._cv.notify_all()
+
+    @contextlib.contextmanager
+    def write(self):
+        with self._cv:
+            while self._writer:
+                self._cv.wait()
+            self._writer = True
+            while self._readers:
+                self._cv.wait()
+        try:
+            yield
+        finally:
+            with self._cv:
+                self._writer = False
+                self._cv.notify_all()
 
 
 class VectorIndex:
@@ -71,7 +121,14 @@ class VectorIndex:
         )
         self._by_chunk: dict[str, int] = {}  # chunk_id -> row
         self._by_source: dict[str, list[str]] = {}  # source_id -> chunk ids
-        self._lock = threading.RLock()
+        self._rw = _RWLock()
+
+    def read_section(self):
+        """Context manager for external readers (FusedEngine): snapshot,
+        dispatch, fetch, and row-id translation must all happen inside —
+        the writer donates device buffers and rewrites ``row_ids`` in
+        place once readers drain."""
+        return self._rw.read()
 
     # ------------------------------------------------------------------
     # mutation
@@ -93,23 +150,23 @@ class VectorIndex:
         (``app/rag.py:216-235``). ``token_ids``/``token_mask`` feed the
         device token cache for the fused rerank path."""
         assert vectors.shape == (len(chunk_ids), self.dim), vectors.shape
-        with self._lock:
+        # host-side preparation outside the write section: concurrent
+        # queries only wait for the device mutation dispatch below
+        vecs = _normalize_rows(vectors)
+        scales = None
+        if self.dtype == "int8":
+            q, s = quantize_rows_int8(jnp.asarray(vecs))
+            vecs = np.asarray(q, np.float32)  # codes carried as f32 host-side
+            scales = np.asarray(s)
+        with self._rw.write():
             if replace:
                 self._delete_source_locked(source_id)
-            vecs = _normalize_rows(vectors)
-            scales = None
-            if self.dtype == "int8":
-                q, s = quantize_rows_int8(jnp.asarray(vecs))
-                vecs = np.asarray(q, np.float32)  # codes carried as f32 host-side
-                scales = np.asarray(s)
-            elif self.dtype == "bfloat16":
-                pass  # cast happens on device append
             if len(chunk_ids) > self._shard.free:
                 # churn case (the delta-update protocol tombstones before
                 # re-adding): if dropping tombstones makes room, compact
                 # at the same capacity instead of doubling HBM
                 if self.size + len(chunk_ids) <= self._shard.capacity:
-                    self.compact()
+                    self._compact_locked()
                 else:
                     self._grow(len(chunk_ids))
             start = self._shard.cursor
@@ -124,7 +181,7 @@ class VectorIndex:
             self._by_source[source_id].extend(chunk_ids)
 
     def delete_source(self, source_id: str) -> int:
-        with self._lock:
+        with self._rw.write():
             return self._delete_source_locked(source_id)
 
     def _delete_source_locked(self, source_id: str) -> int:
@@ -134,7 +191,7 @@ class VectorIndex:
         return len(rows)
 
     def delete_chunks(self, chunk_ids: list[str]) -> int:
-        with self._lock:
+        with self._rw.write():
             rows = [self._by_chunk.pop(c) for c in chunk_ids if c in self._by_chunk]
             self._shard.tombstone(np.asarray(rows, np.int32))
             for cids in self._by_source.values():
@@ -150,38 +207,41 @@ class VectorIndex:
         new_cap = self._shard.capacity
         while new_cap - self.size < needed or new_cap == self._shard.capacity:
             new_cap *= 2
-        self.compact(new_capacity=new_cap)
+        self._compact_locked(new_capacity=new_cap)
 
     def compact(self, new_capacity: int | None = None) -> None:
         """Rewrite the shard keeping only live rows (drops tombstones)."""
-        with self._lock:
-            old_state, row_ids, _ = self._shard.snapshot()
-            penalty = np.asarray(old_state.penalty)
-            live_mask = penalty > NEG / 2
-            live_rows = np.nonzero(live_mask)[0]
-            vecs = np.asarray(old_state.vectors, np.float32)[live_rows]
-            scales = np.asarray(old_state.scales)[live_rows]
-            ids = [row_ids[r] for r in live_rows]
-            tok_ids = tok_mask = tok_w = None
-            if self.tokens is not None:
-                tok_ids = np.asarray(self.tokens.state.ids)[live_rows]
-                tok_mask = np.asarray(self.tokens.state.mask)[live_rows]
-                tok_w = np.asarray(self.tokens.state.weights)[live_rows]
-            cap = new_capacity or self._shard.capacity
-            self._shard = DeviceShard(cap, self.dim, self.dtype, self._sharding)
-            if self.tokens is not None:
-                self.tokens = TokenCache(
-                    cap, self.token_width, self.token_pad_id, self._sharding
-                )
-            self._by_chunk.clear()
-            if len(ids):
-                rows = self._shard.append(
-                    ids, vecs, scales if self.dtype == "int8" else None
-                )
-                if self.tokens is not None and tok_ids is not None:
-                    self.tokens.write(0, tok_ids, tok_mask, tok_w)
-                for cid, row in zip(ids, rows):
-                    self._by_chunk[cid] = int(row)
+        with self._rw.write():
+            self._compact_locked(new_capacity)
+
+    def _compact_locked(self, new_capacity: int | None = None) -> None:
+        old_state, row_ids, _ = self._shard.snapshot()
+        penalty = np.asarray(old_state.penalty)
+        live_mask = penalty > NEG / 2
+        live_rows = np.nonzero(live_mask)[0]
+        vecs = np.asarray(old_state.vectors, np.float32)[live_rows]
+        scales = np.asarray(old_state.scales)[live_rows]
+        ids = [row_ids[r] for r in live_rows]
+        tok_ids = tok_mask = tok_w = None
+        if self.tokens is not None:
+            tok_ids = np.asarray(self.tokens.state.ids)[live_rows]
+            tok_mask = np.asarray(self.tokens.state.mask)[live_rows]
+            tok_w = np.asarray(self.tokens.state.weights)[live_rows]
+        cap = new_capacity or self._shard.capacity
+        self._shard = DeviceShard(cap, self.dim, self.dtype, self._sharding)
+        if self.tokens is not None:
+            self.tokens = TokenCache(
+                cap, self.token_width, self.token_pad_id, self._sharding
+            )
+        self._by_chunk.clear()
+        if len(ids):
+            rows = self._shard.append(
+                ids, vecs, scales if self.dtype == "int8" else None
+            )
+            if self.tokens is not None and tok_ids is not None:
+                self.tokens.write(0, tok_ids, tok_mask, tok_w)
+            for cid, row in zip(ids, rows):
+                self._by_chunk[cid] = int(row)
 
     # ------------------------------------------------------------------
     # query
@@ -220,9 +280,9 @@ class VectorIndex:
         [B, N] score matrix (the GSPMD fallback this replaces; the mesh
         serving seam of reference ``app/rag.py:85-87`` at scale).
         """
-        with self._lock:
+        q = _normalize_rows(np.atleast_2d(queries))
+        with self._rw.read():
             state, row_ids, _ = self._shard.snapshot()
-            q = _normalize_rows(np.atleast_2d(queries))
             mesh = self.mesh
             k_eff = min(k, state.capacity // (mesh.size if mesh else 1))
             if self.dtype == "int8":
@@ -260,14 +320,16 @@ class VectorIndex:
                 )
             vals = np.asarray(vals)
             idx = np.asarray(idx)
-        out_ids: list[list[str]] = []
-        for b in range(idx.shape[0]):
-            row = []
-            for j in range(idx.shape[1]):
-                if vals[b, j] <= NEG / 2:
-                    continue  # fewer than k live rows
-                row.append(str(row_ids[idx[b, j]]))
-            out_ids.append(row)
+            # translate row -> chunk id inside the read section: the
+            # writer rewrites row_ids in place once readers drain
+            out_ids: list[list[str]] = []
+            for b in range(idx.shape[0]):
+                row = []
+                for j in range(idx.shape[1]):
+                    if vals[b, j] <= NEG / 2:
+                        continue  # fewer than k live rows
+                    row.append(str(row_ids[idx[b, j]]))
+                out_ids.append(row)
         return out_ids, vals
 
     # ------------------------------------------------------------------
@@ -275,7 +337,7 @@ class VectorIndex:
     # ------------------------------------------------------------------
 
     def save(self, path: str) -> None:
-        with self._lock:
+        with self._rw.read():
             state, row_ids, gen = self._shard.snapshot()
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
             arrays = {
