@@ -445,9 +445,20 @@ async def _read_chunked_body(reader: asyncio.StreamReader) -> bytes:
 
 
 async def _write_response(
-    writer: asyncio.StreamWriter, resp: Response, keep_alive: bool
+    writer: asyncio.StreamWriter,
+    resp: Response,
+    keep_alive: bool,
+    write_timeout: float | None = None,
 ) -> bool:
-    """Returns whether the connection can be kept alive."""
+    """Returns whether the connection can be kept alive. ``write_timeout``
+    caps each drain so a client that stops reading a stream is reaped."""
+
+    async def drain():
+        if write_timeout is None:
+            await writer.drain()
+        else:
+            await asyncio.wait_for(writer.drain(), timeout=write_timeout)
+
     headers = dict(resp.headers)
     cookies = resp._cookies
     status_line = f"HTTP/1.1 {resp.status} {_REASONS.get(resp.status, 'OK')}\r\n"
@@ -460,23 +471,23 @@ async def _write_response(
         )
         head += "".join(f"set-cookie: {c}\r\n" for c in cookies)
         writer.write((head + "\r\n").encode("latin1"))
-        await writer.drain()
+        await drain()
         try:
             async for chunk in resp.stream:
                 if not chunk:
                     continue
                 writer.write(f"{len(chunk):x}\r\n".encode() + chunk + b"\r\n")
-                await writer.drain()
+                await drain()
         finally:
             writer.write(b"0\r\n\r\n")
-            await writer.drain()
+            await drain()
         return keep_alive
     headers["content-length"] = str(len(resp.body))
     headers["connection"] = "keep-alive" if keep_alive else "close"
     head = status_line + "".join(f"{k}: {v}\r\n" for k, v in headers.items())
     head += "".join(f"set-cookie: {c}\r\n" for c in cookies)
     writer.write((head + "\r\n").encode("latin1") + resp.body)
-    await writer.drain()
+    await drain()
     return keep_alive
 
 
@@ -489,11 +500,51 @@ _REASONS = {
 }
 
 
-async def _serve_connection(app: App, reader, writer) -> None:
+class ServerLimits:
+    """DoS hygiene knobs (uvicorn-class behavior, reference
+    ``app/main.py:141-173`` stack):
+
+    - ``request_timeout``: the ENTIRE request (idle wait + head + body)
+      must arrive within this window — a wait_for around the read, so a
+      slowloris trickling bytes cannot extend it;
+    - ``write_timeout``: per-drain cap, reaps clients that stop reading
+      an SSE stream;
+    - ``max_connections``: excess connections get an immediate 503;
+    - ``max_keepalive_requests``: cap on requests per connection;
+    - ``max_streams``: bound on concurrently-open streaming (SSE)
+      responses across the server.
+    """
+
+    def __init__(
+        self,
+        request_timeout: float = 60.0,
+        write_timeout: float = 30.0,
+        max_connections: int = 1024,
+        max_keepalive_requests: int = 1000,
+        max_streams: int = 256,
+    ):
+        self.request_timeout = request_timeout
+        self.write_timeout = write_timeout
+        self.max_connections = max_connections
+        self.max_keepalive_requests = max_keepalive_requests
+        self.max_streams = max_streams
+        self.connections = 0  # live counters
+        self.streams = 0
+
+
+async def _serve_connection(
+    app: App, reader, writer, limits: ServerLimits | None = None
+) -> None:
+    limits = limits or ServerLimits()
+    served = 0
     try:
         while True:
             try:
-                req = await _read_request(reader)
+                req = await asyncio.wait_for(
+                    _read_request(reader), timeout=limits.request_timeout
+                )
+            except asyncio.TimeoutError:
+                break  # idle or slow-trickling client: reap silently
             except _BadRequest as e:
                 await _write_response(
                     writer, Response.json({"error": e.message}, e.status), False
@@ -503,11 +554,33 @@ async def _serve_connection(app: App, reader, writer) -> None:
                 break
             peer = writer.get_extra_info("peername") or ("127.0.0.1", 0)
             req.client = (peer[0], peer[1]) if isinstance(peer, tuple) else peer
-            keep = req.headers.get("connection", "keep-alive").lower() != "close"
+            served += 1
+            keep = (
+                req.headers.get("connection", "keep-alive").lower() != "close"
+                and served < limits.max_keepalive_requests
+            )
             resp = await app.handle(req)
-            if not await _write_response(writer, resp, keep):
+            streaming = resp.stream is not None
+            if streaming and limits.streams >= limits.max_streams:
+                resp = Response.json({"error": "too many streams"}, 503)
+                streaming = False
+            if streaming:
+                limits.streams += 1
+            try:
+                ok = await _write_response(
+                    writer, resp, keep, write_timeout=limits.write_timeout
+                )
+            finally:
+                if streaming:
+                    limits.streams -= 1
+            if not ok:
                 break
-    except (ConnectionResetError, BrokenPipeError, asyncio.CancelledError):
+    except (
+        ConnectionResetError,
+        BrokenPipeError,
+        asyncio.CancelledError,
+        asyncio.TimeoutError,
+    ):
         pass
     except Exception:
         log.exception("connection handler error")
@@ -519,11 +592,38 @@ async def _serve_connection(app: App, reader, writer) -> None:
             pass
 
 
-async def serve(app: App, host: str, port: int) -> asyncio.AbstractServer:
+async def serve(
+    app: App,
+    host: str,
+    port: int,
+    limits: ServerLimits | None = None,
+) -> asyncio.AbstractServer:
     await app.startup()
-    server = await asyncio.start_server(
-        lambda r, w: _serve_connection(app, r, w), host, port
-    )
+    limits = limits or ServerLimits()
+
+    async def on_conn(r, w):
+        if limits.connections >= limits.max_connections:
+            try:
+                w.write(
+                    b"HTTP/1.1 503 Service Unavailable\r\n"
+                    b"content-length: 0\r\nconnection: close\r\n\r\n"
+                )
+                await w.drain()
+                # absorb any already-sent request bytes so close() sends a
+                # clean FIN rather than an RST that races the 503
+                await asyncio.wait_for(r.read(65536), timeout=0.2)
+            except Exception:
+                pass
+            finally:
+                w.close()
+            return
+        limits.connections += 1
+        try:
+            await _serve_connection(app, r, w, limits)
+        finally:
+            limits.connections -= 1
+
+    server = await asyncio.start_server(on_conn, host, port)
     log.info("listening on %s:%d", host, port)
     return server
 

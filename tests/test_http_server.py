@@ -235,3 +235,149 @@ def test_chunked_request_body():
             await app.shutdown()
 
     asyncio.run(run())
+
+
+def test_slowloris_connection_is_reaped():
+    """A client that sends half a request and stalls must be disconnected
+    after the request timeout — not pin the connection task forever."""
+    from outline_rag_tpu.serve.http import ServerLimits
+
+    async def run():
+        app = _demo_app()
+        limits = ServerLimits(request_timeout=0.3)
+        server = await serve(app, "127.0.0.1", 0, limits=limits)
+        port = server.sockets[0].getsockname()[1]
+        try:
+            reader, writer = await asyncio.open_connection("127.0.0.1", port)
+            writer.write(b"GET /ping HTTP/1.1\r\nhost: x\r\n")  # half headers
+            await writer.drain()
+            # trickle a byte to prove trickling can't extend the window
+            await asyncio.sleep(0.15)
+            writer.write(b"x")
+            await writer.drain()
+            # server must close within the timeout regardless
+            data = await asyncio.wait_for(reader.read(), timeout=2.0)
+            assert data == b""  # clean close, no response bytes
+            writer.close()
+            # and the server still works for a well-behaved client
+            async with httpx.AsyncClient() as client:
+                r = await client.get(f"http://127.0.0.1:{port}/ping")
+                assert r.status_code == 200
+        finally:
+            server.close()
+            await server.wait_closed()
+
+    asyncio.run(run())
+
+
+def test_max_connections_503():
+    """Connections above the cap receive an immediate 503 and close."""
+    from outline_rag_tpu.serve.http import ServerLimits
+
+    async def run():
+        app = _demo_app()
+        limits = ServerLimits(request_timeout=5.0, max_connections=2)
+        server = await serve(app, "127.0.0.1", 0, limits=limits)
+        port = server.sockets[0].getsockname()[1]
+        try:
+            # two held-open connections fill the cap
+            holders = [
+                await asyncio.open_connection("127.0.0.1", port)
+                for _ in range(2)
+            ]
+            await asyncio.sleep(0.05)  # let the server register them
+            r3, w3 = await asyncio.open_connection("127.0.0.1", port)
+            w3.write(b"GET /ping HTTP/1.1\r\nhost: x\r\n\r\n")
+            await w3.drain()
+            data = await asyncio.wait_for(r3.readline(), timeout=2.0)
+            assert b"503" in data
+            w3.close()
+            for r, w in holders:
+                w.close()
+            await asyncio.sleep(0.05)
+            # capacity released: a new client is served normally
+            async with httpx.AsyncClient() as client:
+                resp = await client.get(f"http://127.0.0.1:{port}/ping")
+                assert resp.status_code == 200
+        finally:
+            server.close()
+            await server.wait_closed()
+
+    asyncio.run(run())
+
+
+def test_keepalive_request_cap():
+    """A connection is closed after max_keepalive_requests requests."""
+    from outline_rag_tpu.serve.http import ServerLimits
+
+    async def run():
+        app = _demo_app()
+        limits = ServerLimits(request_timeout=5.0, max_keepalive_requests=3)
+        server = await serve(app, "127.0.0.1", 0, limits=limits)
+        port = server.sockets[0].getsockname()[1]
+        try:
+            reader, writer = await asyncio.open_connection("127.0.0.1", port)
+            req = b"GET /ping HTTP/1.1\r\nhost: x\r\n\r\n"
+            for i in range(3):
+                writer.write(req)
+                await writer.drain()
+                line = await reader.readline()
+                assert b"200" in line
+                # drain this response's headers+body
+                while True:
+                    h = await reader.readline()
+                    if h in (b"\r\n", b""):
+                        break
+                    if h.lower().startswith(b"content-length:"):
+                        n = int(h.split(b":")[1])
+                await reader.readexactly(n)
+            # 3rd response was marked connection: close -> EOF now
+            data = await asyncio.wait_for(reader.read(), timeout=2.0)
+            assert data == b""
+            writer.close()
+        finally:
+            server.close()
+            await server.wait_closed()
+
+    asyncio.run(run())
+
+
+def test_stream_cap_503():
+    """Concurrent SSE streams beyond max_streams get a 503 JSON error."""
+    from outline_rag_tpu.serve.http import Response, ServerLimits
+
+    app = App(secret_key="s")
+    release = asyncio.Event()
+
+    @app.get("/slow-stream")
+    async def slow_stream(req: Request) -> Response:
+        async def gen():
+            yield b"data: started\n\n"
+            await release.wait()
+            yield b"data: [DONE]\n\n"
+
+        return Response.streaming(gen())
+
+    async def run():
+        limits = ServerLimits(request_timeout=5.0, max_streams=1)
+        server = await serve(app, "127.0.0.1", 0, limits=limits)
+        port = server.sockets[0].getsockname()[1]
+        base = f"http://127.0.0.1:{port}"
+        try:
+            async with httpx.AsyncClient(timeout=5.0) as client:
+
+                async def occupy():
+                    async with client.stream("GET", base + "/slow-stream") as r:
+                        async for _line in r.aiter_lines():
+                            if "started" in _line:
+                                # stream 1 open; stream 2 must be rejected
+                                r2 = await client.get(base + "/slow-stream")
+                                assert r2.status_code == 503
+                                release.set()
+
+                await occupy()
+        finally:
+            server.close()
+            await server.wait_closed()
+
+    asyncio.run(run())
