@@ -71,11 +71,36 @@ class OutlineClient:
                 await asyncio.sleep(delay)
                 delay *= 2
 
+    async def list_collections(self) -> list[dict]:
+        """All collections visible to the token (reference
+        ``outline_client.py:65-71``)."""
+        data = await self._post("collections.list", {"limit": PAGE_SIZE})
+        return data.get("data", []) or []
+
     async def list_docs(self) -> dict[str, dict]:
-        """All documents across configured collections (or all), deduped by
-        id. Returns {doc_id: {"id", "title", "updatedAt", "url"}}."""
+        """All documents across the configured collections, deduped by id.
+        Returns {doc_id: {"id", "title", "updatedAt", "url"}}.
+
+        When no collections are configured, they are discovered via
+        ``collections.list`` and each is walked — the reference's
+        visibility semantics (``outline_client.py:73-88``): an unfiltered
+        ``documents.list`` can differ from the union of per-collection
+        listings on a real Outline server. No collections visible ->
+        empty result (warn), matching the reference.
+        """
         out: dict[str, dict] = {}
-        collections: tuple = self.collections or (None,)
+        collections: tuple = self.collections
+        if not collections:
+            discovered = await self.list_collections()
+            collections = tuple(
+                c["id"] for c in discovered if isinstance(c, dict) and c.get("id")
+            )
+            if not collections:
+                log.warning(
+                    "no collections visible via collections.list; "
+                    "returning no documents"
+                )
+                return out
         for coll in collections:
             offset = 0
             while True:

@@ -18,13 +18,21 @@ class FakeOutline:
         self.page_size = page_size
         self.calls: list[str] = []
 
-    def put_doc(self, doc_id: str, title: str, text: str, updated_at: str):
+    def put_doc(
+        self,
+        doc_id: str,
+        title: str,
+        text: str,
+        updated_at: str,
+        collection: str = "col-default",
+    ):
         self.docs[doc_id] = {
             "id": doc_id,
             "title": title,
             "text": text,
             "updatedAt": updated_at,
             "url": f"/doc/{doc_id}",
+            "collectionId": collection,
         }
 
     def delete_doc(self, doc_id: str):
@@ -37,10 +45,19 @@ class FakeOutline:
         endpoint = request.url.path.split("/api/")[-1]
         self.calls.append(endpoint)
         payload = json.loads(request.content or b"{}")
+        if endpoint == "collections.list":
+            cols = sorted({d["collectionId"] for d in self.docs.values()})
+            return httpx.Response(
+                200,
+                json={"data": [{"id": c, "name": c} for c in cols]},
+            )
         if endpoint == "documents.list":
             offset = payload.get("offset", 0)
             limit = payload.get("limit", self.page_size)
+            coll = payload.get("collectionId")
             docs = sorted(self.docs.values(), key=lambda d: d["id"])
+            if coll is not None:
+                docs = [d for d in docs if d["collectionId"] == coll]
             page = [
                 {k: d[k] for k in ("id", "title", "updatedAt", "url")}
                 for d in docs[offset : offset + limit]

@@ -219,3 +219,49 @@ def test_rebuild_from_store(world):
     assert sum(calls) == 0  # all embeddings came from the KV cache
     ids, _ = fresh_index.query(HashEmbedder(dim=DIM).embed(["stars fuse hydrogen"]), k=1)
     assert meta.get_chunk(ids[0][0])["source_id"] == "d3"
+
+
+def test_collections_discovery_and_dedup():
+    """With no OUTLINE_COLLECTIONS configured, the client enumerates
+    collections.list and walks each collection (reference
+    outline_client.py:64-88), deduplicating documents that appear in the
+    listing more than once."""
+    import httpx
+
+    from outline_rag_tpu.sync.outline import OutlineClient
+
+    fake = FakeOutline()
+    fake.put_doc("a1", "Alpha", "alpha body", "t1", collection="col-a")
+    fake.put_doc("a2", "Alpha2", "alpha two", "t1", collection="col-a")
+    fake.put_doc("b1", "Beta", "beta body", "t2", collection="col-b")
+
+    client = OutlineClient("http://fake", "tok", transport=fake.transport())
+
+    async def run():
+        return await client.list_docs()
+
+    docs = asyncio.run(run())
+    assert set(docs) == {"a1", "a2", "b1"}
+    # discovery really went through collections.list + per-collection walks
+    assert "collections.list" in fake.calls
+    assert fake.calls.count("documents.list") == 2
+
+    # configured collections skip discovery and restrict visibility
+    fake.calls.clear()
+    scoped = OutlineClient(
+        "http://fake", "tok", collections=("col-b",), transport=fake.transport()
+    )
+    docs_b = asyncio.run(scoped.list_docs())
+    assert set(docs_b) == {"b1"}
+    assert "collections.list" not in fake.calls
+
+
+def test_collections_discovery_empty():
+    """No visible collections -> no documents (reference warns + returns
+    empty, outline_client.py:77-79)."""
+    from outline_rag_tpu.sync.outline import OutlineClient
+
+    fake = FakeOutline()  # no docs -> no collections
+    client = OutlineClient("http://fake", "tok", transport=fake.transport())
+    docs = asyncio.run(client.list_docs())
+    assert docs == {}
