@@ -238,6 +238,7 @@ class Settings:
     shard_capacity: int = 1 << 17  # rows per device shard (power of two)
     mesh_data_axis: int = 0  # 0 -> use all local devices
     encoder_model: str = "bge-m3"
+    token_width: int = 64  # device token-cache width (fused rerank path)
     encoder_max_tokens: int = 512
     encoder_buckets: tuple[int, ...] = (32, 64, 128, 256, 512)
     encoder_weights_path: str = ""  # empty -> deterministic fallback embedder
@@ -359,6 +360,7 @@ def load_settings(env: dict[str, str] | None = None) -> Settings:
         shard_capacity=_env_int("SHARD_CAPACITY", 1 << 17),
         mesh_data_axis=_env_int("MESH_DATA_AXIS", 0),
         encoder_model=_env("ENCODER_MODEL", "bge-m3"),
+        token_width=_env_int("TOKEN_WIDTH", 64),
         encoder_max_tokens=_env_int("ENCODER_MAX_TOKENS", 512),
         encoder_weights_path=_env("ENCODER_WEIGHTS_PATH"),
         reranker_weights_path=_env("RERANKER_WEIGHTS_PATH"),

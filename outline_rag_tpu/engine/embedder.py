@@ -137,10 +137,14 @@ def get_embedder(settings=None, dim: int | None = None):
             return EncoderEmbedder(
                 params, cfg, tok, max_tokens=settings.encoder_max_tokens
             )
-        except Exception:
-            log.exception(
-                "failed to load encoder weights from %s; using hash embedder",
-                settings.encoder_weights_path,
-            )
+        except Exception as exc:
+            # an explicitly configured encoder that fails to load is a
+            # deployment error — serving hash embeddings instead would
+            # silently break retrieval quality (same policy as the
+            # decoder path in serve/app.py)
+            raise RuntimeError(
+                "ENCODER_WEIGHTS_PATH is set but the checkpoint failed to "
+                f"load from {settings.encoder_weights_path!r}"
+            ) from exc
     d = dim or (settings.vector_dim if settings else 1024)
     return HashEmbedder(dim=d)

@@ -97,6 +97,29 @@ def build_app(
         meta = make_meta_store(settings)
     if embedder is None:
         embedder = get_embedder(settings)
+    if reranker is None and settings.reranker_weights_path:
+        # on-TPU cross-encoder (reference seam: remote /v1/rerank,
+        # app/llm_services.py:235-344)
+        from outline_rag_tpu.engine.rerank import CrossEncoderReranker
+        from outline_rag_tpu.models.convert import load_pretrained
+        from outline_rag_tpu.models.tokenizer import HFTokenizer
+
+        try:
+            rr_cfg, rr_params = load_pretrained(settings.reranker_weights_path)
+            reranker = CrossEncoderReranker(
+                rr_params,
+                rr_cfg,
+                HFTokenizer(settings.reranker_weights_path),
+                max_tokens=settings.encoder_max_tokens,
+            )
+        except Exception as exc:
+            raise RuntimeError(
+                "RERANKER_WEIGHTS_PATH is set but the checkpoint failed to "
+                f"load from {settings.reranker_weights_path!r}"
+            ) from exc
+    # a real encoder + device token cache enable the fused one-program
+    # query path (engine/fused.py); the ingestor fills the cache below
+    encoder_tokenizer = getattr(embedder, "tokenizer", None)
     if index is None:
         # Row-shard the index over the local device mesh when more than one
         # device is visible (MESH_DATA_AXIS=0 -> all devices, N -> first N,
@@ -116,6 +139,9 @@ def build_app(
             capacity=settings.shard_capacity,
             dtype=settings.index_dtype,
             sharding=sharding,
+            token_width=(
+                settings.token_width if encoder_tokenizer is not None else None
+            ),
         )
     retrieval = RetrievalService(
         index,
@@ -188,7 +214,10 @@ def build_app(
         else None
     )
     ingestor = (
-        Ingestor(outline, meta, index, embedder, bus, settings)
+        Ingestor(
+            outline, meta, index, embedder, bus, settings,
+            tokenizer=encoder_tokenizer if index.tokens is not None else None,
+        )
         if outline is not None
         else None
     )
