@@ -39,6 +39,80 @@ function esc(s) {
   return s.replace(/&/g, "&amp;").replace(/</g, "&lt;").replace(/>/g, "&gt;");
 }
 
+/* ---------- in-app dialogs + toasts (reference: Shoelace dialogs,
+ * core.js:60-150) — promise-based modal overlay, no native prompt(). */
+
+function _dialog(message, { input = null, confirmLabel = "OK", danger = false } = {}) {
+  return new Promise((resolve) => {
+    const overlay = document.createElement("div");
+    overlay.className = "modal-overlay";
+    const box = document.createElement("div");
+    box.className = "modal";
+    const msg = document.createElement("p");
+    msg.className = "modal-msg";
+    msg.textContent = message;
+    box.appendChild(msg);
+    let field = null;
+    if (input !== null) {
+      field = document.createElement("input");
+      field.className = "modal-input";
+      field.value = input;
+      box.appendChild(field);
+    }
+    const row = document.createElement("div");
+    row.className = "modal-actions";
+    const cancel = document.createElement("button");
+    cancel.className = "modal-btn";
+    cancel.textContent = "Cancel";
+    const ok = document.createElement("button");
+    ok.className = "modal-btn primary" + (danger ? " danger" : "");
+    ok.textContent = confirmLabel;
+    row.append(cancel, ok);
+    box.appendChild(row);
+    overlay.appendChild(box);
+    document.body.appendChild(overlay);
+    const close = (value) => {
+      overlay.remove();
+      document.removeEventListener("keydown", onKey);
+      resolve(value);
+    };
+    const onKey = (e) => {
+      if (e.key === "Escape") close(null);
+      if (e.key === "Enter" && (input === null || document.activeElement === field)) {
+        close(input !== null ? field.value : true);
+      }
+    };
+    document.addEventListener("keydown", onKey);
+    cancel.onclick = () => close(null);
+    ok.onclick = () => close(input !== null ? field.value : true);
+    overlay.onclick = (e) => { if (e.target === overlay) close(null); };
+    (field || ok).focus();
+    if (field) field.select();
+  });
+}
+
+function uiConfirm(message, confirmLabel = "Delete") {
+  return _dialog(message, { confirmLabel, danger: true }).then((v) => v === true);
+}
+
+function uiPrompt(message, initial = "") {
+  return _dialog(message, { input: initial, confirmLabel: "Save" });
+}
+
+function toast(message, kind = "info", ms = 3200) {
+  let holder = $("#toasts");
+  if (!holder) {
+    holder = document.createElement("div");
+    holder.id = "toasts";
+    document.body.appendChild(holder);
+  }
+  const t = document.createElement("div");
+  t.className = "toast " + kind;
+  t.textContent = message;
+  holder.appendChild(t);
+  setTimeout(() => { t.classList.add("out"); setTimeout(() => t.remove(), 300); }, ms);
+}
+
 /* ---------- markdown pipeline (reference: core.js parseMarkdownSafe) ----
  * LaTeX spans are masked BEFORE markdown so underscores/asterisks inside
  * math never get mangled, then restored into styled math elements. */
@@ -187,10 +261,12 @@ function renderMarkdown(text) {
     }
   });
 
-  /* 3. restore math as styled (non-typeset) spans */
+  /* 3. restore math through the typesetter (tex.js, the KaTeX-class
+     subset renderer; styled-source fallback if it failed to load) */
   return html.replace(/\x00M(\d+)\x00/g, (m, n) => {
     const item = math[+n];
     if (!item) return "";
+    if (typeof texToHtml === "function") return texToHtml(item.tex, item.block);
     const tag = item.block ? "div" : "span";
     return `<${tag} class="math${item.block ? " math-block" : ""}">${esc(item.tex.trim())}</${tag}>`;
   });
@@ -267,15 +343,20 @@ async function loadConversations() {
     const ren = document.createElement("button");
     ren.textContent = "✎";
     ren.onclick = async () => {
-      const t = prompt("Rename conversation", c.title);
-      if (t) { await api(`/conversations/${c.id}`, { method: "PUT", body: JSON.stringify({ title: t }) }); loadConversations(); }
+      const t = await uiPrompt("Rename conversation", c.title);
+      if (t) {
+        await api(`/conversations/${c.id}`, { method: "PUT", body: JSON.stringify({ title: t }) });
+        toast("Conversation renamed");
+        loadConversations();
+      }
     };
     const del = document.createElement("button");
     del.textContent = "×";
     del.onclick = async () => {
-      if (!confirm("Delete conversation?")) return;
+      if (!(await uiConfirm("Delete this conversation? This cannot be undone."))) return;
       await api(`/conversations/${c.id}`, { method: "DELETE" });
       if (state.current === c.id) { state.current = null; $("#messages").innerHTML = ""; }
+      toast("Conversation deleted");
       loadConversations();
     };
     li.append(title, ren, del);
@@ -352,6 +433,32 @@ async function sendQuestion() {
   $("#stop").hidden = false;
   state.abort = new AbortController();
 
+  /* Incremental rendering (reference app.js:547-875 re-renders at \n\n
+   * boundaries): completed paragraphs are rendered ONCE and appended to
+   * a stable container; only the trailing partial paragraph re-renders
+   * per SSE frame — O(answer) total instead of O(answer^2). A boundary
+   * only advances when the prefix has balanced ``` fences, so a code
+   * block containing blank lines is never split mid-fence. */
+  let thinkEl = null, thinkBody = null;
+  const stableEl = document.createElement("div");
+  const tailEl = document.createElement("div");
+  assistantDiv.append(stableEl, tailEl);
+  let stableCut = 0;
+  const fencesBalanced = (s) => (s.split("```").length - 1) % 2 === 0;
+  const renderTick = (content) => {
+    let cut = content.lastIndexOf("\n\n");
+    while (cut > stableCut && !fencesBalanced(content.slice(0, cut))) {
+      cut = content.lastIndexOf("\n\n", cut - 1);
+    }
+    if (cut > stableCut && fencesBalanced(content.slice(0, cut))) {
+      stableEl.insertAdjacentHTML(
+        "beforeend", renderMarkdownLite(content.slice(stableCut, cut))
+      );
+      stableCut = cut;
+    }
+    tailEl.innerHTML = renderMarkdownLite(content.slice(stableCut));
+  };
+
   let content = "", thinking = "";
   try {
     const resp = await fetch(API + "/ask", {
@@ -385,10 +492,24 @@ async function sendQuestion() {
         let obj;
         try { obj = JSON.parse(payload); } catch (e) { continue; }
         const delta = obj.choices?.[0]?.delta || {};
-        if (delta.thinking) thinking += delta.thinking;
-        if (delta.content) content += delta.content;
-        const full = (thinking ? "\n<!--thinking-->\n" + thinking + "\n<!--/thinking-->\n" : "") + content;
-        assistantDiv.innerHTML = renderAssistant(full);
+        if (delta.thinking) {
+          thinking += delta.thinking;
+          if (!thinkEl) {
+            thinkEl = document.createElement("details");
+            thinkEl.className = "thinking";
+            thinkEl.open = true;
+            thinkEl.innerHTML = "<summary>thinking</summary>";
+            thinkBody = document.createElement("div");
+            thinkEl.appendChild(thinkBody);
+            assistantDiv.insertBefore(thinkEl, stableEl);
+          }
+          thinkBody.textContent = thinking;
+        }
+        if (delta.content) {
+          content += delta.content;
+          if (thinkEl) thinkEl.open = false; // answer started: fold it
+          renderTick(content);
+        }
         $("#messages").scrollTop = $("#messages").scrollHeight;
       }
     }
@@ -462,15 +583,13 @@ async function uploadFile(file) {
     credentials: "same-origin",
     body: form,
   });
-  const st = $("#refresh-status");
   if (resp.ok) {
-    st.textContent = `uploaded ${file.name}`;
+    toast(`Uploaded ${file.name}`, "success");
   } else {
     let msg = "upload failed";
     try { msg = (await resp.json()).error || msg; } catch (e) {}
-    st.textContent = msg;
+    toast(msg, "error");
   }
-  setTimeout(() => { if (st.textContent.includes(file.name) || st.textContent.includes("upload")) st.textContent = ""; }, 4000);
 }
 
 // ---------- boot ----------
@@ -504,9 +623,20 @@ window.addEventListener("DOMContentLoaded", async () => {
   $("#theme-toggle").onclick = () =>
     applyTheme(document.documentElement.dataset.theme === "light" ? "dark" : "light");
 
-  // sampling-params popover (reference: model/temp/top-p popovers)
+  // sampling-params popover; becomes a bottom sheet on mobile
+  // (reference: model/temp/top-p popovers + mobile sheet, main.js:204-473)
   const pop = $("#params-pop");
-  $("#params-toggle").onclick = () => pop.classList.toggle("open");
+  $("#params-toggle").onclick = (e) => {
+    e.stopPropagation();
+    pop.classList.toggle("open");
+    document.body.classList.toggle("sheet-open", pop.classList.contains("open"));
+  };
+  document.addEventListener("click", (e) => {
+    if (pop.classList.contains("open") && !pop.contains(e.target)) {
+      pop.classList.remove("open");
+      document.body.classList.remove("sheet-open");
+    }
+  });
   const tempSlider = $("#temp-slider"), topPSlider = $("#top-p-slider");
   const sync = () => {
     state.params.temperature = tempSlider.value === "" ? null : parseFloat(tempSlider.value);

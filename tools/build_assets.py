@@ -68,15 +68,24 @@ def minify_js(js: str) -> str:
     return "\n".join(line for line in lines if line)
 
 
+JS_BUNDLE = ("tex.js", "app.js")  # load order matters: app.js calls texToHtml
+
+
 def main() -> int:
     built = []
-    js_path = os.path.join(STATIC, "app.js")
     css_path = os.path.join(STATIC, "style.css")
-    if os.path.exists(js_path):
-        with open(js_path) as f:
-            src = f.read()
+    sources = [
+        os.path.join(STATIC, name)
+        for name in JS_BUNDLE
+        if os.path.exists(os.path.join(STATIC, name))
+    ]
+    if sources:
+        parts = []
+        for path in sources:
+            with open(path) as f:
+                parts.append(minify_js(f.read()))
         with open(os.path.join(STATIC, "script.min.js"), "w") as f:
-            f.write(minify_js(src))
+            f.write("\n".join(parts))
         built.append("script.min.js")
     if os.path.exists(css_path):
         with open(css_path) as f:
