@@ -98,11 +98,13 @@ def test_bf16_recall(data):
         12, block_b=8, block_n=128,
     )
     _, oidx = _oracle_topk(q, c, 12)
-    # bf16 scoring: measured-tolerance recall vs exact oracle
+    # bf16 scoring: band pinned to the measured value (0.9792 on this
+    # seed, 512x128 corpus) so a quality regression fails loudly rather
+    # than hiding under a loose >=0.9 tolerance
     hits = np.mean([
         len(set(np.asarray(idx)[i]) & set(oidx[i])) / 12 for i in range(q.shape[0])
     ])
-    assert hits >= 0.9
+    assert hits >= 0.97, hits
 
 
 def test_int8_recall(data):
@@ -111,10 +113,12 @@ def test_int8_recall(data):
     cq, cs = quantize_rows_int8(jnp.asarray(c))
     vals, idx = int8_topk(qq, qs, cq, cs, 12)
     _, oidx = _oracle_topk(q, c, 12)
+    # measured: 1.0 on this seed (per-row-scaled int8 at 512x128); pin
+    # just below so a real quantization regression fails
     hits = np.mean([
         len(set(np.asarray(idx)[i]) & set(oidx[i])) / 12 for i in range(q.shape[0])
     ])
-    assert hits >= 0.85
+    assert hits >= 0.99, hits
 
 
 def test_merge_topk():
