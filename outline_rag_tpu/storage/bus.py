@@ -95,49 +95,55 @@ class InMemoryBus:
 
 
 class RedisBus:
-    """Same interface over redis.asyncio (gated; requires the redis
-    package and a reachable server). Mirrors the reference's key usage so
-    multi-process deployments keep cross-worker semantics."""
+    """Same interface over a real Redis server, speaking the wire protocol
+    through the first-party client (``storage/resp.py`` — no redis
+    package dependency, mirroring ``storage/pgwire.py`` for PostgreSQL).
+    Mirrors the reference's key usage so multi-process deployments keep
+    cross-worker semantics."""
 
     def __init__(self, url: str):
-        import redis.asyncio as aredis  # noqa: PLC0415
+        from outline_rag_tpu.storage.resp import RespClient  # noqa: PLC0415
 
-        self.r = aredis.from_url(url, decode_responses=True)
+        self.r = RespClient(url)
 
     async def push(self, queue: str, item: dict) -> None:
-        await self.r.lpush(queue, json.dumps(item))
+        await self.r.command("LPUSH", queue, json.dumps(item))
 
     async def pop(self, queue: str, timeout: float | None = None) -> dict | None:
-        res = await self.r.brpop(queue, timeout=timeout or 0)
+        res = await self.r.command("BRPOP", queue, timeout or 0)
         if res is None:
             return None
         return json.loads(res[1])
 
     async def set(self, key: str, value: Any, ex: float | None = None) -> None:
-        await self.r.set(key, json.dumps(value), ex=int(ex) if ex else None)
+        args = ["SET", key, json.dumps(value)]
+        if ex:
+            args += ["EX", max(int(ex), 1)]
+        await self.r.command(*args)
 
     async def get(self, key: str) -> Any | None:
-        raw = await self.r.get(key)
+        raw = await self.r.command("GET", key)
         return None if raw is None else json.loads(raw)
 
     async def delete(self, *keys: str) -> None:
         if keys:
-            await self.r.delete(*keys)
+            await self.r.command("DEL", *keys)
 
     async def set_nx(self, key: str, value: Any, ex: float | None = None) -> bool:
-        return bool(
-            await self.r.set(key, json.dumps(value), nx=True, ex=int(ex) if ex else None)
-        )
+        args = ["SET", key, json.dumps(value), "NX"]
+        if ex:
+            args += ["EX", max(int(ex), 1)]
+        return (await self.r.command(*args)) is not None
 
     async def incr(self, key: str, by: int = 1) -> int:
-        return await self.r.incrby(key, by)
+        return await self.r.command("INCRBY", key, by)
 
     async def get_counter(self, key: str) -> int:
-        raw = await self.r.get(key)
+        raw = await self.r.command("GET", key)
         return int(raw) if raw else 0
 
     async def set_counter(self, key: str, value: int) -> None:
-        await self.r.set(key, value)
+        await self.r.command("SET", key, value)
 
 
 def make_bus(redis_url: str = ""):

@@ -1,0 +1,204 @@
+"""Multi-worker deployment topology over a real Redis wire protocol
+(VERDICT round 1 item 10).
+
+The reference runs 2 uvicorn workers coordinating through Redis
+(reference ``entrypoint.sh:16``, SURVEY.md section 2c): a webhook can
+land on worker A while the batch is processed on worker B. These tests
+prove that shape with this framework's seams:
+
+- ``RedisBus`` is exercised against a protocol-speaking fake Redis
+  server over TCP (tests/fake_redis.py) — queue blocking-pop, NX lock
+  exclusion BETWEEN two connections, counters, TTL expiry;
+- two full app instances ("serve" worker A, "ingest" worker B) share
+  one Redis: the webhook lands on A, B's debounce watcher + task worker
+  ingest, A serves the aggregated refresh status from the shared
+  counters, and A answers an ask after rebuilding its device index from
+  the shared document store (the index is a derived artifact — the
+  device-resident analogue of both workers reading one pgvector table).
+"""
+
+import asyncio
+import json
+import time
+
+from outline_rag_tpu.config import load_settings
+from outline_rag_tpu.serve.app import build_app
+from outline_rag_tpu.serve.http import TestClient
+from outline_rag_tpu.serve.llm import FakeChatProvider
+from outline_rag_tpu.storage import SqliteMetaStore
+from outline_rag_tpu.storage.bus import RedisBus
+from outline_rag_tpu.utils.hashing import sign_webhook_body
+from tests.fake_outline import FakeOutline
+from tests.fake_redis import FakeRedisServer
+
+DIM = 128
+
+
+def test_redis_bus_against_wire_protocol():
+    async def run():
+        server = FakeRedisServer()
+        port = await server.start()
+        try:
+            a = RedisBus(f"redis://127.0.0.1:{port}/0")
+            b = RedisBus(f"redis://127.0.0.1:{port}/0")
+
+            # queue: push on A, blocking-pop on B
+            await a.push("q", {"task": "x", "n": 1})
+            item = await b.pop("q", timeout=2)
+            assert item == {"task": "x", "n": 1}
+            assert await b.pop("q", timeout=0.2) is None  # empty -> timeout
+
+            # blocking pop actually blocks until a push arrives
+            async def late_push():
+                await asyncio.sleep(0.15)
+                await a.push("q", {"task": "later"})
+
+            t0 = time.monotonic()
+            _, got = await asyncio.gather(late_push(), b.pop("q", timeout=5))
+            assert got == {"task": "later"}
+            assert time.monotonic() - t0 >= 0.14
+
+            # NX lock: exclusive across connections, reacquirable after del
+            assert await a.set_nx("lock", 1, ex=60) is True
+            assert await b.set_nx("lock", 2, ex=60) is False
+            await a.delete("lock")
+            assert await b.set_nx("lock", 2, ex=60) is True
+
+            # TTL expiry (EX is integer seconds on a real server)
+            await a.set("ttl-key", "v", ex=1)
+            assert await b.get("ttl-key") == "v"
+            await asyncio.sleep(1.1)
+            assert await b.get("ttl-key") is None
+
+            # counters shared across connections
+            await a.incr("cnt", 2)
+            await b.incr("cnt", 3)
+            assert await a.get_counter("cnt") == 5
+
+            # the BRPOP path really went over the wire
+            assert any(c[0] == "BRPOP" for c in server.commands)
+            assert any(c[0] == "LPUSH" for c in server.commands)
+        finally:
+            await server.stop()
+
+    asyncio.run(run())
+
+
+def _worker(name, redis_url, meta_path, fake, with_provider):
+    settings = load_settings(
+        {
+            "SECRET_KEY": "s",
+            "VECTOR_DIM": str(DIM),
+            "DATA_DIR": "",
+            "REDIS_URL": redis_url,
+            "OUTLINE_WEBHOOK_SECRET": "whsec",
+            "WEBHOOK_DEBOUNCE_S": "0.1",
+            "SHARD_CAPACITY": "8192",
+            "CHUNK_SIZE": "256",
+            "CHUNK_OVERLAP": "32",
+        }
+    )
+    from outline_rag_tpu.models.hash_embedder import HashEmbedder
+
+    return build_app(
+        settings,
+        provider=FakeChatProvider() if with_provider else None,
+        embedder=HashEmbedder(dim=DIM),
+        meta=SqliteMetaStore(meta_path),
+        outline_transport=fake.transport(),
+        start_workers=False,
+    )
+
+
+def test_webhook_on_worker_a_processed_on_worker_b(tmp_path):
+    async def run():
+        server = FakeRedisServer()
+        port = await server.start()
+        redis_url = f"redis://127.0.0.1:{port}/0"
+        meta_path = str(tmp_path / "meta.sqlite")
+
+        fake = FakeOutline()
+        fake.put_doc("d1", "Wolves", "wolves hunt in packs across the tundra", "t1")
+        fake.put_doc("d2", "Rivers", "rivers carve canyons over millennia", "t1")
+
+        app_a = _worker("serve", redis_url, meta_path, fake, with_provider=True)
+        app_b = _worker("ingest", redis_url, meta_path, fake, with_provider=True)
+        assert isinstance(app_a.state["bus"], RedisBus)
+
+        ing_b = app_b.state["ingestor"]
+        workers = [
+            asyncio.create_task(ing_b.task_worker()),
+            asyncio.create_task(ing_b.webhook_watcher(poll_s=0.05)),
+        ]
+        client_a = TestClient(app_a)
+        try:
+            # 1. Outline webhook lands on worker A (signature verified)
+            body = json.dumps({"event": "documents.update"}).encode()
+            resp = await client_a.request(
+                "POST",
+                "/chat/update/webhook",
+                body=body,
+                headers={
+                    "content-type": "application/json",
+                    "x-outline-signature": sign_webhook_body("whsec", body),
+                },
+            )
+            assert resp.status in (200, 202)
+
+            # 2. worker B's watcher debounces, locks, enqueues; B's task
+            # worker ingests into B's device index + the SHARED doc store
+            for _ in range(100):
+                await asyncio.sleep(0.1)
+                if app_b.state["index"].size > 0:
+                    st = await client_a.get("/chat/api/refresh/status")
+                    if json.loads(st.body).get("state") == "done":
+                        break
+            assert app_b.state["index"].size > 0
+            status = json.loads(
+                (await client_a.get("/chat/api/refresh/status")).body
+            )
+            assert status["state"] == "done" and status["success"] == 2
+
+            # 3. worker A (whose device index is empty — it did no ingest)
+            # rebuilds from the shared store: the reference's "both
+            # workers read one pgvector table", device-resident form
+            assert app_a.state["index"].size == 0
+            n = app_a.state["ingestor"].rebuild_from_store()
+            assert n == 2 and app_a.state["index"].size > 0
+
+            # 4. and serves an ask with citations
+            await client_a.request(
+                "POST",
+                "/chat/login",
+                body=b"name=t",
+                headers={"content-type": "application/x-www-form-urlencoded"},
+            )
+            conv = json.loads(
+                (
+                    await client_a.post(
+                        "/chat/api/conversations", json_body={"title": "t"}
+                    )
+                ).body
+            )
+            events = await client_a.sse(
+                "POST",
+                "/chat/api/ask",
+                json_body={
+                    "question": "how do wolves hunt in the tundra?",
+                    "conversation_id": conv["id"],
+                },
+            )
+            assert "[DONE]" in events
+            text = "".join(
+                e["choices"][0]["delta"].get("content", "")
+                for e in events
+                if isinstance(e, dict) and e.get("choices")
+            )
+            assert "[SourcesMap]:" in text
+        finally:
+            for w in workers:
+                w.cancel()
+            await asyncio.gather(*workers, return_exceptions=True)
+            await server.stop()
+
+    asyncio.run(run())
