@@ -234,7 +234,10 @@ class Settings:
     sse_ping_interval_s: float = 20.0  # reference api.py:736
 
     # --- TPU engine (new; no reference equivalent) ---
-    index_dtype: str = "float32"  # float32 | bfloat16 | int8
+    # float32 | f32x2 (compensated bf16 pairs: fp32-exact top-K at bf16
+    # MXU speed, same bytes as f32 — the recommended exact mode) |
+    # bfloat16 | int8
+    index_dtype: str = "float32"
     shard_capacity: int = 1 << 17  # rows per device shard (power of two)
     mesh_data_axis: int = 0  # 0 -> use all local devices
     encoder_model: str = "bge-m3"

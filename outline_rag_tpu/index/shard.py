@@ -58,11 +58,18 @@ class ShardState:
 
 
 def init_state(capacity: int, dim: int, dtype: str = "float32") -> ShardState:
-    jdtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "int8": jnp.int8}[
-        dtype
-    ]
+    # "f32x2": compensated bf16 pairs (ops/topk.py::split_f32_bf16x2) —
+    # fp32-class scoring accuracy at bf16 MXU speed, same 4 B/dim storage.
+    # Rows are stored pre-split as [capacity, 2*dim] bf16.
+    jdtype = {
+        "float32": jnp.float32,
+        "bfloat16": jnp.bfloat16,
+        "f32x2": jnp.bfloat16,
+        "int8": jnp.int8,
+    }[dtype]
+    width = 2 * dim if dtype == "f32x2" else dim
     return ShardState(
-        vectors=jnp.zeros((capacity, dim), jdtype),
+        vectors=jnp.zeros((capacity, width), jdtype),
         scales=jnp.ones((capacity,), jnp.float32),
         penalty=jnp.full((capacity,), NEG, jnp.float32),
     )

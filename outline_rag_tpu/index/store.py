@@ -158,6 +158,15 @@ class VectorIndex:
             q, s = quantize_rows_int8(jnp.asarray(vecs))
             vecs = np.asarray(q, np.float32)  # codes carried as f32 host-side
             scales = np.asarray(s)
+        elif self.dtype == "f32x2":
+            # pre-split into compensated bf16 pairs (paid once here, not
+            # per query tile); carried host-side as f32 holding exactly
+            # bf16-representable values — the device append casts exactly
+            from outline_rag_tpu.ops.topk import split_f32_bf16x2
+
+            vecs = np.asarray(
+                split_f32_bf16x2(jnp.asarray(vecs)).astype(jnp.float32)
+            )
         with self._rw.write():
             if replace:
                 self._delete_source_locked(source_id)

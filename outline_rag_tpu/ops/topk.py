@@ -94,6 +94,72 @@ def topk_xla(
 # ---------------------------------------------------------------------------
 
 
+def split_f32_bf16x2(x: jax.Array) -> jax.Array:
+    """f32 [..., D] -> compensated bf16 pair [..., 2D] (hi ++ lo).
+
+    ``x ~= hi + lo`` with hi = bf16(x), lo = bf16(x - hi). The dot of two
+    such pairs via three bf16 MXU passes (hi.hi + hi.lo + lo.hi) carries
+    ~2^-22 relative error — float32-class accuracy at bf16 MXU speed,
+    with the decomposition paid ONCE at index build instead of per query
+    tile (the VPU split inside an fp32 HIGHEST dot is what made the
+    fused kernel lose to XLA at B=32; docs/BENCHMARKS.md).
+    Storage cost is identical to f32: 4 bytes per dimension.
+    """
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([hi, lo], axis=-1)
+
+
+def join_bf16x2(x2: jax.Array) -> jax.Array:
+    """Inverse of :func:`split_f32_bf16x2` (up to 2^-24 rounding)."""
+    d = x2.shape[-1] // 2
+    return x2[..., :d].astype(jnp.float32) + x2[..., d:].astype(jnp.float32)
+
+
+def _is_compensated(queries: jax.Array, corpus: jax.Array) -> bool:
+    """Structural detection of the bf16x2 corpus layout: bf16 storage
+    twice as wide as the f32 queries."""
+    return (
+        corpus.dtype == jnp.bfloat16
+        and queries.dtype == jnp.float32
+        and queries.ndim == 2
+        and corpus.shape[-1] == 2 * queries.shape[-1]
+    )
+
+
+def _dot_compensated(q2: jax.Array, c2: jax.Array) -> jax.Array:
+    """[TB, 2D] bf16 x [TN, 2D] bf16 -> [TB, TN] f32 via 3 bf16 passes."""
+    d = q2.shape[-1] // 2
+    qhi, qlo = q2[:, :d], q2[:, d:]
+    chi, clo = c2[:, :d], c2[:, d:]
+
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a,
+            b,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    return dot(qhi, chi) + dot(qhi, clo) + dot(qlo, chi)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def topk_xla_compensated(
+    queries: jax.Array,  # [B, D] f32
+    corpus: jax.Array,  # [N, 2D] bf16 (split_f32_bf16x2 layout)
+    k: int,
+    penalty: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """XLA fallback for the bf16x2 corpus layout: the same three-pass
+    compensated dot, materializing [B, N] scores."""
+    scores = _dot_compensated(split_f32_bf16x2(queries), corpus)
+    if penalty is not None:
+        scores = scores + penalty[None, :]
+    vals, idx = jax.lax.top_k(scores, k)
+    return vals, idx.astype(jnp.int32)
+
+
 def merge_topk(
     vals_a: jax.Array,
     idx_a: jax.Array,
@@ -243,6 +309,7 @@ def _fused_topk_kernel_qmajor(
     *,
     k: int,
     block_n: int,
+    compensated: bool = False,
 ):
     """Query-major orientation: the score tile is ``Q @ C_tile^T -> [TB,
     TN]`` so every selection reduction (tile max, argmax, the K insert
@@ -253,7 +320,12 @@ def _fused_topk_kernel_qmajor(
     orientation is faster end-to-end for every dtype (measured fp32
     B=32: 6.9 vs 10.1 ms at 500k; int8 B=128: 3.6 vs 6.8 ms at 1M —
     tools/bench_topk_kernel.py). int8 queries are padded to 32 rows to
-    satisfy the int8 MXU sublane tile."""
+    satisfy the int8 MXU sublane tile.
+
+    ``compensated``: inputs are bf16x2 pairs ([*, 2D], split_f32_bf16x2)
+    and the score is three DEFAULT-precision bf16 MXU passes — f32-class
+    accuracy without the per-tile VPU decomposition an fp32 HIGHEST dot
+    performs (which made fp32 lose to XLA; docs/BENCHMARKS.md)."""
     n_tile = pl.program_id(0)
     num_n = pl.num_programs(0)
 
@@ -263,18 +335,21 @@ def _fused_topk_kernel_qmajor(
         acc_idx[:] = jnp.zeros_like(acc_idx)
 
     is_int8 = c_ref.dtype == jnp.int8
-    precision = (
-        jax.lax.Precision.HIGHEST
-        if q_ref.dtype == jnp.float32
-        else jax.lax.Precision.DEFAULT
-    )
-    s = jax.lax.dot_general(
-        q_ref[:],
-        c_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32 if is_int8 else jnp.float32,
-        precision=precision,
-    )  # [TB, TN]
+    if compensated:
+        s = _dot_compensated(q_ref[:], c_ref[:])  # [TB, TN]
+    else:
+        precision = (
+            jax.lax.Precision.HIGHEST
+            if q_ref.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        )
+        s = jax.lax.dot_general(
+            q_ref[:],
+            c_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32 if is_int8 else jnp.float32,
+            precision=precision,
+        )  # [TB, TN]
     if is_int8:
         s = s.astype(jnp.float32) * cscale_ref[:] * qscale_ref[:]
     s = s + pen_ref[:]  # [1, TN] broadcast over queries
@@ -347,7 +422,7 @@ def _fused_topk_kernel_qmajor(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "block_n", "interpret")
+    jax.jit, static_argnames=("k", "block_n", "interpret", "compensated")
 )
 def _topk_pallas_qmajor_jit(
     queries: jax.Array,
@@ -358,11 +433,14 @@ def _topk_pallas_qmajor_jit(
     k: int,
     block_n: int,
     interpret: bool,
+    compensated: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     b, d = queries.shape
     n = corpus.shape[0]
     grid = (n // block_n,)
-    kernel = functools.partial(_fused_topk_kernel_qmajor, k=k, block_n=block_n)
+    kernel = functools.partial(
+        _fused_topk_kernel_qmajor, k=k, block_n=block_n, compensated=compensated
+    )
     bytes_per = jnp.dtype(corpus.dtype).itemsize
     out_vals, out_idx = pl.pallas_call(
         kernel,
@@ -471,6 +549,7 @@ def topk_pallas(
     block_n: int = 1024,
     interpret: bool | None = None,
     orientation: str = "auto",  # auto | qmajor | cmajor
+    compensated: bool | None = None,  # bf16x2 corpus (split_f32_bf16x2)
 ) -> tuple[jax.Array, jax.Array]:
     """Fused score+top-K. Requires B % 8 == 0 and N % block_n == 0
     (use :func:`cosine_topk` for automatic padding). For int8 corpora pass
@@ -480,6 +559,12 @@ def topk_pallas(
     the K-select runs lane-wise (fastest for float paths); "cmajor" is the
     corpus-rows-major transposed kernel (fastest for int8, whose 32-row
     MXU tiles align with the corpus dimension). "auto" picks by dtype."""
+    if compensated is None:
+        compensated = _is_compensated(queries, corpus)
+        if compensated:
+            queries = split_f32_bf16x2(queries)  # [B, 2D] bf16
+    if compensated:
+        orientation = "qmajor"  # the compensated dot is qmajor-only
     b, d = queries.shape
     n = corpus.shape[0]
     assert corpus.shape[1] == d, (queries.shape, corpus.shape)
@@ -505,7 +590,7 @@ def topk_pallas(
                 if query_scales is not None
                 else None,
                 block_b=block_b, block_n=block_n, interpret=interpret,
-                orientation=orientation,
+                orientation=orientation, compensated=compensated,
             )
             out_v.append(sv)
             out_i.append(si)
@@ -545,6 +630,7 @@ def topk_pallas(
                 block_n=block_n,
                 interpret=interpret,
                 orientation=orientation,
+                compensated=compensated,
             )
             si = si + start
             acc = (sv, si) if acc is None else merge_topk(acc[0], acc[1], sv, si, k)
@@ -563,7 +649,8 @@ def topk_pallas(
             else jnp.ones((b, 1), jnp.float32)
         )
         return _topk_pallas_qmajor_jit(
-            queries, corpus, pen_r, cscale_r, qscale_r, k, block_n, interpret
+            queries, corpus, pen_r, cscale_r, qscale_r, k, block_n, interpret,
+            compensated,
         )
 
     pen2d = penalty.reshape(n, 1).astype(jnp.float32)
@@ -607,22 +694,39 @@ def cosine_topk(
     b, _ = queries.shape
     n = corpus.shape[0]
     k = min(k, n)
+    compensated = _is_compensated(queries, corpus)
     if impl == "auto":
-        # XLA's fused matmul+top_k wins while the [B, N] f32 score matrix
-        # is cheap to materialize; the fused kernel takes over when score
-        # traffic rivals corpus traffic. Measured crossover (same-run,
-        # v5e, 500k x 1024 fp32): B=32 XLA 2x faster; B=128 kernel
-        # edges ahead (7.2 vs 7.9 ms) — i.e. score_bytes ~ corpus/8.
-        score_bytes = b * n * 4
-        corpus_bytes = n * corpus.shape[1] * jnp.dtype(corpus.dtype).itemsize
-        use_pallas = (
-            _on_tpu()
-            and n % block_n == 0
-            and score_bytes >= (128 << 20)
-            and score_bytes * 8 >= corpus_bytes
-        )
-        impl = "pallas" if use_pallas else "xla"
+        if compensated:
+            # same-run interleaved measurements (tools/bench_topk_kernel,
+            # v5e): the fused kernel wins at 500k x 1024 B=32 and above
+            # (3.13 vs 4.00 ms); the XLA three-pass fallback wins at 100k
+            # (1.2-1.8 vs 3.6-4.1 ms) where per-launch overhead dominates.
+            # Crossover expressed in score bytes (B-aware like the fp32
+            # policy below): 500k B=32 -> 61 MB, 100k B=32 -> 12.7 MB.
+            score_bytes = b * n * 4
+            impl = (
+                "pallas"
+                if (_on_tpu() and n % block_n == 0 and score_bytes >= (48 << 20))
+                else "xla"
+            )
+        else:
+            # XLA's fused matmul+top_k wins while the [B, N] f32 score
+            # matrix is cheap to materialize; the fused kernel takes over
+            # when score traffic rivals corpus traffic. Measured crossover
+            # (same-run, v5e, 500k x 1024 fp32): B=32 XLA 2x faster; B=128
+            # kernel edges ahead (7.2 vs 7.9 ms) — score_bytes ~ corpus/8.
+            score_bytes = b * n * 4
+            corpus_bytes = n * corpus.shape[1] * jnp.dtype(corpus.dtype).itemsize
+            use_pallas = (
+                _on_tpu()
+                and n % block_n == 0
+                and score_bytes >= (128 << 20)
+                and score_bytes * 8 >= corpus_bytes
+            )
+            impl = "pallas" if use_pallas else "xla"
     if impl == "xla" or n % block_n != 0:
+        if compensated:
+            return topk_xla_compensated(queries, corpus, k, penalty)
         return topk_xla(queries, corpus, k, penalty)
 
     pad_b = _round_up(max(b, 8), 8) - b

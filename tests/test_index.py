@@ -145,3 +145,48 @@ def test_save_load_with_tokens(tmp_path, rng):
     np.testing.assert_allclose(
         np.asarray(idx2.tokens.state.weights)[:6], tok_w, rtol=1e-6
     )
+
+
+def test_f32x2_index_matches_float32():
+    """INDEX_DTYPE=f32x2 (compensated bf16 pairs): exact index parity with
+    the float32 index through add/tombstone/compact/save/load."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from outline_rag_tpu.index import VectorIndex
+
+    rng = np.random.default_rng(11)
+    dim, n = 96, 600
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    ids = [f"c{i}" for i in range(n)]
+
+    ref = VectorIndex(dim=dim, capacity=2048)
+    fast = VectorIndex(dim=dim, capacity=2048, dtype="f32x2")
+    for idx in (ref, fast):
+        for s in range(3):
+            lo, hi = s * n // 3, (s + 1) * n // 3
+            idx.add_chunks(ids[lo:hi], vecs[lo:hi], source_id=f"s{s}")
+        idx.delete_source("s1")
+    assert fast._shard.state.vectors.shape[1] == 2 * dim
+
+    q = rng.standard_normal((6, dim)).astype(np.float32)
+    ids_ref, vals_ref = ref.query(q, k=10)
+    ids_fast, vals_fast = fast.query(q, k=10)
+    assert ids_fast == ids_ref
+    np.testing.assert_allclose(vals_fast, vals_ref, atol=1e-5)
+
+    # churn -> compact keeps the split layout intact
+    fast.compact()
+    ids_fast2, _ = fast.query(q, k=10)
+    assert ids_fast2 == ids_ref
+
+    # save/load round-trip
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "idx.npz")
+        fast.save(path)
+        loaded = VectorIndex.load(path)
+        assert loaded.dtype == "f32x2"
+        ids_l, _ = loaded.query(q, k=10)
+        assert ids_l == ids_ref

@@ -276,3 +276,25 @@ def test_app_serves_ask_through_sharded_index():
         assert "[SourcesMap]:" in text
 
     asyncio.run(run())
+
+
+def test_sharded_f32x2_index_query():
+    """The compensated bf16x2 layout works through the mesh serving path
+    (auto-detected inside the shard_map body)."""
+    mesh = data_mesh()
+    dim, n, k = 64, 4096, 10
+    sharded = VectorIndex(
+        dim=dim, capacity=8192, dtype="f32x2", sharding=row_sharding(mesh)
+    )
+    plain = VectorIndex(dim=dim, capacity=8192)  # fp32 reference
+    _fill(sharded, n, dim)
+    _fill(plain, n, dim)
+    sharded.delete_source("s2")
+    plain.delete_source("s2")
+
+    rng = np.random.default_rng(5)
+    q = rng.standard_normal((4, dim)).astype(np.float32)
+    ids_s, vals_s = sharded.query(q, k)
+    ids_p, vals_p = plain.query(q, k)
+    assert ids_s == ids_p
+    np.testing.assert_allclose(vals_s, vals_p, atol=1e-5)

@@ -168,3 +168,42 @@ def test_int8_pallas_respects_penalty(data):
     penalty = jnp.asarray(np.where(invalid, NEG, 0.0).astype(np.float32))
     _, ip = int8_topk(qq, qs, cq, cs, 8, penalty, impl="pallas", block_n=128)
     assert not np.any(invalid[np.asarray(ip)])
+
+
+def test_compensated_f32x2_exact_parity(data):
+    """The bf16x2 compensated path (pallas AND the XLA fallback) must
+    return exactly the fp32 oracle's indices — it is the fast exact mode
+    that replaces fp32 HIGHEST scoring (docs/BENCHMARKS.md)."""
+    from outline_rag_tpu.ops.topk import cosine_topk, split_f32_bf16x2
+
+    q, c = data
+    c2 = split_f32_bf16x2(jnp.asarray(c))
+    assert c2.shape == (c.shape[0], 2 * c.shape[1]) and c2.dtype == jnp.bfloat16
+    _, oidx = _oracle_topk(q, c, 12)
+    for impl in ("pallas", "xla"):
+        vals, idx = cosine_topk(jnp.asarray(q), c2, 12, impl=impl, block_n=128)
+        np.testing.assert_array_equal(np.asarray(idx), oidx)
+    # scores carry f32-class accuracy
+    ovals, _ = _oracle_topk(q, c, 12)
+    np.testing.assert_allclose(np.asarray(vals), ovals, atol=5e-6)
+
+
+def test_compensated_with_penalty_and_ties():
+    from outline_rag_tpu.ops.topk import cosine_topk, split_f32_bf16x2
+
+    rng = np.random.default_rng(9)
+    c = _normalize(rng.standard_normal((256, 128), dtype=np.float32))
+    c[100] = c[7]  # exact duplicate -> tie must break to the lower index
+    q = c[[7, 42]]
+    pen = np.zeros(256, np.float32)
+    pen[7] = -1e30  # tombstone the lower twin -> 100 must win for q0
+    c2 = split_f32_bf16x2(jnp.asarray(c))
+    vals, idx = cosine_topk(
+        jnp.asarray(q), c2, 4, jnp.asarray(pen), impl="pallas", block_n=128
+    )
+    idx = np.asarray(idx)
+    assert idx[0, 0] == 100
+    assert idx[1, 0] == 42
+    # without the penalty the tie breaks low
+    vals2, idx2 = cosine_topk(jnp.asarray(q), c2, 4, impl="pallas", block_n=128)
+    assert np.asarray(idx2)[0, 0] == 7

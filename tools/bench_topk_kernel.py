@@ -103,6 +103,13 @@ VARIANTS = {
     "full": lambda q, c: topk_pallas(q, c, 12, block_n=BLOCK_N, interpret=False),
     "xla": lambda q, c: topk_xla(q, c, 12),
 }
+if DT == jnp.float32:
+    from outline_rag_tpu.ops.topk import split_f32_bf16x2
+
+    corpus_x2 = jax.block_until_ready(split_f32_bf16x2(corpus))
+    VARIANTS["f32x2"] = lambda q, c: topk_pallas(
+        q.astype(jnp.float32), corpus_x2, 12, block_n=BLOCK_N, interpret=False
+    )
 if B <= 128:  # the stripped diagnostics don't chunk B and OOM VMEM past it
     VARIANTS["matmul"] = lambda q, c: run_variant(q, c, "matmul")
     VARIANTS["nomerge"] = lambda q, c: run_variant(q, c, "nomerge")
