@@ -56,10 +56,68 @@ def load() -> ctypes.CDLL | None:
                 ctypes.POINTER(ctypes.c_int),
                 ctypes.c_int,
             ]
+            lib.ort_parse_request_head.restype = ctypes.c_int
+            lib.ort_parse_request_head.argtypes = [
+                ctypes.c_char_p,  # buf
+                ctypes.c_int,  # len
+                ctypes.POINTER(_Span),  # method
+                ctypes.POINTER(_Span),  # target
+                ctypes.POINTER(_Span),  # version
+                ctypes.POINTER(_Span),  # names
+                ctypes.POINTER(_Span),  # values
+                ctypes.c_int,  # max_headers
+                ctypes.POINTER(ctypes.c_int),  # n_headers
+                ctypes.c_char_p,  # lowered scratch
+            ]
             _lib = lib
-        except OSError as exc:
+        except (OSError, AttributeError) as exc:
             log.warning("failed to load native library: %s", exc)
         return _lib
+
+
+class _Span(ctypes.Structure):
+    _fields_ = [("off", ctypes.c_int), ("len", ctypes.c_int)]
+
+
+_MAX_HEADERS = 128
+
+
+def parse_request_head_native(
+    head: bytes,
+) -> tuple[str, str, dict[str, str]] | None:
+    """Parse an HTTP/1.1 request head (through the terminating blank
+    line) into (method, target, lower-cased header dict) — the
+    uvloop/httptools-equivalent native transport piece (SURVEY.md
+    section 2b). Returns None when the library is unavailable or the
+    head is malformed/incomplete (caller falls back to Python parsing).
+    """
+    lib = load()
+    if lib is None:
+        return None
+    n = len(head)
+    method, target, version = _Span(), _Span(), _Span()
+    names = (_Span * _MAX_HEADERS)()
+    values = (_Span * _MAX_HEADERS)()
+    n_headers = ctypes.c_int(0)
+    lowered = ctypes.create_string_buffer(n or 1)
+    rc = lib.ort_parse_request_head(
+        head, n, ctypes.byref(method), ctypes.byref(target),
+        ctypes.byref(version), names, values, _MAX_HEADERS,
+        ctypes.byref(n_headers), lowered,
+    )
+    if rc <= 0:
+        return None
+    low = lowered.raw
+    headers: dict[str, str] = {}
+    for i in range(n_headers.value):
+        nm = low[names[i].off : names[i].off + names[i].len]
+        val = head[values[i].off : values[i].off + values[i].len]
+        headers[nm.decode("latin1")] = val.decode("latin1")
+    return (
+        head[: method.len].decode("latin1"),
+        head[target.off : target.off + target.len].decode("latin1"),
+        headers,
+    )
 
 
 def chunk_text_native(

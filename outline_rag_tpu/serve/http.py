@@ -395,16 +395,24 @@ async def _read_request(reader: asyncio.StreamReader) -> Request | None:
         raise _BadRequest(431, "headers too large") from e
     if len(head) > MAX_HEADER:
         raise _BadRequest(431, "headers too large")
-    lines = head.decode("latin1").split("\r\n")
-    try:
-        method, target, _version = lines[0].split(" ", 2)
-    except ValueError:
-        return None
-    headers: dict[str, str] = {}
-    for line in lines[1:]:
-        if ":" in line:
-            k, v = line.split(":", 1)
-            headers[k.strip().lower()] = v.strip()
+    # native single-pass head parser (C++, the uvloop/httptools
+    # equivalent); parity-fuzzed against the Python fallback below
+    from outline_rag_tpu.native import parse_request_head_native
+
+    parsed = parse_request_head_native(head)
+    if parsed is not None:
+        method, target, headers = parsed
+    else:
+        lines = head.decode("latin1").split("\r\n")
+        try:
+            method, target, _version = lines[0].split(" ", 2)
+        except ValueError:
+            return None
+        headers = {}
+        for line in lines[1:]:
+            if ":" in line:
+                k, v = line.split(":", 1)
+                headers[k.strip().lower()] = v.strip()
     if "chunked" in headers.get("transfer-encoding", "").lower():
         body = await _read_chunked_body(reader)
         headers["content-length"] = str(len(body))

@@ -69,3 +69,59 @@ def test_native_large_doc_parity(lib):
     assert native.chunk_text_native(text, 1024, 100) == _python_split(
         text, 1024, 100
     )
+
+
+def test_http_head_parser_parity_fuzz():
+    """The native request-head parser must agree with the Python fallback
+    on every well-formed head and reject what Python rejects."""
+    import numpy as np
+
+    from outline_rag_tpu.native import parse_request_head_native
+
+    if parse_request_head_native(b"GET / HTTP/1.1\r\n\r\n") is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    def python_parse(head: bytes):
+        lines = head.decode("latin1").split("\r\n")
+        try:
+            method, target, _version = lines[0].split(" ", 2)
+        except ValueError:
+            return None
+        headers = {}
+        for line in lines[1:]:
+            if ":" in line:
+                k, v = line.split(":", 1)
+                headers[k.strip().lower()] = v.strip()
+        return method, target, headers
+
+    rng = np.random.default_rng(0)
+    methods = ["GET", "POST", "PUT", "DELETE", "OPTIONS", "PATCH"]
+    name_chars = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ-_0123456789"
+    for trial in range(300):
+        method = methods[rng.integers(len(methods))]
+        target = "/" + "".join(
+            rng.choice(list("abc/def?=&%123")) for _ in range(rng.integers(1, 30))
+        )
+        n_headers = int(rng.integers(0, 12))
+        lines = [f"{method} {target} HTTP/1.1"]
+        for _ in range(n_headers):
+            name = "".join(
+                rng.choice(list(name_chars)) for _ in range(rng.integers(1, 16))
+            )
+            value = "".join(
+                rng.choice(list(name_chars + " :;,=."))
+                for _ in range(rng.integers(0, 40))
+            )
+            pad_l = " " * int(rng.integers(0, 3))
+            pad_r = " " * int(rng.integers(0, 3))
+            lines.append(f"{name}:{pad_l}{value}{pad_r}")
+        head = ("\r\n".join(lines) + "\r\n\r\n").encode("latin1")
+        want = python_parse(head)
+        got = parse_request_head_native(head)
+        assert got == want, (head, got, want)
+
+    # malformed request lines: native returns None (Python path decides)
+    for bad in (b"NOSPACES\r\n\r\n", b"GET /only-two\r\n\r\n", b" \r\n\r\n"):
+        assert parse_request_head_native(bad) is None
