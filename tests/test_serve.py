@@ -423,3 +423,38 @@ def test_reference_shaped_route_aliases():
         assert (await client.get(f"/chat/api/messages?conversation_id={cid}")).status == 403
 
     asyncio.run(run())
+
+
+def test_ask_with_f32x2_index():
+    """INDEX_DTYPE=f32x2 (compensated bf16 pairs) serves the full ask
+    path with citations — the recommended exact mode end-to-end."""
+    app, fake = make_app(INDEX_DTYPE="f32x2")
+    client = TestClient(app)
+
+    async def run():
+        await login(client)
+        await client.post("/chat/update/all")
+        await drain_tasks(app)
+        index = app.state["index"]
+        assert index.dtype == "f32x2"
+        assert index._shard.state.vectors.shape[1] == 2 * DIM
+        conv = json.loads(
+            (await client.post("/chat/api/conversations", json_body={"title": "t"})).body
+        )
+        events = await client.sse(
+            "POST",
+            "/chat/api/ask",
+            json_body={
+                "question": "how do wolves hunt?",
+                "conversation_id": conv["id"],
+            },
+        )
+        assert "[DONE]" in events
+        text = "".join(
+            e["choices"][0]["delta"].get("content", "")
+            for e in events
+            if isinstance(e, dict) and e.get("choices")
+        )
+        assert "[SourcesMap]:" in text
+
+    asyncio.run(run())

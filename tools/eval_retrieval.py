@@ -117,7 +117,7 @@ def evaluate_ladder(
         cap = 1 << (n - 1).bit_length()
         rung: dict = {}
         fp32_lists: list[list[str]] | None = None
-        for dtype in ("float32", "bfloat16", "int8"):
+        for dtype in ("float32", "f32x2", "bfloat16", "int8"):
             idx = VectorIndex(dim=dim, capacity=cap, dtype=dtype)
             ids_all = [f"c{i}" for i in range(n)]
             # append in large source blocks (the ingest shape at scale)
