@@ -345,7 +345,14 @@ class VectorIndex:
     # persistence (derived-artifact checkpoint; SURVEY.md section 5)
     # ------------------------------------------------------------------
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, compress: bool = False) -> None:
+        """Snapshot to ``path``(.npz) + a .meta.json sidecar.
+
+        Uncompressed by default: a multi-GB shard writes at disk speed,
+        while zlib (``compress=True``) is single-core ~50 MB/s — minutes
+        of restart-path latency for embedding matrices that barely
+        compress anyway.
+        """
         with self._rw.read():
             state, row_ids, gen = self._shard.snapshot()
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
@@ -358,7 +365,7 @@ class VectorIndex:
                 arrays["token_ids"] = np.asarray(self.tokens.state.ids)
                 arrays["token_mask"] = np.asarray(self.tokens.state.mask)
                 arrays["token_weights"] = np.asarray(self.tokens.state.weights)
-            np.savez_compressed(path, **arrays)
+            (np.savez_compressed if compress else np.savez)(path, **arrays)
             meta = {
                 "dim": self.dim,
                 "dtype": self.dtype,
