@@ -252,6 +252,11 @@ class Settings:
     decoder_max_new_tokens: int = 512
     decoder_batch_slots: int = 0  # >1 -> continuous batching across chats
     decoder_int8: bool = False  # int8 decoder weights (fused VMEM dequant)
+    # >0 -> prompt-lookup speculative decoding with this many draft
+    # tokens per verify step (output is distribution-identical; RAG
+    # answers quote retrieved context, so acceptance is high)
+    decoder_spec_k: int = 0
+    decoder_spec_gram: int = 3  # n-gram width of the draft lookup
     query_batch_window_ms: float = 4.0
     query_batch_max: int = 32
     lex_weight: float = 0.0  # >0 blends BGE-m3 lexical overlap into retrieval
@@ -371,6 +376,8 @@ def load_settings(env: dict[str, str] | None = None) -> Settings:
         decoder_max_new_tokens=_env_int("DECODER_MAX_NEW_TOKENS", 512),
         decoder_batch_slots=_env_int("DECODER_BATCH_SLOTS", 0),
         decoder_int8=_env_bool("DECODER_INT8", False),
+        decoder_spec_k=_env_int("DECODER_SPEC_K", 0),
+        decoder_spec_gram=_env_int("DECODER_SPEC_GRAM", 3),
         query_batch_window_ms=_env_float("QUERY_BATCH_WINDOW_MS", 4.0),
         query_batch_max=_env_int("QUERY_BATCH_MAX", 32),
         lex_weight=_env_float("LEX_WEIGHT", 0.0),

@@ -443,6 +443,189 @@ def sample_token(
     return jnp.where(temp <= 0.0, greedy, sampled.astype(jnp.int32))
 
 
+def _sample_one(
+    logits: jax.Array,  # [V] f32
+    key: jax.Array,
+    temperature: jax.Array,
+    top_p: jax.Array,
+    top_k_cap: int = 64,
+) -> jax.Array:
+    """Single-row nucleus sampler (same math as :func:`sample_token`).
+
+    Kept 1-D so the speculative path can vmap it with a *per-position*
+    key: sampling for absolute position q always consumes
+    ``fold_in(base, q)``, which makes speculative and plain decoding
+    consume identical randomness and therefore emit identical tokens.
+    """
+    greedy = jnp.argmax(logits).astype(jnp.int32)
+    temp = jnp.asarray(temperature, jnp.float32)
+    tp = jnp.asarray(top_p, jnp.float32)
+    scaled = logits / jnp.maximum(temp, 1e-4)
+    cap = min(top_k_cap, scaled.shape[-1])
+    top_vals, top_idx = jax.lax.top_k(scaled, cap)
+    probs = jax.nn.softmax(top_vals)
+    csum = jnp.cumsum(probs)
+    keep = jnp.concatenate([jnp.ones((1,), bool), csum[:-1] < tp])
+    masked = jnp.where(keep, top_vals, -jnp.inf)
+    choice = jax.random.categorical(key, masked)
+    return jnp.where(temp <= 0.0, greedy, top_idx[choice].astype(jnp.int32))
+
+
+def key_at(base: jax.Array, pos: jax.Array) -> jax.Array:
+    """Sampler key for absolute position ``pos`` — the shared convention
+    of the speculative and positional-solo decode paths."""
+    return jax.random.fold_in(base, pos)
+
+
+def propose_ngram(
+    buf: jax.Array,  # [B, C] int32 — tokens 0..pos are trustworthy
+    pos: jax.Array,  # [B] int32 — position of the current (fed) token
+    *,
+    gram: int,
+    k: int,
+) -> jax.Array:
+    """Prompt-lookup draft proposal (n-gram speculative decoding).
+
+    Finds the most recent earlier occurrence of the ``gram`` tokens
+    ending at ``pos`` and proposes the ``k`` tokens that followed it.
+    RAG answers quote retrieved context verbatim, so the continuation of
+    a repeated n-gram is a strong draft — and a *wrong* draft costs
+    nothing: acceptance compares the model's own samples against the
+    draft, so emitted text never depends on draft quality.
+
+    Returns drafts ``[B, k]`` (hypotheses for positions pos+1..pos+k).
+    When no match exists the drafts are arbitrary tokens that simply
+    fail acceptance.
+    """
+    b, c = buf.shape
+    start = jnp.maximum(pos - (gram - 1), 0)
+    suffix = jax.vmap(
+        lambda row, s: jax.lax.dynamic_slice(row, (s,), (gram,))
+    )(buf, start)
+    nj = c - gram - k + 1  # candidate gram starts with a full draft slice
+    eq = jnp.ones((b, nj), bool)
+    for i in range(gram):
+        eq = eq & (buf[:, i : i + nj] == suffix[:, i : i + 1])
+    j_idx = jnp.arange(nj, dtype=jnp.int32)
+    # the gram (and at least its first draft token) must lie in the
+    # known region, and must not be the current suffix itself
+    valid = eq & (j_idx[None, :] <= (pos - gram)[:, None])
+    best = jnp.max(jnp.where(valid, j_idx[None, :], -1), axis=1)
+    m = jnp.where(best >= 0, best + gram, 0).astype(jnp.int32)
+    return jax.vmap(
+        lambda row, s: jax.lax.dynamic_slice(row, (s,), (k,))
+    )(buf, m)
+
+
+def generate_chunk_spec(
+    params: Params,
+    cache: tuple[jax.Array, jax.Array],
+    tok_buf: jax.Array,  # [B, C] int32 — all tokens so far (prompt + emitted)
+    token: jax.Array,  # [B] int32 — next token to feed (already emitted)
+    pos: jax.Array,  # [B] int32 — its absolute position
+    key: jax.Array,  # base key; per-position keys are folded in
+    cfg: DecoderConfig,
+    *,
+    n_steps: int,
+    draft_k: int,
+    gram: int = 3,
+    temperature: float,
+    top_p: float,
+    eos_id: int,
+    force_accept: bool = False,
+) -> tuple[
+    jax.Array,
+    jax.Array,
+    tuple[jax.Array, jax.Array],
+    jax.Array,
+    jax.Array,
+    jax.Array,
+]:
+    """Speculative generation: ``n_steps`` verify steps in one dispatch.
+
+    Each step proposes ``draft_k`` prompt-lookup drafts, runs ONE
+    ``[B, 1+draft_k]`` forward (decode is weight-bandwidth-bound, so the
+    extra positions are nearly free), samples every position with its
+    position-folded key, and accepts the longest prefix where sample ==
+    draft — emitting between 1 and ``draft_k``+1 tokens per forward.
+    Output is distribution-identical to plain positional-key decoding
+    (bit-exact: same keys, same sampler) because emitted tokens are
+    always the model's own samples.
+
+    KV-ring discipline: a verify writes slots ``pos..pos+K``; rejected
+    slots are stale but every later window starts at the first stale
+    slot and rewrites forward, and the position mask hides slots beyond
+    the current token — same invariant as the token buffer.
+
+    ``force_accept`` (bench-only) accepts all drafts regardless of
+    match, to measure the all-accepted throughput ceiling; it changes
+    the emitted text and must never serve.
+
+    Returns ``(emitted [B, n_steps*(draft_k+1)], count [B], cache,
+    tok_buf, next_token, next_pos)``; the caller consumes
+    ``emitted[b, :count[b]]`` and stops at the first eos.
+    """
+    b = token.shape[0]
+    c = cfg.max_cache
+    kk = draft_k + 1
+    offs = jnp.arange(kk, dtype=jnp.int32)
+    out0 = jnp.zeros((b, n_steps * kk), jnp.int32)
+
+    def step(carry, _):
+        cache, buf, tok, pos, done, out, cursor = carry
+        # capacity guard: a window needs slots pos..pos+draft_k
+        done = jnp.logical_or(done, pos + kk > c)
+        posf = jnp.minimum(pos, c - kk)
+        buf = jax.vmap(lambda r, t, p: r.at[p].set(t))(buf, tok, posf)
+        drafts = propose_ngram(buf, posf, gram=gram, k=draft_k)
+        window = jnp.concatenate([tok[:, None], drafts], axis=1)
+        logits, cache = decoder_forward(params, window, cache, posf, cfg)
+        sample_pos = posf[:, None] + 1 + offs[None, :]
+        keys = jax.vmap(jax.vmap(lambda p: key_at(key, p)))(sample_pos)
+        e = jax.vmap(
+            jax.vmap(_sample_one, in_axes=(0, 0, None, None)),
+            in_axes=(0, 0, None, None),
+        )(
+            logits.astype(jnp.float32), keys,
+            jnp.float32(temperature), jnp.float32(top_p),
+        )  # [B, kk] — e[:, i] is the sample for position posf+1+i
+        if force_accept:
+            match = jnp.ones((b, draft_k), bool)
+        else:
+            match = e[:, :draft_k] == drafts
+        acc = jnp.cumprod(match.astype(jnp.int32), axis=1)
+        cnt = jnp.sum(acc, axis=1) + 1  # accepted drafts + bonus sample
+        # truncate at the first emitted eos (inclusive), freeze after
+        is_eos = (e == eos_id) & (offs[None, :] < cnt[:, None])
+        has_eos = jnp.any(is_eos, axis=1)
+        cnt = jnp.where(has_eos, jnp.argmax(is_eos, axis=1) + 1, cnt)
+        cnt = jnp.where(done, 0, cnt)
+        newdone = done | has_eos
+        last = jax.vmap(lambda row, i: row[i])(e, jnp.maximum(cnt - 1, 0))
+        tok2 = jnp.where(
+            cnt > 0, jnp.where(newdone, jnp.int32(eos_id), last), tok
+        )
+        pos2 = pos + cnt
+        # unmasked window writes: slots beyond cnt are stale but every
+        # later window starts at the first stale slot and rewrites
+        buf = jax.vmap(
+            lambda r, v, p: jax.lax.dynamic_update_slice(r, v, (p,))
+        )(buf, e, posf + 1)
+        out = jax.vmap(
+            lambda r, v, cu: jax.lax.dynamic_update_slice(r, v, (cu,))
+        )(out, e, cursor)
+        cursor2 = cursor + cnt
+        return (cache, buf, tok2, pos2, newdone, out, cursor2), None
+
+    done0 = jnp.zeros((b,), bool)
+    cursor0 = jnp.zeros((b,), jnp.int32)
+    (cache, tok_buf, tok, pos, _, out, cursor), _ = jax.lax.scan(
+        step, (cache, tok_buf, token, pos, done0, out0, cursor0),
+        None, length=n_steps,
+    )
+    return out, cursor, cache, tok_buf, tok, pos
+
+
 def generate_chunk(
     params: Params,
     cache: tuple[jax.Array, jax.Array],

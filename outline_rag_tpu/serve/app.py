@@ -187,6 +187,8 @@ def build_app(
                     max_new_tokens=settings.decoder_max_new_tokens,
                     batch_slots=settings.decoder_batch_slots,
                     int8_weights=settings.decoder_int8,
+                    spec_k=settings.decoder_spec_k,
+                    spec_gram=settings.decoder_spec_gram,
                 )
             except Exception as exc:
                 # An explicitly configured local decoder that fails to load

@@ -207,6 +207,8 @@ class LocalChatProvider:
         prompt_buckets: tuple = (64, 128, 256, 512, 1024, 2048),
         batch_slots: int = 0,  # >1 -> continuous batching across requests
         int8_weights: bool = False,  # halve decode HBM traffic (DECODER_INT8)
+        spec_k: int = 0,  # >0 -> prompt-lookup speculative decoding
+        spec_gram: int = 3,
     ):
         import functools
 
@@ -217,6 +219,7 @@ class LocalChatProvider:
             decoder_forward,
             fuse_decoder_params,
             generate_chunk,
+            generate_chunk_spec,
             init_cache,
             quantize_decoder_params,
             stack_decoder_params,
@@ -253,6 +256,25 @@ class LocalChatProvider:
             ),
             static_argnames=("temperature", "top_p"),
         )
+        # speculative decode: chunk_tokens verify steps per dispatch,
+        # each advancing 1..spec_k+1 tokens (prompt-lookup drafts —
+        # models/decoder.py::generate_chunk_spec). Not combined with the
+        # continuous batcher (its admission bookkeeping assumes fixed
+        # per-chunk progress); single-stream only.
+        self.spec_k = int(spec_k)
+        self._chunk_spec = None
+        if self.spec_k > 0 and not (batch_slots and batch_slots > 1):
+            self._chunk_spec = jax.jit(
+                functools.partial(
+                    generate_chunk_spec,
+                    cfg=cfg,
+                    n_steps=chunk_tokens,
+                    draft_k=self.spec_k,
+                    gram=int(spec_gram),
+                    eos_id=self.eos_id,
+                ),
+                static_argnames=("temperature", "top_p"),
+            )
         self._batcher = None
         if batch_slots and batch_slots > 1:
             from outline_rag_tpu.serve.decode_batcher import DecodeBatcher
@@ -315,6 +337,11 @@ class LocalChatProvider:
         key = jax.random.key(abs(hash(tuple(ids))) % (2**31))
         from outline_rag_tpu.models.decoder import sample_token
 
+        if self._chunk_spec is not None:
+            yield from self._generate_spec(
+                ids, t, padded, cache, logits, key, temp, tp, max_new
+            )
+            return
         tok = sample_token(logits[:, t - 1, :], key, temp, tp)
         out_ids: list[int] = []
         pos = t
@@ -392,6 +419,69 @@ class LocalChatProvider:
             if not text.endswith("�") and len(text) > len(emitted):
                 yield text[len(emitted):]
                 emitted = text
+
+    def _generate_spec(
+        self, ids, t, padded, cache, logits, key, temp, tp, max_new
+    ):
+        """Speculative (prompt-lookup) generation loop.
+
+        Same streaming contract as the plain loop; each dispatch runs
+        ``chunk_tokens`` verify steps and returns 1..spec_k+1 tokens per
+        step. Positional sampler keys make the emitted text
+        distribution-identical to plain positional-key decoding
+        (``models/decoder.py::generate_chunk_spec``)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from outline_rag_tpu.models.decoder import _sample_one, key_at
+
+        tok_buf = np.zeros((1, self.cfg.max_cache), np.int32)
+        tok_buf[0, :t] = ids  # prompt tokens (bucket pad stays unwritten)
+        tok_buf = jnp.asarray(tok_buf)
+        tok = _sample_one(
+            logits[0, t - 1].astype(jnp.float32),
+            key_at(key, t), jnp.float32(temp), jnp.float32(tp),
+        )[None]
+        if int(tok[0]) == self.eos_id:
+            return
+        out_ids = [int(tok[0])]
+        emitted = ""
+
+        def flush():
+            nonlocal emitted
+            text = self.tokenizer.decode(out_ids) if out_ids else ""
+            if text and not text.endswith("�") and len(text) > len(emitted):
+                piece = text[len(emitted):]
+                emitted = text
+                return piece
+            return None
+
+        piece = flush()
+        if piece:
+            yield piece
+        pos = jnp.full((1,), t, jnp.int32)
+        while len(out_ids) < max_new:
+            chunk_out, cnt, cache, tok_buf, tok, pos = self._chunk_spec(
+                self.params, cache, tok_buf, tok, pos, key,
+                temperature=temp, top_p=tp,
+            )
+            n = int(cnt[0])
+            if n == 0:  # KV ring full (capacity guard froze the row)
+                break
+            chunk = [int(x) for x in np.asarray(chunk_out)[0, :n]]
+            stop = self.eos_id in chunk
+            if stop:
+                chunk = chunk[: chunk.index(self.eos_id)]
+            room = max_new - len(out_ids)
+            if len(chunk) >= room:
+                chunk = chunk[:room]
+                stop = True
+            out_ids.extend(chunk)
+            piece = flush()
+            if piece:
+                yield piece
+            if stop:
+                break
 
     def _pieces(self, messages, temperature, top_p, max_new):
         if self._batcher is not None:

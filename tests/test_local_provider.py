@@ -71,6 +71,45 @@ def test_greedy_deterministic(provider):
     assert a == b
 
 
+def test_spec_provider_streams_and_is_deterministic():
+    """spec_k>0 switches to the speculative loop: same streaming
+    contract, greedy runs are repeatable, output length respected."""
+    cfg = DecoderConfig.tiny()
+    params = init_decoder_params(jax.random.key(0), cfg)
+    prov = LocalChatProvider(
+        params, cfg, StubTok(), chunk_tokens=4, max_new_tokens=20,
+        spec_k=3, spec_gram=2,
+    )
+    msgs = [{"role": "user", "content": "repeat repeat repeat repeat"}]
+
+    async def once(temp):
+        out = []
+        async for d in prov.stream("local", msgs, temperature=temp):
+            out.append(d["content"] or "")
+        return "".join(out)
+
+    a = asyncio.run(once(0.0))
+    b = asyncio.run(once(0.0))
+    assert a == b and 0 < len(a) <= 20 * 4
+    # sampled mode streams too
+    assert isinstance(asyncio.run(once(0.9)), str)
+
+
+def test_spec_disabled_under_batcher():
+    """Continuous batching and speculation don't compose (bookkeeping
+    assumes fixed per-chunk progress): the batcher wins, spec path off."""
+    cfg = DecoderConfig.tiny()
+    params = init_decoder_params(jax.random.key(0), cfg)
+    prov = LocalChatProvider(
+        params, cfg, StubTok(), chunk_tokens=4, max_new_tokens=8,
+        spec_k=3, batch_slots=2,
+    )
+    try:
+        assert prov._chunk_spec is None and prov._batcher is not None
+    finally:
+        prov._batcher.close()
+
+
 def test_ask_sse_with_local_provider():
     """Full serve path: classifier (gibberish -> General fallback),
     streamed answer, persistence — all on the local decoder."""
