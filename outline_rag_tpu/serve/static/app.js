@@ -364,9 +364,13 @@ async function loadConversations() {
   });
 }
 
-async function selectConversation(id) {
+async function selectConversation(id, { push = true } = {}) {
   state.current = id;
-  history.replaceState(null, "", `/chat/${id}`);
+  /* pushState so browser back/forward walks the conversation history
+   * (reference main.js:175 popstate handling) */
+  if (push && window.location.pathname !== `/chat/${id}`) {
+    history.pushState({ conv: id }, "", `/chat/${id}`);
+  }
   const conv = state.conversations.find((c) => c.id === id);
   $("#conv-title").textContent = conv ? conv.title : "";
   await loadMessages();
@@ -374,13 +378,76 @@ async function selectConversation(id) {
 }
 
 async function loadMessages() {
-  if (!state.current) return;
+  if (!state.current) { showGreeting(); return; }
   const resp = await api(`/conversations/${state.current}/messages`);
   const data = await resp.json();
   const box = $("#messages");
   box.innerHTML = "";
+  if (!data.messages.length) { showGreeting(); return; }
   data.messages.forEach((m) => appendMessage(m.role, m.content, m.id));
   box.scrollTop = box.scrollHeight;
+}
+
+/* empty-state greeting with suggestion chips (reference app.js:389-407) */
+function showGreeting() {
+  const box = $("#messages");
+  box.innerHTML = "";
+  const div = document.createElement("div");
+  div.className = "greeting";
+  const name = (state.me?.name || "").trim();
+  const title = document.createElement("div");
+  title.className = "greet-title";
+  title.textContent = name ? `Hello, ${name}!` : "Hello!";
+  const sub = document.createElement("div");
+  sub.className = "greet-sub";
+  sub.textContent = "Ask anything about the wiki, or start from an example";
+  const chips = document.createElement("div");
+  chips.className = "greet-suggestions";
+  [
+    "Summarize the getting-started guide",
+    "What changed in the latest release notes?",
+    "Explain how authentication works",
+  ].forEach((text) => {
+    const chip = document.createElement("button");
+    chip.className = "chip";
+    chip.textContent = text;
+    chip.onclick = () => {
+      const input = $("#input");
+      input.value = text;
+      input.focus();
+      sendQuestion();
+    };
+    chips.appendChild(chip);
+  });
+  div.append(title, sub, chips);
+  box.appendChild(div);
+}
+
+/* copy-to-clipboard on any message (reference app.js:482,601); copies
+ * the raw text with the hidden [SourcesMap]/thinking markers stripped */
+function copyableText(content) {
+  return (content || "")
+    .replace(/\n<!--thinking-->\n[\s\S]*?\n<!--\/thinking-->\n/g, "")
+    .split("\n")
+    .filter((l) => !l.startsWith("[SourcesMap]:"))
+    .join("\n")
+    .trim();
+}
+
+function attachCopy(div, content) {
+  const btn = document.createElement("button");
+  btn.className = "copy";
+  btn.title = "Copy";
+  btn.textContent = "⧉";
+  btn.onclick = async () => {
+    try {
+      await navigator.clipboard.writeText(copyableText(content));
+      toast("Copied", "success", 1500);
+    } catch (e) {
+      toast("Copy failed", "error");
+    }
+  };
+  div.appendChild(btn);
 }
 
 function appendMessage(role, content, id) {
@@ -389,6 +456,7 @@ function appendMessage(role, content, id) {
   if (id) div.dataset.id = id;
   if (role === "assistant") {
     div.innerHTML = renderAssistant(content || "");
+    if (content) attachCopy(div, content);
   } else {
     div.innerHTML = renderMarkdownLite(content || "");
     const edit = document.createElement("button");
@@ -424,6 +492,8 @@ async function sendQuestion() {
   input.value = "";
   delete input.dataset.editId;
   if (editId) await loadMessages();
+  const greet = document.querySelector("#messages .greeting");
+  if (greet) greet.remove();
   appendMessage("user", question);
 
   const assistantDiv = appendMessage("assistant", "");
@@ -601,7 +671,18 @@ window.addEventListener("DOMContentLoaded", async () => {
   await loadMe();
   await loadConversations();
   const m = window.location.pathname.match(/\/chat\/([0-9a-f-]{36})$/);
-  if (m) await selectConversation(m[1]);
+  if (m) await selectConversation(m[1], { push: false });
+  else showGreeting();
+  window.addEventListener("popstate", () => {
+    const pm = window.location.pathname.match(/\/chat\/([0-9a-f-]{36})$/);
+    if (pm) selectConversation(pm[1], { push: false });
+    else {
+      state.current = null;
+      $("#conv-title").textContent = "New conversation";
+      showGreeting();
+      loadConversations();
+    }
+  });
   $("#send").onclick = sendQuestion;
   $("#stop").onclick = () => state.abort && state.abort.abort();
   const input = $("#input");
@@ -614,9 +695,10 @@ window.addEventListener("DOMContentLoaded", async () => {
   input.addEventListener("input", () => autoresize(input));
   $("#new-conv").onclick = async () => {
     state.current = null;
-    $("#messages").innerHTML = "";
     $("#conv-title").textContent = "New conversation";
-    history.replaceState(null, "", "/chat/");
+    history.pushState({ conv: null }, "", "/chat/");
+    showGreeting();
+    loadConversations();
   };
   $("#refresh-kb").onclick = triggerRefresh;
   $("#menu-toggle").onclick = () => $("#sidebar").classList.toggle("open");
