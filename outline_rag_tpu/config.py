@@ -261,6 +261,10 @@ class Settings:
     query_batch_max: int = 32
     lex_weight: float = 0.0  # >0 blends BGE-m3 lexical overlap into retrieval
     colbert_weight: float = 0.0  # >0 blends BGE-m3 ColBERT late interaction
+    # >0 caches projected int8 per-token ColBERT vectors on the index so
+    # late interaction gathers instead of re-encoding candidates
+    # (HBM cost: capacity * token_width * (rank + 4) bytes)
+    colbert_cache_rank: int = 0
 
     # --- OIDC (reference blueprints/auth.py) ---
     oidc_issuer: str = ""
@@ -382,6 +386,7 @@ def load_settings(env: dict[str, str] | None = None) -> Settings:
         query_batch_max=_env_int("QUERY_BATCH_MAX", 32),
         lex_weight=_env_float("LEX_WEIGHT", 0.0),
         colbert_weight=_env_float("COLBERT_WEIGHT", 0.0),
+        colbert_cache_rank=_env_int("COLBERT_CACHE_RANK", 0),
         oidc_issuer=_env("OIDC_ISSUER"),
         oidc_client_id=_env("OIDC_CLIENT_ID"),
         oidc_client_secret=_env("OIDC_CLIENT_SECRET"),

@@ -100,6 +100,37 @@ class EncoderEmbedder:
         )
         return np.asarray(out)
 
+    @property
+    def has_colbert_head(self) -> bool:
+        return "colbert" in self.params
+
+    def colbert_cache(
+        self, input_ids: np.ndarray, attention_mask: np.ndarray, rank: int
+    ) -> tuple[np.ndarray, np.ndarray] | tuple[None, None]:
+        """Projected + int8-quantized per-token ColBERT vectors for the
+        index cache (``models/encoder.py::colbert_cache_codes``); (None,
+        None) when the checkpoint has no ColBERT head."""
+        if not self.has_colbert_head:
+            return None, None
+        from outline_rag_tpu.models.encoder import (
+            colbert_cache_codes,
+            colbert_projection,
+        )
+
+        if getattr(self, "_colbert_rank", None) != rank:
+            hc = self.params["colbert"]["w"].shape[1]
+            proj = colbert_projection(hc, rank)
+            self._colbert_rank = rank
+            self._colbert_jit = jax.jit(
+                lambda p, ids, mask: colbert_cache_codes(
+                    p, ids, mask, self.cfg, proj
+                )
+            )
+        codes, scales = self._colbert_jit(
+            self.params, jnp.asarray(input_ids), jnp.asarray(attention_mask)
+        )
+        return np.asarray(codes), np.asarray(scales)
+
     def _batch_cap(self, width: int) -> int:
         """Largest batch bucket whose token count fits the budget."""
         fitting = [b for b in self.batch_buckets if b * width <= self.max_batch_tokens]

@@ -58,6 +58,9 @@ def _rescore_and_rerank(
     cand_ids,  # [B, K, Tc] candidate chunk tokens (CLS-first)
     cand_mask,
     cand_w,  # [B, K, Tc] lexical weights (zeros when unused)
+    cand_cvecs=None,  # [B, K, Tc, r] int8 cached ColBERT codes
+    cand_cscale=None,  # [B, K, Tc] f32 dequant scales
+    colbert_proj=None,  # [Hc, r] query-side projection (models/encoder.py)
     *,
     enc_cfg: EncoderConfig,
     rr_cfg: EncoderConfig,
@@ -81,22 +84,33 @@ def _rescore_and_rerank(
         lex = lexical_overlap_scores(q_ids, q_w, cand_ids, cand_w)
         vals = vals + lex_weight * lex
 
-    # 3c. ColBERT late interaction (BGE-m3 multi-vector mode): candidate
-    # token vectors are computed on the fly from the cached chunk tokens —
-    # storing per-token vectors index-wide would cost ~0.5 MB/chunk of HBM,
-    # so the K candidates are re-encoded instead (same cost class as the
-    # cross-encoder stage below). Runs on the CLS-first chunk rows, before
-    # slot 0 is rewritten into the pair separator.
+    # 3c. ColBERT late interaction (BGE-m3 multi-vector mode). Two forms:
+    # - cached (``colbert_rank`` on the index): candidates' projected int8
+    #   token vectors gather by row index from the device cache — no
+    #   encoder forward at query time (~free vs the 35% QPS cost of
+    #   re-encoding; docs/BENCHMARKS.md). Scores are JL approximations of
+    #   the full-dim MaxSim (exact at rank == Hc up to int8 rounding).
+    # - recompute: the K candidates re-encode with the full encoder (same
+    #   cost class as the cross-encoder stage; exact scores). Runs on the
+    #   CLS-first chunk rows, before slot 0 becomes the pair separator.
     if colbert_weight > 0.0 and "colbert" in enc_params:
         k_ = idx.shape[1]
         tc_ = cand_ids.shape[2]
         q_cb = colbert_vectors_from_hidden(enc_params, q_hidden, q_mask)
-        flat_ids = cand_ids.reshape(b * k_, tc_)
-        flat_mask = cand_mask.reshape(b * k_, tc_)
-        cand_hidden = encoder_forward(enc_params, flat_ids, flat_mask, enc_cfg)
-        c_cb = colbert_vectors_from_hidden(
-            enc_params, cand_hidden, flat_mask
-        ).reshape(b, k_, tc_, -1)
+        if cand_cvecs is not None:
+            q_cb = (q_cb @ colbert_proj.astype(q_cb.dtype)).astype(
+                jnp.float32
+            )
+            c_cb = cand_cvecs.astype(jnp.float32) * cand_cscale[..., None]
+        else:
+            flat_ids = cand_ids.reshape(b * k_, tc_)
+            flat_mask = cand_mask.reshape(b * k_, tc_)
+            cand_hidden = encoder_forward(
+                enc_params, flat_ids, flat_mask, enc_cfg
+            )
+            c_cb = colbert_vectors_from_hidden(
+                enc_params, cand_hidden, flat_mask
+            ).reshape(b, k_, tc_, -1)
         cb = late_interaction_scores(q_cb, q_mask, c_cb)
         vals = vals + colbert_weight * cb
 
@@ -150,6 +164,9 @@ def fused_query(
     tok_ids: jax.Array,  # [N, Tc] int32
     tok_mask: jax.Array,  # [N, Tc] int32
     tok_weights: jax.Array | None = None,  # [N, Tc] f32 lexical weights
+    tok_cvecs: jax.Array | None = None,  # [N, Tc, r] int8 ColBERT cache
+    tok_cscale: jax.Array | None = None,  # [N, Tc] f32
+    colbert_proj: jax.Array | None = None,  # [Hc, r]
     *,
     enc_cfg: EncoderConfig,
     rr_cfg: EncoderConfig,
@@ -180,10 +197,14 @@ def fused_query(
         if tok_weights is not None
         else jnp.zeros(cand_ids.shape, jnp.float32)
     )
+    cand_cvecs = cand_cscale = None
+    if tok_cvecs is not None:
+        cand_cvecs = jnp.take(tok_cvecs, idx, axis=0)  # [B, K, Tc, r]
+        cand_cscale = jnp.take(tok_cscale, idx, axis=0)
 
     return _rescore_and_rerank(
         enc_params, rr_params, q_hidden, q_ids, q_mask, vals, idx,
-        cand_ids, cand_mask, cand_w,
+        cand_ids, cand_mask, cand_w, cand_cvecs, cand_cscale, colbert_proj,
         enc_cfg=enc_cfg, rr_cfg=rr_cfg, rerank_k=rerank_k, eos_id=eos_id,
         lex_weight=lex_weight, colbert_weight=colbert_weight,
     )
@@ -214,6 +235,9 @@ def fused_query_mesh(
     tok_ids: jax.Array,  # [N, Tc] row-sharded
     tok_mask: jax.Array,  # [N, Tc] row-sharded
     tok_weights: jax.Array,  # [N, Tc] row-sharded
+    tok_cvecs: jax.Array | None = None,  # [N, Tc, r] int8, row-sharded
+    tok_cscale: jax.Array | None = None,  # [N, Tc] f32, row-sharded
+    colbert_proj: jax.Array | None = None,  # [Hc, r] replicated
     *,
     enc_cfg: EncoderConfig,
     rr_cfg: EncoderConfig,
@@ -239,13 +263,16 @@ def fused_query_mesh(
     from outline_rag_tpu.parallel.query import sharded_retrieve_tokens
 
     q_hidden, q_emb = _encode_queries(enc_params, q_ids, q_mask, enc_cfg)
-    vals, idx, cand_ids, cand_mask, cand_w = sharded_retrieve_tokens(
-        q_emb, vectors, scales, penalty, tok_ids, tok_mask, tok_weights,
-        top_k, mesh=mesh, block_n=block_n,
+    vals, idx, cand_ids, cand_mask, cand_w, cand_cvecs, cand_cscale = (
+        sharded_retrieve_tokens(
+            q_emb, vectors, scales, penalty, tok_ids, tok_mask, tok_weights,
+            top_k, tok_cvecs=tok_cvecs, tok_cscale=tok_cscale,
+            mesh=mesh, block_n=block_n,
+        )
     )
     return _rescore_and_rerank(
         enc_params, rr_params, q_hidden, q_ids, q_mask, vals, idx,
-        cand_ids, cand_mask, cand_w,
+        cand_ids, cand_mask, cand_w, cand_cvecs, cand_cscale, colbert_proj,
         enc_cfg=enc_cfg, rr_cfg=rr_cfg, rerank_k=rerank_k, eos_id=eos_id,
         lex_weight=lex_weight, colbert_weight=colbert_weight,
     )
@@ -274,6 +301,21 @@ class FusedEngine:
         self.q_width = q_width
         self.lex_weight = lex_weight
         self.colbert_weight = colbert_weight
+        # cached-ColBERT mode: the index carries projected int8 token
+        # vectors; compute the query-side projection once (must match the
+        # ingest-side matrix — same fixed seed)
+        self._colbert_proj = None
+        if (
+            colbert_weight > 0.0
+            and index.tokens is not None
+            and index.tokens.colbert is not None
+        ):
+            from outline_rag_tpu.models.encoder import colbert_projection
+
+            hc = embedder.params["colbert"]["w"].shape[1]
+            self._colbert_proj = colbert_projection(
+                hc, index.tokens.colbert_rank
+            )
 
     def query(self, texts: list[str]):
         tok = self.embedder.tokenizer
@@ -299,6 +341,8 @@ class FusedEngine:
             fn = fused_query if mesh is None else functools.partial(
                 fused_query_mesh, mesh=mesh
             )
+            cb = self.index.tokens.colbert
+            use_cb = cb is not None and self._colbert_proj is not None
             r_rows, r_vals, retr_vals, idx, vals = fn(
                 self.embedder.params,
                 self.reranker.params,
@@ -310,6 +354,9 @@ class FusedEngine:
                 self.index.tokens.state.ids,
                 self.index.tokens.state.mask,
                 self.index.tokens.state.weights,
+                cb.codes if use_cb else None,
+                cb.scales if use_cb else None,
+                self._colbert_proj if use_cb else None,
                 **common,
             )
             r_rows = np.asarray(r_rows)

@@ -106,6 +106,7 @@ class VectorIndex:
         block_n: int = 1024,
         token_width: int | None = None,
         token_pad_id: int = 1,
+        colbert_rank: int = 0,
     ):
         self.dim = dim
         self.dtype = dtype
@@ -114,8 +115,12 @@ class VectorIndex:
         self._shard = DeviceShard(capacity, dim, dtype, sharding)
         self.token_width = token_width
         self.token_pad_id = token_pad_id
+        self.colbert_rank = colbert_rank
         self.tokens = (
-            TokenCache(capacity, token_width, token_pad_id, sharding)
+            TokenCache(
+                capacity, token_width, token_pad_id, sharding,
+                colbert_rank=colbert_rank,
+            )
             if token_width
             else None
         )
@@ -143,6 +148,8 @@ class VectorIndex:
         token_ids: np.ndarray | None = None,
         token_mask: np.ndarray | None = None,
         token_weights: np.ndarray | None = None,
+        colbert_codes: np.ndarray | None = None,
+        colbert_scales: np.ndarray | None = None,
     ) -> None:
         """Index chunks of one source document. With ``replace`` (the
         default), existing chunks of the same source are tombstoned first —
@@ -183,7 +190,10 @@ class VectorIndex:
             if self.tokens is not None and token_ids is not None:
                 if token_mask is None:
                     token_mask = (token_ids != self.token_pad_id).astype(np.int32)
-                self.tokens.write(start, token_ids, token_mask, token_weights)
+                self.tokens.write(
+                    start, token_ids, token_mask, token_weights,
+                    colbert_codes, colbert_scales,
+                )
             for cid, row in zip(chunk_ids, rows):
                 self._by_chunk[cid] = int(row)
             self._by_source.setdefault(source_id, [])
@@ -231,16 +241,20 @@ class VectorIndex:
         vecs = np.asarray(old_state.vectors, np.float32)[live_rows]
         scales = np.asarray(old_state.scales)[live_rows]
         ids = [row_ids[r] for r in live_rows]
-        tok_ids = tok_mask = tok_w = None
+        tok_ids = tok_mask = tok_w = cb_codes = cb_scales = None
         if self.tokens is not None:
             tok_ids = np.asarray(self.tokens.state.ids)[live_rows]
             tok_mask = np.asarray(self.tokens.state.mask)[live_rows]
             tok_w = np.asarray(self.tokens.state.weights)[live_rows]
+            if self.tokens.colbert is not None:
+                cb_codes = np.asarray(self.tokens.colbert.codes)[live_rows]
+                cb_scales = np.asarray(self.tokens.colbert.scales)[live_rows]
         cap = new_capacity or self._shard.capacity
         self._shard = DeviceShard(cap, self.dim, self.dtype, self._sharding)
         if self.tokens is not None:
             self.tokens = TokenCache(
-                cap, self.token_width, self.token_pad_id, self._sharding
+                cap, self.token_width, self.token_pad_id, self._sharding,
+                colbert_rank=self.colbert_rank,
             )
         self._by_chunk.clear()
         if len(ids):
@@ -248,7 +262,7 @@ class VectorIndex:
                 ids, vecs, scales if self.dtype == "int8" else None
             )
             if self.tokens is not None and tok_ids is not None:
-                self.tokens.write(0, tok_ids, tok_mask, tok_w)
+                self.tokens.write(0, tok_ids, tok_mask, tok_w, cb_codes, cb_scales)
             for cid, row in zip(ids, rows):
                 self._by_chunk[cid] = int(row)
 
@@ -365,6 +379,9 @@ class VectorIndex:
                 arrays["token_ids"] = np.asarray(self.tokens.state.ids)
                 arrays["token_mask"] = np.asarray(self.tokens.state.mask)
                 arrays["token_weights"] = np.asarray(self.tokens.state.weights)
+                if self.tokens.colbert is not None:
+                    arrays["colbert_codes"] = np.asarray(self.tokens.colbert.codes)
+                    arrays["colbert_scales"] = np.asarray(self.tokens.colbert.scales)
             (np.savez_compressed if compress else np.savez)(path, **arrays)
             meta = {
                 "dim": self.dim,
@@ -376,6 +393,7 @@ class VectorIndex:
                 "by_source": self._by_source,
                 "token_width": self.token_width,
                 "token_pad_id": self.token_pad_id,
+                "colbert_rank": self.colbert_rank,
             }
             with open(path + ".meta.json", "w") as f:
                 json.dump(meta, f)
@@ -394,6 +412,7 @@ class VectorIndex:
             sharding=sharding,
             token_width=meta.get("token_width"),
             token_pad_id=meta.get("token_pad_id", 1),
+            colbert_rank=meta.get("colbert_rank", 0),
         )
         cursor = meta["cursor"]
         row_ids = meta["row_ids"]
@@ -415,6 +434,12 @@ class VectorIndex:
                     arrays["token_mask"][live],
                     arrays["token_weights"][live]
                     if "token_weights" in arrays
+                    else None,
+                    arrays["colbert_codes"][live]
+                    if "colbert_codes" in arrays
+                    else None,
+                    arrays["colbert_scales"][live]
+                    if "colbert_scales" in arrays
                     else None,
                 )
             for cid, row in zip(ids, rows):

@@ -30,12 +30,34 @@ class TokenCacheState:
     weights: jax.Array  # [capacity, width] f32 lexical weights (0 = none)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ColbertCacheState:
+    """Optional per-token ColBERT vector cache (projected, int8):
+    candidates' late-interaction vectors gather by row index instead of
+    re-encoding B*K chunks per query (``models/encoder.py::
+    colbert_cache_codes``)."""
+
+    codes: jax.Array  # [capacity, width, rank] int8
+    scales: jax.Array  # [capacity, width] f32
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _update_block(state: TokenCacheState, ids, mask, weights, start) -> TokenCacheState:
     return TokenCacheState(
         ids=jax.lax.dynamic_update_slice(state.ids, ids, (start, 0)),
         mask=jax.lax.dynamic_update_slice(state.mask, mask, (start, 0)),
         weights=jax.lax.dynamic_update_slice(state.weights, weights, (start, 0)),
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _update_colbert(
+    state: ColbertCacheState, codes, scales, start
+) -> ColbertCacheState:
+    return ColbertCacheState(
+        codes=jax.lax.dynamic_update_slice(state.codes, codes, (start, 0, 0)),
+        scales=jax.lax.dynamic_update_slice(state.scales, scales, (start, 0)),
     )
 
 
@@ -46,13 +68,23 @@ class TokenCache:
         width: int,
         pad_id: int = 1,
         sharding: jax.sharding.Sharding | None = None,
+        colbert_rank: int = 0,
     ):
         self.width = width
         self.pad_id = pad_id
+        self.colbert_rank = colbert_rank
         self.state = TokenCacheState(
             ids=jnp.full((capacity, width), pad_id, jnp.int32),
             mask=jnp.zeros((capacity, width), jnp.int32),
             weights=jnp.zeros((capacity, width), jnp.float32),
+        )
+        self.colbert = (
+            ColbertCacheState(
+                codes=jnp.zeros((capacity, width, colbert_rank), jnp.int8),
+                scales=jnp.zeros((capacity, width), jnp.float32),
+            )
+            if colbert_rank
+            else None
         )
         if sharding is not None:
             self.state = TokenCacheState(
@@ -60,6 +92,11 @@ class TokenCache:
                 mask=jax.device_put(self.state.mask, sharding),
                 weights=jax.device_put(self.state.weights, sharding),
             )
+            if self.colbert is not None:
+                self.colbert = ColbertCacheState(
+                    codes=jax.device_put(self.colbert.codes, sharding),
+                    scales=jax.device_put(self.colbert.scales, sharding),
+                )
 
     def write(
         self,
@@ -67,6 +104,8 @@ class TokenCache:
         token_ids: np.ndarray,
         token_mask: np.ndarray,
         token_weights: np.ndarray | None = None,
+        colbert_codes: np.ndarray | None = None,
+        colbert_scales: np.ndarray | None = None,
     ):
         """Write rows [start : start+n). Rows are clipped/padded to width."""
         n = token_ids.shape[0]
@@ -89,3 +128,15 @@ class TokenCache:
                 jnp.asarray(w_p),
                 jnp.int32(start + off),
             )
+            if self.colbert is not None and colbert_codes is not None:
+                r = self.colbert_rank
+                c_p = np.zeros((UPDATE_BLOCK, self.width, r), np.int8)
+                s_p = np.zeros((UPDATE_BLOCK, self.width), np.float32)
+                c_p[:m, :w] = colbert_codes[off : off + UPDATE_BLOCK, :w, :r]
+                s_p[:m, :w] = colbert_scales[off : off + UPDATE_BLOCK, :w]
+                self.colbert = _update_colbert(
+                    self.colbert,
+                    jnp.asarray(c_p),
+                    jnp.asarray(s_p),
+                    jnp.int32(start + off),
+                )

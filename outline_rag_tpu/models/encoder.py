@@ -393,6 +393,48 @@ def late_interaction_scores(
     return jnp.sum(best * q_valid[:, None, :], axis=-1) / denom
 
 
+def colbert_projection(dim: int, rank: int) -> jax.Array:
+    """Deterministic [dim, rank] projection for the cached-ColBERT path.
+
+    Orthonormal columns (QR of a fixed-seed Gaussian) scaled by
+    sqrt(dim/rank) so projected dot products are unbiased estimates of
+    the full-dimension dots (JL-style); at rank == dim the map is exactly
+    orthogonal and dots are preserved bit-for-bit up to fp rounding.
+    Shared between ingest (chunk side) and query (query side) — both
+    sides MUST use the same matrix, which the fixed seed guarantees.
+    """
+    g = jax.random.normal(jax.random.key(0x0C01BE47), (dim, rank), jnp.float32)
+    q, _ = jnp.linalg.qr(g)
+    return q * jnp.sqrt(jnp.float32(dim) / jnp.float32(rank))
+
+
+def colbert_cache_codes(
+    params: Params,
+    input_ids: jax.Array,  # [B, S]
+    attention_mask: jax.Array,  # [B, S]
+    cfg: EncoderConfig,
+    proj: jax.Array,  # [Hc, rank] from colbert_projection
+) -> tuple[jax.Array, jax.Array]:
+    """Projected + int8-quantized per-token ColBERT vectors for the index
+    token cache: (codes [B, S, rank] int8, scales [B, S] f32).
+
+    Trades HBM for query-time encoder FLOPs: with the cache, late
+    interaction gathers candidate token vectors by row index instead of
+    re-encoding B*K candidates per query (engine/fused.py). Zeroed
+    positions (CLS/pad) quantize to scale 0, preserving the MaxSim floor.
+    """
+    vecs = colbert_token_vectors(params, input_ids, attention_mask, cfg)
+    p = (vecs @ proj).astype(jnp.float32)  # [B, S, rank]
+    amax = jnp.max(jnp.abs(p), axis=-1)  # [B, S]
+    scale = amax / 127.0
+    codes = jnp.where(
+        scale[..., None] > 0.0,
+        jnp.round(p / jnp.maximum(scale, 1e-12)[..., None]),
+        0.0,
+    )
+    return jnp.clip(codes, -127, 127).astype(jnp.int8), scale
+
+
 def lexical_overlap_scores(
     q_ids: jax.Array,  # [B, Tq]
     q_weights: jax.Array,  # [B, Tq] f32

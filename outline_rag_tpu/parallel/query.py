@@ -118,6 +118,7 @@ def sharded_topk_int8(
 
 def _local_retrieve_tokens(
     q, q_codes, q_scale, c, c_scale, pen, tok_ids, tok_mask, tok_w,
+    tok_cvecs=None, tok_cscale=None,
     *, k: int, impl: str, block_n: int, quantized: bool,
 ):
     """Per-device body of the mesh fused-query retrieval stage: local fused
@@ -125,7 +126,9 @@ def _local_retrieve_tokens(
     tokens *locally* (plain ``jnp.take`` on the local shard — no cross-device
     gather of the [N, Tc] cache), and merge scores + candidate tokens across
     shards with one all-gather each. Collective payload per device:
-    ``ndev * B * K * (2*Tc + 3) * 4`` bytes — KBs, never corpus-scale."""
+    ``ndev * B * K * (2*Tc + 3) * 4`` bytes — KBs, never corpus-scale.
+    The optional ColBERT vector cache rides the same merge (adds
+    ``ndev * B * K * Tc * (r + 4)`` bytes — still candidate-scale)."""
     if quantized:
         from outline_rag_tpu.ops.quant import int8_topk
 
@@ -137,10 +140,14 @@ def _local_retrieve_tokens(
     cand_ids = jnp.take(tok_ids, idx, axis=0)  # [B, K, Tc]
     cand_mask = jnp.take(tok_mask, idx, axis=0)
     cand_w = jnp.take(tok_w, idx, axis=0)
-    out_vals, out_idx, (m_ids, m_mask, m_w) = _merge_gathered(
-        vals, gidx, k, DATA_AXIS, extras=(cand_ids, cand_mask, cand_w)
+    extras = [cand_ids, cand_mask, cand_w]
+    if tok_cvecs is not None:
+        extras.append(jnp.take(tok_cvecs, idx, axis=0))  # [B, K, Tc, r]
+        extras.append(jnp.take(tok_cscale, idx, axis=0))
+    out_vals, out_idx, merged = _merge_gathered(
+        vals, gidx, k, DATA_AXIS, extras=tuple(extras)
     )
-    return out_vals, out_idx, m_ids, m_mask, m_w
+    return (out_vals, out_idx, *merged)
 
 
 def sharded_retrieve_tokens(
@@ -152,13 +159,16 @@ def sharded_retrieve_tokens(
     tok_mask: jax.Array,  # [N, Tc] int32, row-sharded
     tok_weights: jax.Array,  # [N, Tc] f32, row-sharded
     k: int,
+    tok_cvecs: jax.Array | None = None,  # [N, Tc, r] int8, row-sharded
+    tok_cscale: jax.Array | None = None,  # [N, Tc] f32, row-sharded
     *,
     mesh: Mesh,
     impl: str = "auto",
     block_n: int = 1024,
 ):
     """Retrieval stage of the mesh fused-query program: returns replicated
-    (vals [B,K], global idx [B,K], cand_ids/mask [B,K,Tc], cand_weights)
+    (vals [B,K], global idx [B,K], cand_ids/mask [B,K,Tc], cand_weights,
+    cand_cvecs, cand_cscale — the last two None without a ColBERT cache)
     with exact tie-break parity vs the single-device program. Traceable
     under jit — this is one stage of one XLA program, not a dispatch."""
     quantized = corpus.dtype == jnp.int8
@@ -169,6 +179,7 @@ def sharded_retrieve_tokens(
     else:
         q_codes = jnp.zeros((q_emb.shape[0], 0), jnp.int8)
         q_scale = jnp.zeros((q_emb.shape[0],), jnp.float32)
+    with_cb = tok_cvecs is not None
     body = functools.partial(
         _local_retrieve_tokens,
         k=k,
@@ -176,18 +187,27 @@ def sharded_retrieve_tokens(
         block_n=block_n,
         quantized=quantized,
     )
+    specs = [
+        P(), P(), P(),
+        P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS),
+        P(DATA_AXIS, None), P(DATA_AXIS, None), P(DATA_AXIS, None),
+    ]
+    args = [q_emb, q_codes, q_scale, corpus, scales, penalty,
+            tok_ids, tok_mask, tok_weights]
+    n_out = 5
+    if with_cb:
+        specs += [P(DATA_AXIS, None, None), P(DATA_AXIS, None)]
+        args += [tok_cvecs, tok_cscale]
+        n_out = 7
     fn = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(
-            P(), P(), P(),
-            P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS),
-            P(DATA_AXIS, None), P(DATA_AXIS, None), P(DATA_AXIS, None),
-        ),
-        out_specs=(P(), P(), P(), P(), P()),
+        in_specs=tuple(specs),
+        out_specs=tuple(P() for _ in range(n_out)),
         check_vma=False,
     )
-    return fn(q_emb, q_codes, q_scale, corpus, scales, penalty, tok_ids, tok_mask, tok_weights)
+    out = fn(*args)
+    return out if with_cb else (*out, None, None)
 
 
 # ---------------------------------------------------------------------------

@@ -142,6 +142,12 @@ def build_app(
             token_width=(
                 settings.token_width if encoder_tokenizer is not None else None
             ),
+            colbert_rank=(
+                settings.colbert_cache_rank
+                if settings.colbert_weight > 0.0
+                and encoder_tokenizer is not None
+                else 0
+            ),
         )
     retrieval = RetrievalService(
         index,

@@ -195,6 +195,7 @@ class Ingestor:
         ]
         vectors = self.embedder.embed([c.text for c in chunks])
         token_ids = token_mask = token_weights = None
+        cb_codes = cb_scales = None
         if self.tokenizer is not None and self.index.tokens is not None:
             tb = self.tokenizer.batch(
                 [c.text for c in chunks],
@@ -205,6 +206,13 @@ class Ingestor:
             inner = self.embedder.inner
             if getattr(inner, "has_sparse_head", False):
                 token_weights = inner.token_weights(token_ids, token_mask)
+            if (
+                self.index.tokens.colbert is not None
+                and getattr(inner, "has_colbert_head", False)
+            ):
+                cb_codes, cb_scales = inner.colbert_cache(
+                    token_ids, token_mask, self.index.colbert_rank
+                )
         self.meta.upsert_document(source_id, title, url, updated_at, text)
         self.meta.replace_chunks(
             source_id,
@@ -218,6 +226,8 @@ class Ingestor:
             token_ids=token_ids,
             token_mask=token_mask,
             token_weights=token_weights,
+            colbert_codes=cb_codes,
+            colbert_scales=cb_scales,
         )
         return len(chunks)
 

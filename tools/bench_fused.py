@@ -63,18 +63,35 @@ def main() -> None:
     q_ids0 = rng.integers(3, cfg.vocab_size, size=(b, tq)).astype(np.int32)
     q_mask = jnp.ones((b, tq), jnp.int32)
 
+    # cached-ColBERT variant state: projected int8 token vectors
+    # (content is irrelevant for timing; shapes/dtypes are what count)
+    from outline_rag_tpu.models.encoder import colbert_projection
+
+    cb_rank = int(os.environ.get("BENCH_CB_RANK", 128))
+    cb_proj = colbert_projection(cfg.hidden, cb_rank)
+    cb_codes = jnp.asarray(
+        rng.integers(-127, 128, size=(n, tc, cb_rank)).astype(np.int8)
+    )
+    cb_scales = jnp.full((n, tc), 1 / 127.0, jnp.float32)
+
     VARIANTS = {
         "dense": dict(lex_weight=0.0, colbert_weight=0.0),
         "dense+lex": dict(lex_weight=0.3, colbert_weight=0.0),
         "dense+lex+colbert": dict(lex_weight=0.3, colbert_weight=0.3),
+        "dense+lex+colbert-cached": dict(
+            lex_weight=0.3, colbert_weight=0.3, cached=True
+        ),
     }
 
     def run(weights, q_ids):
+        w = dict(weights)
+        cached = w.pop("cached", False)
+        extra = (cb_codes, cb_scales, cb_proj) if cached else (None, None, None)
         return fused_query(
             enc, rr, q_ids, q_mask, corpus, scales, penalty,
-            tok_ids, tok_mask, tok_w,
+            tok_ids, tok_mask, tok_w, *extra,
             enc_cfg=cfg, rr_cfg=cfg, top_k=top_k, rerank_k=rerank_k,
-            **weights,
+            **w,
         )
 
     def chained(weights, iters):
@@ -112,6 +129,9 @@ def main() -> None:
         out[name] = round(b / dt, 1)
     out["colbert_qps_cost"] = round(
         1 - (b / best["dense+lex+colbert"]) / (b / best["dense+lex"]), 3
+    )
+    out["colbert_cached_qps_cost"] = round(
+        1 - (b / best["dense+lex+colbert-cached"]) / (b / best["dense+lex"]), 3
     )
     print(json.dumps(out))
 
