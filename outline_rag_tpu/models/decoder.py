@@ -529,9 +529,10 @@ def generate_chunk_spec(
     n_steps: int,
     draft_k: int,
     gram: int = 3,
-    temperature: float,
-    top_p: float,
+    temperature,  # float, or [B] array for mixed-request batches
+    top_p,
     eos_id: int,
+    done0: jax.Array | None = None,  # [B] bool — rows to skip (batcher)
     force_accept: bool = False,
 ) -> tuple[
     jax.Array,
@@ -570,6 +571,8 @@ def generate_chunk_spec(
     kk = draft_k + 1
     offs = jnp.arange(kk, dtype=jnp.int32)
     out0 = jnp.zeros((b, n_steps * kk), jnp.int32)
+    temp_b = jnp.broadcast_to(jnp.asarray(temperature, jnp.float32), (b,))
+    tp_b = jnp.broadcast_to(jnp.asarray(top_p, jnp.float32), (b,))
 
     def step(carry, _):
         cache, buf, tok, pos, done, out, cursor = carry
@@ -584,10 +587,9 @@ def generate_chunk_spec(
         keys = jax.vmap(jax.vmap(lambda p: key_at(key, p)))(sample_pos)
         e = jax.vmap(
             jax.vmap(_sample_one, in_axes=(0, 0, None, None)),
-            in_axes=(0, 0, None, None),
+            in_axes=(0, 0, 0, 0),
         )(
-            logits.astype(jnp.float32), keys,
-            jnp.float32(temperature), jnp.float32(top_p),
+            logits.astype(jnp.float32), keys, temp_b, tp_b
         )  # [B, kk] — e[:, i] is the sample for position posf+1+i
         if force_accept:
             match = jnp.ones((b, draft_k), bool)
@@ -617,7 +619,8 @@ def generate_chunk_spec(
         cursor2 = cursor + cnt
         return (cache, buf, tok2, pos2, newdone, out, cursor2), None
 
-    done0 = jnp.zeros((b,), bool)
+    if done0 is None:
+        done0 = jnp.zeros((b,), bool)
     cursor0 = jnp.zeros((b,), jnp.int32)
     (cache, tok_buf, tok, pos, _, out, cursor), _ = jax.lax.scan(
         step, (cache, tok_buf, token, pos, done0, out0, cursor0),

@@ -1,0 +1,217 @@
+"""Paged decode attention: KV pages + page-table walk in a Pallas kernel.
+
+vLLM's paged-KV idea expressed TPU-first. The decoder's KV lives in a
+shared pool of fixed-size pages (``[P, KvH, page, Dh]`` per layer); each
+sequence owns an ordered list of page indices (the page table), so HBM
+is allocated by actual sequence length, not by ``slots x max_cache`` —
+short chats stop reserving worst-case cache and more concurrent
+sequences fit per chip (``serve/decode_batcher.py`` does the
+allocation/backpressure).
+
+The naive XLA expression — gather the pages into a contiguous [B, KvH,
+C, Dh] view, then attend — materializes a full per-row cache copy every
+decode step, tripling attention HBM traffic. The Pallas kernel instead
+walks the page table with scalar prefetch: grid ``(B, KvH, n_pages)``,
+each step DMA-ing ONE page ``[page, Dh]`` into VMEM directly from its
+pooled location (the block index map reads the page table), with the
+online-softmax accumulator discipline of ``ops/attention.py``. KV bytes
+move exactly once.
+
+The grouped-query layout folds the G = H/KvH query heads of one KV head
+and the T decode positions into one ``[G*T, Dh]`` matmul operand — at
+decode shapes (T <= 8 speculative window) the whole query block stays
+resident while pages stream.
+
+No reference equivalent (the reference calls a remote chat API,
+``app/llm_services.py:151``); this is the serving-memory analogue of
+pgvector -> device shards for the decode path.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANE = 128
+
+
+def paged_attention_xla(
+    q: jax.Array,  # [B, T, H, Dh] (already rotary-embedded)
+    pool_k: jax.Array,  # [P, KvH, S, Dh]
+    pool_v: jax.Array,  # [P, KvH, S, Dh]
+    table: jax.Array,  # [B, MAXP] int32 page ids (position order)
+    pos: jax.Array,  # [B] int32 — absolute position of q[:, 0]
+) -> jax.Array:
+    """Reference path: gather pages into a contiguous view and attend.
+
+    Correct but materializes [B, KvH, MAXP*page, Dh] per call — used as
+    the test oracle and the CPU fallback, not the serving path.
+    """
+    b, t, h, dh = q.shape
+    p_, kvh, s_pg, _ = pool_k.shape
+    maxp = table.shape[1]
+    c = maxp * s_pg
+    group = h // kvh
+
+    def gather(pool):  # -> [B, KvH, C, Dh]
+        g = jnp.take(pool, table, axis=0)  # [B, MAXP, KvH, S, Dh]
+        return g.transpose(0, 2, 1, 3, 4).reshape(b, kvh, c, dh)
+
+    k_cache, v_cache = gather(pool_k), gather(pool_v)
+    positions = pos[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+    slot = jnp.arange(c, dtype=jnp.int32)
+    mask = slot[None, None, :] <= positions[:, :, None]
+    bias = jnp.where(mask, 0.0, -1e9).astype(jnp.float32)
+    qg = q.reshape(b, t, kvh, group, dh)
+    logits = jnp.einsum(
+        "btngd,bncd->btngc", qg, k_cache, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.float32(dh))
+    logits = logits + bias[:, :, None, None, :]
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    ctx = jnp.einsum("btngc,bncd->btngd", probs, v_cache)
+    return ctx.reshape(b, t, h, dh)
+
+
+def _paged_kernel(
+    table_ref,  # scalar prefetch [B, MAXP]
+    pos_ref,  # scalar prefetch [B]
+    q_ref,  # [1, 1, GT, Dh]
+    k_ref,  # [1, 1, S, Dh] — the page this grid step walks
+    v_ref,  # [1, 1, S, Dh]
+    o_ref,  # [1, 1, GT, Dh]
+    m_scr,  # [GT, LANE] f32 running max
+    l_scr,  # [GT, LANE] f32 running sum
+    acc_scr,  # [GT, Dh] f32
+    *,
+    scale: float,
+    t_len: int,
+    page: int,
+):
+    b = pl.program_id(0)
+    pp = pl.program_id(2)
+    npg = pl.num_programs(2)
+
+    @pl.when(pp == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, -1e30)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0, 0]  # [GT, Dh]
+    k = k_ref[0, 0]  # [S, Dh]
+    s = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # [GT, S]
+
+    # causal/validity mask from positions: row r is decode offset r % T,
+    # page pp covers absolute slots [pp*page, (pp+1)*page)
+    gt = s.shape[0]
+    row_t = jax.lax.broadcasted_iota(jnp.int32, (gt, page), 0) % t_len
+    slot = pp * page + jax.lax.broadcasted_iota(jnp.int32, (gt, page), 1)
+    allowed = slot <= pos_ref[b] + row_t
+    s = jnp.where(allowed, s, -1e9)
+
+    m_prev = m_scr[:, :1]
+    l_prev = l_scr[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_scr[:] = (l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)) + jnp.zeros_like(l_scr)
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0, 0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_scr[:] = acc_scr[:] * alpha + pv
+    m_scr[:] = m_new + jnp.zeros_like(m_scr)
+
+    @pl.when(pp == npg - 1)
+    def _emit():
+        l = l_scr[:, :1]
+        l = jnp.where(l <= 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_scr[:] / l).astype(o_ref.dtype)
+
+
+def paged_attention(
+    q: jax.Array,  # [B, T, H, Dh] (already rotary-embedded)
+    pool_k: jax.Array,  # [P, KvH, S, Dh]
+    pool_v: jax.Array,  # [P, KvH, S, Dh]
+    table: jax.Array,  # [B, MAXP] int32
+    pos: jax.Array,  # [B] int32
+    *,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Paged decode attention. Returns [B, T, H, Dh] in q's dtype.
+
+    Dispatches the Pallas page-walk kernel on TPU and the XLA gather
+    reference elsewhere (or under ``interpret=True`` for kernel-logic
+    tests on CPU).
+    """
+    if interpret is None:
+        if jax.default_backend() != "tpu":
+            return paged_attention_xla(q, pool_k, pool_v, table, pos)
+        interpret = False
+    b, t, h, dh = q.shape
+    p_, kvh, s_pg, _ = pool_k.shape
+    maxp = table.shape[1]
+    group = h // kvh
+    gt = group * t
+    scale = 1.0 / math.sqrt(dh)
+
+    # [B, T, H, Dh] -> [B, KvH, G*T, Dh], row r = g*T + t
+    q_g = (
+        q.reshape(b, t, kvh, group, dh)
+        .transpose(0, 2, 3, 1, 4)
+        .reshape(b, kvh, gt, dh)
+    )
+
+    kernel = functools.partial(
+        _paged_kernel, scale=scale, t_len=t, page=s_pg
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, kvh, maxp),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, gt, dh), lambda bb, hh, pp, tbl, ps: (bb, hh, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, s_pg, dh),
+                lambda bb, hh, pp, tbl, ps: (tbl[bb, pp], hh, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, s_pg, dh),
+                lambda bb, hh, pp, tbl, ps: (tbl[bb, pp], hh, 0, 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, gt, dh), lambda bb, hh, pp, tbl, ps: (bb, hh, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((gt, _LANE), jnp.float32),
+            pltpu.VMEM((gt, _LANE), jnp.float32),
+            pltpu.VMEM((gt, dh), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, kvh, gt, dh), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(table, pos, q_g, pool_k, pool_v)
+    # [B, KvH, G*T, Dh] -> [B, T, H, Dh]
+    return (
+        out.reshape(b, kvh, group, t, dh)
+        .transpose(0, 3, 1, 2, 4)
+        .reshape(b, t, h, dh)
+    )

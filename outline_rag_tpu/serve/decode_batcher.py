@@ -51,6 +51,8 @@ class DecodeBatcher:
         chunk_tokens: int = 8,
         eos_id: int = 2,
         prompt_buckets: tuple = (64, 128, 256, 512, 1024, 2048),
+        spec_k: int = 0,  # >0 -> prompt-lookup speculative steps
+        spec_gram: int = 3,
     ):
         import functools
 
@@ -59,6 +61,7 @@ class DecodeBatcher:
 
         from outline_rag_tpu.models.decoder import (
             decoder_forward,
+            generate_chunk_spec,
             init_cache,
             sample_token,
         )
@@ -124,6 +127,32 @@ class DecodeBatcher:
             return toks.T, cache, tok, pos
 
         self._step_chunk = jax.jit(step_chunk)
+
+        # speculative mode: each of chunk_tokens verify steps advances a
+        # row by 1..spec_k+1 tokens (prompt-lookup drafts; output is
+        # distribution-identical — models/decoder.py::generate_chunk_spec).
+        # Rows diverge freely: positions, cursors, and counts are per-row.
+        self.spec_k = int(spec_k)
+        self.tok_buf = None
+        if self.spec_k > 0:
+            self.tok_buf = jnp.zeros((slots, cfg.max_cache), jnp.int32)
+            self._spec_key = jax.random.key(0)
+
+            def insert_buf(buf, row_buf, row):
+                return jax.lax.dynamic_update_slice(buf, row_buf, (row, 0))
+
+            self._insert_buf = jax.jit(insert_buf)
+
+            def step_spec(p, cache, buf, tok, pos, key, temp, tp, inactive):
+                return generate_chunk_spec(
+                    p, cache, buf, tok, pos, key, cfg,
+                    n_steps=chunk_tokens, draft_k=self.spec_k,
+                    gram=int(spec_gram), temperature=temp, top_p=tp,
+                    eos_id=eos_id, done0=inactive,
+                )
+
+            self._step_spec = jax.jit(step_spec)
+
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -203,6 +232,12 @@ class DecodeBatcher:
             req.out.put(DONE)
             return
         self.cache = self._insert(self.cache, row_cache, row)
+        if self.tok_buf is not None:
+            row_buf = np.zeros((1, self.cfg.max_cache), np.int32)
+            row_buf[0, :t] = req.prompt_ids
+            self.tok_buf = self._insert_buf(
+                self.tok_buf, jnp.asarray(row_buf), jnp.int32(row)
+            )
         self.tok[row] = first_id
         self.pos[row] = t
         self.temp[row] = req.temperature
@@ -246,18 +281,36 @@ class DecodeBatcher:
                 active_mask = np.asarray(
                     [r is not None for r in self.active], bool
                 )
-                self._key, sub = jax.random.split(self._key)
-                toks, self.cache, tok_dev, pos_dev = self._step_chunk(
-                    self.params,
-                    self.cache,
-                    jnp.asarray(self.tok),
-                    jnp.asarray(self.pos),
-                    sub,
-                    jnp.asarray(self.temp),
-                    jnp.asarray(self.tp),
-                    jnp.asarray(active_mask),
-                )
-                toks_np = np.asarray(toks)  # [slots, chunk]
+                counts = None
+                if self.tok_buf is not None:
+                    emitted, cnt, self.cache, self.tok_buf, tok_dev, pos_dev = (
+                        self._step_spec(
+                            self.params,
+                            self.cache,
+                            self.tok_buf,
+                            jnp.asarray(self.tok),
+                            jnp.asarray(self.pos),
+                            self._spec_key,
+                            jnp.asarray(self.temp),
+                            jnp.asarray(self.tp),
+                            jnp.asarray(~active_mask),
+                        )
+                    )
+                    toks_np = np.asarray(emitted)  # [slots, steps*(K+1)]
+                    counts = np.asarray(cnt)
+                else:
+                    self._key, sub = jax.random.split(self._key)
+                    toks, self.cache, tok_dev, pos_dev = self._step_chunk(
+                        self.params,
+                        self.cache,
+                        jnp.asarray(self.tok),
+                        jnp.asarray(self.pos),
+                        sub,
+                        jnp.asarray(self.temp),
+                        jnp.asarray(self.tp),
+                        jnp.asarray(active_mask),
+                    )
+                    toks_np = np.asarray(toks)  # [slots, chunk]
                 # np.array copies: np.asarray of a jax array is read-only and
                 # the admit path writes rows in place
                 self.tok = np.array(tok_dev, np.int32)
@@ -266,6 +319,11 @@ class DecodeBatcher:
                     if req is None:
                         continue
                     ids = toks_np[row].tolist()
+                    if counts is not None:
+                        ids = ids[: int(counts[row])]
+                        if not ids:  # capacity-frozen row: end the stream
+                            self._finish(row)
+                            continue
                     stop = self.eos_id in ids
                     if stop:
                         ids = ids[: ids.index(self.eos_id)]

@@ -258,9 +258,9 @@ class LocalChatProvider:
         )
         # speculative decode: chunk_tokens verify steps per dispatch,
         # each advancing 1..spec_k+1 tokens (prompt-lookup drafts —
-        # models/decoder.py::generate_chunk_spec). Not combined with the
-        # continuous batcher (its admission bookkeeping assumes fixed
-        # per-chunk progress); single-stream only.
+        # models/decoder.py::generate_chunk_spec). With batch_slots > 1
+        # the continuous batcher runs its own speculative step instead
+        # (per-row counts); this single-stream program stays unused.
         self.spec_k = int(spec_k)
         self._chunk_spec = None
         if self.spec_k > 0 and not (batch_slots and batch_slots > 1):
@@ -286,6 +286,8 @@ class LocalChatProvider:
                 chunk_tokens=chunk_tokens,
                 eos_id=self.eos_id,
                 prompt_buckets=self.prompt_buckets,
+                spec_k=self.spec_k,
+                spec_gram=int(spec_gram),
             )
 
     # -- prompt rendering -------------------------------------------------

@@ -197,3 +197,57 @@ def test_worker_crash_fails_fast(setup):
     with pytest.raises(RuntimeError, match="dead"):
         batcher.submit([1, 2], 0.0, 1.0, 10)
     batcher.close()
+
+
+def test_spec_batcher_greedy_matches_solo(setup):
+    """Speculative batcher (spec_k>0): greedy output must be bit-exact
+    with solo greedy decoding — acceptance only changes how many
+    forwards the tokens cost, never the tokens (per-row counts)."""
+    cfg, params = setup
+    from outline_rag_tpu.models.decoder import (
+        cast_decoder_params,
+        stack_decoder_params,
+    )
+
+    stacked = stack_decoder_params(cast_decoder_params(params, cfg.dtype))
+    batcher = DecodeBatcher(
+        stacked, cfg, slots=3, chunk_tokens=4, eos_id=0, spec_k=3,
+        spec_gram=2,
+    )
+    prompts = [
+        [5, 9, 13, 5, 9, 13, 5],  # repetitive: drafts fire
+        [100, 101, 102],
+        [40, 41, 42, 43, 44, 45, 46],
+    ]
+    queues = [batcher.submit(p, 0.0, 1.0, 12) for p in prompts]
+    got = [collect(q) for q in queues]
+    for p, g in zip(prompts, got):
+        want = solo_greedy(cfg, params, p, 12)
+        assert g == want, (p, g, want)
+    batcher.close()
+
+
+def test_spec_batcher_staggered_admission(setup):
+    """Admission mid-flight with speculation on: the token buffer row
+    insert and per-row cursors keep rows isolated."""
+    cfg, params = setup
+    from outline_rag_tpu.models.decoder import (
+        cast_decoder_params,
+        stack_decoder_params,
+    )
+
+    stacked = stack_decoder_params(cast_decoder_params(params, cfg.dtype))
+    batcher = DecodeBatcher(
+        stacked, cfg, slots=2, chunk_tokens=4, eos_id=0, spec_k=2,
+        spec_gram=2,
+    )
+    qa = batcher.submit([5, 9, 13], 0.0, 1.0, 10)
+    first_a = qa.get(timeout=60)
+    assert first_a is not DONE
+    qb = batcher.submit([77, 78], 0.0, 1.0, 10)
+    qc = batcher.submit([200, 201, 202, 203], 0.0, 1.0, 10)
+    got_a = (first_a if isinstance(first_a, list) else []) + collect(qa)
+    assert got_a == solo_greedy(cfg, params, [5, 9, 13], 10)
+    assert collect(qb) == solo_greedy(cfg, params, [77, 78], 10)
+    assert collect(qc) == solo_greedy(cfg, params, [200, 201, 202, 203], 10)
+    batcher.close()

@@ -95,17 +95,34 @@ def test_spec_provider_streams_and_is_deterministic():
     assert isinstance(asyncio.run(once(0.9)), str)
 
 
-def test_spec_disabled_under_batcher():
-    """Continuous batching and speculation don't compose (bookkeeping
-    assumes fixed per-chunk progress): the batcher wins, spec path off."""
+def test_spec_with_batcher_streams():
+    """spec_k + batch_slots: the batcher runs the speculative step
+    (per-row counts); concurrent streams complete and text flows."""
     cfg = DecoderConfig.tiny()
     params = init_decoder_params(jax.random.key(0), cfg)
     prov = LocalChatProvider(
-        params, cfg, StubTok(), chunk_tokens=4, max_new_tokens=8,
+        params, cfg, StubTok(), chunk_tokens=4, max_new_tokens=12,
         spec_k=3, batch_slots=2,
     )
     try:
-        assert prov._chunk_spec is None and prov._batcher is not None
+        assert prov._chunk_spec is None  # single-stream program unused
+        assert prov._batcher is not None and prov._batcher.spec_k == 3
+
+        async def one(i):
+            out = []
+            async for d in prov.stream(
+                "local",
+                [{"role": "user", "content": f"repeat repeat {i}"}],
+                temperature=0.6 + 0.1 * i, top_p=0.9,
+            ):
+                out.append(d["content"] or "")
+            return "".join(out)
+
+        async def run():
+            return await asyncio.gather(*[one(i) for i in range(3)])
+
+        texts = asyncio.run(run())
+        assert all(isinstance(t, str) and t for t in texts)
     finally:
         prov._batcher.close()
 

@@ -1,0 +1,86 @@
+"""Paged decode attention: page-table walk kernel vs gather reference."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from outline_rag_tpu.ops.paged_attention import (
+    paged_attention,
+    paged_attention_xla,
+)
+
+
+def _setup(b=2, t=3, h=8, kvh=4, dh=64, pages=16, page=128, maxp=4, seed=0):
+    rng = np.random.default_rng(seed)
+    q = rng.standard_normal((b, t, h, dh)).astype(np.float32)
+    pool_k = rng.standard_normal((pages, kvh, page, dh)).astype(np.float32)
+    pool_v = rng.standard_normal((pages, kvh, page, dh)).astype(np.float32)
+    # each row owns maxp distinct pages, scattered through the pool
+    table = np.stack(
+        [rng.permutation(pages)[:maxp] for _ in range(b)]
+    ).astype(np.int32)
+    pos = rng.integers(0, maxp * page - t, size=(b,)).astype(np.int32)
+    return (
+        jnp.asarray(q), jnp.asarray(pool_k), jnp.asarray(pool_v),
+        jnp.asarray(table), jnp.asarray(pos),
+    )
+
+
+def _dense_oracle(q, pool_k, pool_v, table, pos):
+    """Plain numpy softmax-attention over the gathered pages."""
+    q, pool_k, pool_v, table, pos = map(np.asarray, (q, pool_k, pool_v, table, pos))
+    b, t, h, dh = q.shape
+    _, kvh, page, _ = pool_k.shape
+    maxp = table.shape[1]
+    c = maxp * page
+    group = h // kvh
+    out = np.zeros_like(q)
+    for bi in range(b):
+        k = pool_k[table[bi]].transpose(1, 0, 2, 3).reshape(kvh, c, dh)
+        v = pool_v[table[bi]].transpose(1, 0, 2, 3).reshape(kvh, c, dh)
+        for ti in range(t):
+            for hi in range(h):
+                kv = hi // group
+                logits = (k[kv] @ q[bi, ti, hi]) / np.sqrt(dh)
+                logits[np.arange(c) > pos[bi] + ti] = -1e9
+                p = np.exp(logits - logits.max())
+                p /= p.sum()
+                out[bi, ti, hi] = p @ v[kv]
+    return out
+
+
+def test_xla_reference_matches_dense_oracle():
+    args = _setup()
+    got = np.asarray(paged_attention_xla(*args))
+    want = _dense_oracle(*args)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("t", [1, 4])
+def test_kernel_interpret_matches_reference(t):
+    args = _setup(t=t, seed=t)
+    got = np.asarray(paged_attention(*args, interpret=True))
+    want = np.asarray(paged_attention_xla(*args))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+
+def test_kernel_scattered_pages_and_row_divergence():
+    """Rows with different positions and wildly different page layouts:
+    the walk must follow each row's own table."""
+    args = _setup(b=3, t=2, pages=32, maxp=6, seed=7)
+    got = np.asarray(paged_attention(*args, interpret=True))
+    want = np.asarray(paged_attention_xla(*args))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+
+def test_pos_zero_attends_single_slot():
+    q, pool_k, pool_v, table, _ = _setup(b=1, t=1)
+    pos = jnp.zeros((1,), jnp.int32)
+    got = np.asarray(paged_attention(q, pool_k, pool_v, table, pos, interpret=True))
+    # only slot 0 of the first page visible -> output = its v row exactly
+    first_page = np.asarray(table)[0, 0]
+    v0 = np.asarray(pool_v)[first_page, :, 0, :]  # [KvH, Dh]
+    want = np.repeat(v0, 2, axis=0)  # group=2 query heads per kv head
+    np.testing.assert_allclose(got[0, 0], want, atol=2e-5)

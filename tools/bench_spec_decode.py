@@ -115,12 +115,18 @@ def main() -> None:
         while made < new_tokens:
             if name == "plain":
                 toks, cache, tok, pos = plain(params, cache, tok, pos, key)
+                # fetch the chunk like the serving provider does (it must
+                # stream the text): every variant pays one host sync per
+                # chunk, so the comparison prices speculation itself, not
+                # sync asymmetry
+                np.asarray(toks)
                 made += steps
             else:
                 emitted, cnt, cache, buf, tok, pos = spec[name == "ceiling"](
                     params, cache, buf, tok, pos, key
                 )
-                n = int(cnt[0])  # blocks on the device step
+                np.asarray(emitted)
+                n = int(cnt[0])
                 if n == 0:
                     break
                 made += n
