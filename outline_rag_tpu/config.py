@@ -257,6 +257,11 @@ class Settings:
     # answers quote retrieved context, so acceptance is high)
     decoder_spec_k: int = 0
     decoder_spec_gram: int = 3  # n-gram width of the draft lookup
+    # >0 -> the continuous batcher's KV lives in a shared pool of this
+    # many pages (paged attention): HBM scales with live sequence
+    # lengths, admission waits for pages instead of reserving worst case
+    decoder_kv_pages: int = 0
+    decoder_page_size: int = 128
     query_batch_window_ms: float = 4.0
     query_batch_max: int = 32
     lex_weight: float = 0.0  # >0 blends BGE-m3 lexical overlap into retrieval
@@ -382,6 +387,8 @@ def load_settings(env: dict[str, str] | None = None) -> Settings:
         decoder_int8=_env_bool("DECODER_INT8", False),
         decoder_spec_k=_env_int("DECODER_SPEC_K", 0),
         decoder_spec_gram=_env_int("DECODER_SPEC_GRAM", 3),
+        decoder_kv_pages=_env_int("DECODER_KV_PAGES", 0),
+        decoder_page_size=_env_int("DECODER_PAGE_SIZE", 128),
         query_batch_window_ms=_env_float("QUERY_BATCH_WINDOW_MS", 4.0),
         query_batch_max=_env_int("QUERY_BATCH_MAX", 32),
         lex_weight=_env_float("LEX_WEIGHT", 0.0),

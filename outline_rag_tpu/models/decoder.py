@@ -344,62 +344,135 @@ def init_cache(cfg: DecoderConfig, batch: int) -> tuple[jax.Array, jax.Array]:
     return jnp.zeros(shape, cfg.dtype), jnp.zeros(shape, cfg.dtype)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PagedKV:
+    """Paged KV cache: a shared pool of fixed-size pages + per-row page
+    tables (``ops/paged_attention.py``). HBM is allocated by actual
+    sequence length instead of ``batch x max_cache`` — the batcher's
+    allocator (``serve/decode_batcher.py``) grants pages per request and
+    reclaims them at finish. Page 0 is reserved as the scratch target of
+    inactive rows (their forwards still write; the scratch page absorbs
+    the garbage so reclaimed pages are never corrupted).
+
+    ``k``/``v``: [L, P, KvH, page, Dh]; ``table``: [B, MAXP] int32 —
+    row b's absolute positions [i*page, (i+1)*page) live in pool page
+    ``table[b, i]``. Effective per-row capacity is MAXP * page, which
+    callers must keep <= cfg.max_cache (the position-guard contract of
+    the generation loops).
+    """
+
+    k: jax.Array
+    v: jax.Array
+    table: jax.Array
+
+    @property
+    def page(self) -> int:
+        return self.k.shape[3]
+
+
+def init_paged_cache(
+    cfg: DecoderConfig, batch: int, pages: int, page_size: int = 128
+) -> PagedKV:
+    maxp = cfg.max_cache // page_size
+    shape = (cfg.layers, pages, cfg.kv_heads, page_size, cfg.hd)
+    return PagedKV(
+        k=jnp.zeros(shape, cfg.dtype),
+        v=jnp.zeros(shape, cfg.dtype),
+        table=jnp.zeros((batch, maxp), jnp.int32),
+    )
+
+
 def decoder_forward(
     params: Params,  # stacked (see stack_decoder_params)
     tokens: jax.Array,  # [B, T] int32 — new tokens
-    cache: tuple[jax.Array, jax.Array],  # KV ring [L, B, KvH, C, Dh]
+    cache,  # KV ring tuple [L, B, KvH, C, Dh] or PagedKV
     start_pos: jax.Array,  # [B] int32 — absolute position of tokens[:, 0]
     cfg: DecoderConfig,
-) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
+):
     """Run T tokens (prefill T>1, decode T=1) against the cache.
 
-    Returns (logits [B, T, V] f32, updated cache). Causality: token i may
-    attend to all cache slots < start+i+1; cache slots beyond the current
-    length are masked by position.
+    Returns (logits [B, T, V] f32, updated cache — same form as passed).
+    Causality: token i may attend to all cache slots < start+i+1; cache
+    slots beyond the current length are masked by position. With a
+    :class:`PagedKV` cache the slots live in pooled pages addressed
+    through the page table and attention runs the page-walk kernel.
     """
     dt = cfg.dtype
     b, t = tokens.shape
-    c = cfg.max_cache
     x = jnp.take(params["embed"], tokens, axis=0).astype(dt)
     positions = start_pos[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+    paged = isinstance(cache, PagedKV)
 
-    # attention bias [B, T, C]: slot j visible to token i iff j <= pos_i
-    slot = jnp.arange(c, dtype=jnp.int32)
-    mask = slot[None, None, :] <= positions[:, :, None]
-    mask_bias = jnp.where(mask, 0.0, -1e9).astype(jnp.float32)
+    if paged:
+        from outline_rag_tpu.ops.paged_attention import paged_attention
 
-    k_ring, v_ring = cache
+        s_pg = cache.page
+        table = cache.table
+        # scatter targets for the T new tokens of every row
+        w_pages = jnp.take_along_axis(
+            table, positions // s_pg, axis=1
+        )  # [B, T]
+        w_offs = positions % s_pg
 
-    def body(carry, inputs):
-        x = carry
-        layer, k_layer, v_layer = inputs
-        h = _rms_norm(x, layer["ln1"], cfg.norm_eps)
-        q, k_new, v_new = _qkv(h, layer, positions, cfg)
-        # write the T new entries at start_pos (per batch row)
-        def write(ring, new):
-            # ring [B, KvH, C, Dh]; new [B, T, KvH, Dh]
-            def one(ring_b, new_b, pos0):
-                return jax.lax.dynamic_update_slice(
-                    ring_b, new_b.transpose(1, 0, 2), (0, pos0, 0)
-                )
+        def body(carry, inputs):
+            x = carry
+            layer, k_pool, v_pool = inputs
+            h = _rms_norm(x, layer["ln1"], cfg.norm_eps)
+            q, k_new, v_new = _qkv(h, layer, positions, cfg)
+            # pool [P, KvH, S, Dh]; advanced-index scatter at
+            # (page, :, offset) — in-place under donation
+            k_pool = k_pool.at[w_pages, :, w_offs, :].set(k_new.astype(dt))
+            v_pool = v_pool.at[w_pages, :, w_offs, :].set(v_new.astype(dt))
+            ctx = paged_attention(q, k_pool, v_pool, table, start_pos)
+            x = x + _mm(ctx.reshape(b, t, -1), layer["wo"], dt)
+            h2 = _rms_norm(x, layer["ln2"], cfg.norm_eps)
+            x = x + _mlp(h2, layer, cfg)
+            return x, (k_pool, v_pool)
 
-            return jax.vmap(one)(ring, new, start_pos)
+        layers = params["layers"]
+        x, (k_pool, v_pool) = jax.lax.scan(body, x, (layers, cache.k, cache.v))
+        out_cache = PagedKV(k=k_pool, v=v_pool, table=table)
+    else:
+        c = cfg.max_cache
+        # attention bias [B, T, C]: slot j visible to token i iff j <= pos_i
+        slot = jnp.arange(c, dtype=jnp.int32)
+        mask = slot[None, None, :] <= positions[:, :, None]
+        mask_bias = jnp.where(mask, 0.0, -1e9).astype(jnp.float32)
 
-        k_layer = write(k_layer, k_new.astype(dt))
-        v_layer = write(v_layer, v_new.astype(dt))
-        x = x + _attn_out(q, (k_layer, v_layer), mask_bias, layer, cfg)
-        h2 = _rms_norm(x, layer["ln2"], cfg.norm_eps)
-        x = x + _mlp(h2, layer, cfg)
-        return x, (k_layer, v_layer)
+        k_ring, v_ring = cache
 
-    layers = params["layers"]
-    x, (k_ring, v_ring) = jax.lax.scan(body, x, (layers, k_ring, v_ring))
+        def body(carry, inputs):
+            x = carry
+            layer, k_layer, v_layer = inputs
+            h = _rms_norm(x, layer["ln1"], cfg.norm_eps)
+            q, k_new, v_new = _qkv(h, layer, positions, cfg)
+            # write the T new entries at start_pos (per batch row)
+            def write(ring, new):
+                # ring [B, KvH, C, Dh]; new [B, T, KvH, Dh]
+                def one(ring_b, new_b, pos0):
+                    return jax.lax.dynamic_update_slice(
+                        ring_b, new_b.transpose(1, 0, 2), (0, pos0, 0)
+                    )
+
+                return jax.vmap(one)(ring, new, start_pos)
+
+            k_layer = write(k_layer, k_new.astype(dt))
+            v_layer = write(v_layer, v_new.astype(dt))
+            x = x + _attn_out(q, (k_layer, v_layer), mask_bias, layer, cfg)
+            h2 = _rms_norm(x, layer["ln2"], cfg.norm_eps)
+            x = x + _mlp(h2, layer, cfg)
+            return x, (k_layer, v_layer)
+
+        layers = params["layers"]
+        x, (k_ring, v_ring) = jax.lax.scan(body, x, (layers, k_ring, v_ring))
+        out_cache = (k_ring, v_ring)
     x = _rms_norm(x, params["final_norm"], cfg.norm_eps)
     head = params.get("lm_head")
     if head is None:
         head = params["embed"].T
     logits = _mm(x, head, dt).astype(jnp.float32)
-    return logits, (k_ring, v_ring)
+    return logits, out_cache
 
 
 # ---------------------------------------------------------------------------

@@ -195,6 +195,8 @@ def build_app(
                     int8_weights=settings.decoder_int8,
                     spec_k=settings.decoder_spec_k,
                     spec_gram=settings.decoder_spec_gram,
+                    kv_pages=settings.decoder_kv_pages,
+                    page_size=settings.decoder_page_size,
                 )
             except Exception as exc:
                 # An explicitly configured local decoder that fails to load

@@ -53,6 +53,8 @@ class DecodeBatcher:
         prompt_buckets: tuple = (64, 128, 256, 512, 1024, 2048),
         spec_k: int = 0,  # >0 -> prompt-lookup speculative steps
         spec_gram: int = 3,
+        kv_pages: int = 0,  # >0 -> paged KV pool of this many pages
+        page_size: int = 128,
     ):
         import functools
 
@@ -63,6 +65,7 @@ class DecodeBatcher:
             decoder_forward,
             generate_chunk_spec,
             init_cache,
+            init_paged_cache,
             sample_token,
         )
 
@@ -76,7 +79,50 @@ class DecodeBatcher:
             b for b in prompt_buckets if b <= cfg.max_cache
         ) or (cfg.max_cache,)
 
-        self.cache = init_cache(cfg, slots)
+        # paged-KV mode (ops/paged_attention.py): slots share a pool of
+        # kv_pages fixed-size pages, allocated per request by actual
+        # prompt+max_new need and reclaimed at finish — HBM scales with
+        # live sequence lengths, not slots x max_cache. Page 0 is the
+        # reserved scratch target of inactive rows. Admission applies
+        # backpressure: a request that cannot get its pages waits (in
+        # order) until a finishing request frees them.
+        self.page_size = page_size
+        self.kv_pages = int(kv_pages)
+        self._held: _Request | None = None
+        if self.kv_pages > 0:
+            self.cache = init_paged_cache(cfg, slots, self.kv_pages, page_size)
+            self._maxp = cfg.max_cache // page_size
+            self._free_pages = list(range(self.kv_pages - 1, 0, -1))
+            self._row_pages: list[list[int]] = [[] for _ in range(slots)]
+
+            def set_table_row(cache, row_table, row):
+                table = jax.lax.dynamic_update_slice(
+                    cache.table, row_table[None, :], (row, 0)
+                )
+                return dataclasses.replace(cache, table=table)
+
+            self._set_table_row = jax.jit(set_table_row)
+
+            def copy_page(cache, ring_k, ring_v, pg, src_off):
+                # ring [L, 1, KvH, C, Dh] -> pool page [L, pg, KvH, S, Dh]
+                l, _, kvh, _, dh = ring_k.shape
+                blk_k = jax.lax.dynamic_slice(
+                    ring_k, (0, 0, 0, src_off, 0), (l, 1, kvh, page_size, dh)
+                )[:, 0]  # [L, KvH, S, Dh]
+                blk_v = jax.lax.dynamic_slice(
+                    ring_v, (0, 0, 0, src_off, 0), (l, 1, kvh, page_size, dh)
+                )[:, 0]
+                k = jax.lax.dynamic_update_slice(
+                    cache.k, blk_k[:, None], (0, pg, 0, 0, 0)
+                )
+                v = jax.lax.dynamic_update_slice(
+                    cache.v, blk_v[:, None], (0, pg, 0, 0, 0)
+                )
+                return dataclasses.replace(cache, k=k, v=v)
+
+            self._copy_page = jax.jit(copy_page)
+        else:
+            self.cache = init_cache(cfg, slots)
         self._init_row_cache = functools.partial(init_cache, cfg, 1)
         self.tok = np.zeros((slots,), np.int32)
         self.pos = np.zeros((slots,), np.int32)
@@ -189,6 +235,9 @@ class DecodeBatcher:
         self._stop = True
         self._wake.set()
         self._thread.join(timeout=10)
+        if self._held is not None:
+            self._held.out.put(DONE)
+            self._held = None
         for row, req in enumerate(self.active):
             if req is not None:
                 self.active[row] = None
@@ -207,12 +256,24 @@ class DecodeBatcher:
                 return i
         return None
 
-    def _admit(self, req: _Request, row: int) -> None:
+    def _admit(self, req: _Request, row: int) -> bool:
+        """Admit ``req`` into slot ``row``. Returns False when the paged
+        pool cannot supply the request's pages yet (backpressure: the
+        caller holds the request until a finish frees pages)."""
         jnp = self._jnp
         jax = self._jax
         from outline_rag_tpu.models.decoder import sample_token
 
         t = len(req.prompt_ids)
+        pages: list[int] = []
+        if self.kv_pages > 0:
+            # worst-case pages for prompt + generation (+ the speculative
+            # write window), so the row can never starve mid-flight
+            span = t + req.max_new + 1 + self.spec_k
+            need = min(-(-span // self.page_size), self._maxp)
+            if len(self._free_pages) < need:
+                return False
+            pages = [self._free_pages.pop() for _ in range(need)]
         bucket = next(
             (b for b in self.prompt_buckets if b >= t), self.prompt_buckets[-1]
         )
@@ -229,9 +290,26 @@ class DecodeBatcher:
         )
         first_id = int(first[0])
         if first_id == self.eos_id or req.max_new < 1:
+            if pages:
+                self._free_pages.extend(reversed(pages))
             req.out.put(DONE)
-            return
-        self.cache = self._insert(self.cache, row_cache, row)
+            return True
+        if self.kv_pages > 0:
+            self._row_pages[row] = pages
+            row_table = np.zeros((self._maxp,), np.int32)
+            row_table[: len(pages)] = pages
+            self.cache = self._set_table_row(
+                self.cache, jnp.asarray(row_table), jnp.int32(row)
+            )
+            # copy the prefilled ring KV into the row's prompt pages
+            n_prompt = -(-t // self.page_size)
+            for i in range(n_prompt):
+                self.cache = self._copy_page(
+                    self.cache, row_cache[0], row_cache[1],
+                    jnp.int32(pages[i]), jnp.int32(i * self.page_size),
+                )
+        else:
+            self.cache = self._insert(self.cache, row_cache, row)
         if self.tok_buf is not None:
             row_buf = np.zeros((1, self.cfg.max_cache), np.int32)
             row_buf[0, :t] = req.prompt_ids
@@ -245,10 +323,22 @@ class DecodeBatcher:
         self.active[row] = req
         self.produced[row] = 1
         req.out.put([first_id])
+        return True
 
     def _finish(self, row: int) -> None:
         req = self.active[row]
         self.active[row] = None
+        if self.kv_pages > 0 and self._row_pages[row]:
+            # reclaim the row's pages; point its table at the scratch
+            # page 0 so the (still-running) row's garbage writes can
+            # never land in a reallocated page
+            self._free_pages.extend(reversed(self._row_pages[row]))
+            self._row_pages[row] = []
+            self.cache = self._set_table_row(
+                self.cache,
+                self._jnp.zeros((self._maxp,), self._jnp.int32),
+                self._jnp.int32(row),
+            )
         if req is not None:
             req.out.put(DONE)
 
@@ -257,17 +347,24 @@ class DecodeBatcher:
         jax = self._jax
 
         while not self._stop:
-            # admit pending requests into free slots
+            # admit pending requests into free slots (in order; a request
+            # the paged pool cannot serve yet is held, blocking later
+            # ones, until a finishing request frees pages)
             while True:
                 row = self._free_slot()
                 if row is None:
                     break
+                if self._held is not None:
+                    req, self._held = self._held, None
+                else:
+                    try:
+                        req = self.pending.get_nowait()
+                    except queue.Empty:
+                        break
                 try:
-                    req = self.pending.get_nowait()
-                except queue.Empty:
-                    break
-                try:
-                    self._admit(req, row)
+                    if not self._admit(req, row):
+                        self._held = req
+                        break
                 except Exception as e:  # surface failures to the caller
                     req.out.put(e)
                     req.out.put(DONE)
@@ -342,6 +439,10 @@ class DecodeBatcher:
 
     def _die(self, exc: Exception) -> None:
         self.dead = exc
+        if self._held is not None:
+            self._held.out.put(exc)
+            self._held.out.put(DONE)
+            self._held = None
         for row, req in enumerate(self.active):
             if req is not None:
                 self.active[row] = None

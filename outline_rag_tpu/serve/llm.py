@@ -209,6 +209,8 @@ class LocalChatProvider:
         int8_weights: bool = False,  # halve decode HBM traffic (DECODER_INT8)
         spec_k: int = 0,  # >0 -> prompt-lookup speculative decoding
         spec_gram: int = 3,
+        kv_pages: int = 0,  # >0 -> paged KV pool for the batcher
+        page_size: int = 128,
     ):
         import functools
 
@@ -288,6 +290,8 @@ class LocalChatProvider:
                 prompt_buckets=self.prompt_buckets,
                 spec_k=self.spec_k,
                 spec_gram=int(spec_gram),
+                kv_pages=int(kv_pages),
+                page_size=int(page_size),
             )
 
     # -- prompt rendering -------------------------------------------------

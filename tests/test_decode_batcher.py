@@ -251,3 +251,77 @@ def test_spec_batcher_staggered_admission(setup):
     assert collect(qb) == solo_greedy(cfg, params, [77, 78], 10)
     assert collect(qc) == solo_greedy(cfg, params, [200, 201, 202, 203], 10)
     batcher.close()
+
+
+def test_paged_batcher_greedy_matches_solo(setup):
+    """Paged-KV batcher (kv_pages>0): page-table indirection + pooled
+    storage must not change a single token vs solo ring decoding."""
+    cfg, params = setup  # tiny: max_cache=64
+    from outline_rag_tpu.models.decoder import (
+        cast_decoder_params,
+        stack_decoder_params,
+    )
+
+    stacked = stack_decoder_params(cast_decoder_params(params, cfg.dtype))
+    batcher = DecodeBatcher(
+        stacked, cfg, slots=3, chunk_tokens=4, eos_id=0,
+        kv_pages=16, page_size=16,
+    )
+    prompts = [
+        [5, 9, 13, 2, 7],
+        [100, 101, 102],
+        [40, 41, 42, 43, 44, 45, 46],
+    ]
+    queues = [batcher.submit(p, 0.0, 1.0, 12) for p in prompts]
+    got = [collect(q) for q in queues]
+    for p, g in zip(prompts, got):
+        assert g == solo_greedy(cfg, params, p, 12), (p, g)
+    batcher.close()
+
+
+def test_paged_batcher_backpressure_and_reuse(setup):
+    """A pool too small for all requests at once: the third request is
+    held until a finish frees its pages, then completes correctly on
+    reused pages."""
+    cfg, params = setup
+    from outline_rag_tpu.models.decoder import (
+        cast_decoder_params,
+        stack_decoder_params,
+    )
+
+    stacked = stack_decoder_params(cast_decoder_params(params, cfg.dtype))
+    # each request needs ceil((len+12+1)/16) = 2 pages; pool has page 0
+    # reserved + 4 allocatable -> two concurrent requests max
+    batcher = DecodeBatcher(
+        stacked, cfg, slots=3, chunk_tokens=4, eos_id=0,
+        kv_pages=5, page_size=16,
+    )
+    prompts = [[5, 9, 13], [77, 78, 79], [200, 201, 202, 203]]
+    queues = [batcher.submit(p, 0.0, 1.0, 12) for p in prompts]
+    got = [collect(q) for q in queues]
+    for p, g in zip(prompts, got):
+        assert g == solo_greedy(cfg, params, p, 12), (p, g)
+    # all pages reclaimed after the last finish
+    assert len(batcher._free_pages) == 4
+    batcher.close()
+
+
+def test_paged_spec_batcher_greedy_matches_solo(setup):
+    """Paging composes with speculation (page-table writes + drafts)."""
+    cfg, params = setup
+    from outline_rag_tpu.models.decoder import (
+        cast_decoder_params,
+        stack_decoder_params,
+    )
+
+    stacked = stack_decoder_params(cast_decoder_params(params, cfg.dtype))
+    batcher = DecodeBatcher(
+        stacked, cfg, slots=2, chunk_tokens=4, eos_id=0,
+        kv_pages=8, page_size=16, spec_k=2, spec_gram=2,
+    )
+    prompts = [[5, 9, 13, 5, 9, 13], [100, 101, 102]]
+    queues = [batcher.submit(p, 0.0, 1.0, 10) for p in prompts]
+    got = [collect(q) for q in queues]
+    for p, g in zip(prompts, got):
+        assert g == solo_greedy(cfg, params, p, 10), (p, g)
+    batcher.close()

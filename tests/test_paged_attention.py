@@ -84,3 +84,84 @@ def test_pos_zero_attends_single_slot():
     v0 = np.asarray(pool_v)[first_page, :, 0, :]  # [KvH, Dh]
     want = np.repeat(v0, 2, axis=0)  # group=2 query heads per kv head
     np.testing.assert_allclose(got[0, 0], want, atol=2e-5)
+
+
+def test_decoder_forward_paged_matches_ring():
+    """Same tokens through a ring cache and a paged cache (pages
+    scattered through the pool): identical logits, and incremental
+    decoding through the paged cache matches prefill."""
+    from outline_rag_tpu.models.decoder import (
+        DecoderConfig,
+        PagedKV,
+        decoder_forward,
+        init_cache,
+        init_decoder_params,
+        init_paged_cache,
+        stack_decoder_params,
+    )
+
+    cfg = DecoderConfig.tiny()  # max_cache=64
+    params = stack_decoder_params(init_decoder_params(jax.random.key(0), cfg))
+    b, t = 2, 10
+    toks = jax.random.randint(jax.random.key(1), (b, t), 0, cfg.vocab_size)
+    zero = jnp.zeros((b,), jnp.int32)
+
+    want, _ = decoder_forward(params, toks, init_cache(cfg, b), zero, cfg)
+
+    page = 16
+    paged = init_paged_cache(cfg, b, pages=12, page_size=page)  # maxp=4
+    # disjoint, non-contiguous page assignment per row (page 0 reserved)
+    table = jnp.asarray([[3, 1, 7, 5], [2, 9, 4, 11]], jnp.int32)
+    paged = PagedKV(k=paged.k, v=paged.v, table=table)
+    got, paged = decoder_forward(params, toks, paged, zero, cfg)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4
+    )
+
+    # continue decoding one token at a time through the paged cache
+    ring = init_cache(cfg, b)
+    _, ring = decoder_forward(params, toks, ring, zero, cfg)
+    nxt = jnp.argmax(want[:, -1], axis=-1).astype(jnp.int32)
+    for i in range(4):
+        posv = jnp.full((b,), t + i, jnp.int32)
+        lw, ring = decoder_forward(params, nxt[:, None], ring, posv, cfg)
+        lg, paged = decoder_forward(params, nxt[:, None], paged, posv, cfg)
+        np.testing.assert_allclose(
+            np.asarray(lg), np.asarray(lw), atol=2e-4, rtol=2e-4
+        )
+        nxt = jnp.argmax(lg[:, -1], axis=-1).astype(jnp.int32)
+
+
+def test_generate_chunk_paged_greedy_matches_ring():
+    """Device-side chunked generation is cache-form agnostic."""
+    from outline_rag_tpu.models.decoder import (
+        DecoderConfig,
+        PagedKV,
+        decoder_forward,
+        generate_chunk,
+        init_cache,
+        init_decoder_params,
+        init_paged_cache,
+        stack_decoder_params,
+    )
+
+    cfg = DecoderConfig.tiny()
+    params = stack_decoder_params(init_decoder_params(jax.random.key(0), cfg))
+    prompt = jax.random.randint(jax.random.key(2), (1, 5), 0, cfg.vocab_size)
+    zero = jnp.zeros((1,), jnp.int32)
+
+    def gen(cache):
+        lg, cache = decoder_forward(params, prompt, cache, zero, cfg)
+        first = jnp.argmax(lg[:, -1], axis=-1).astype(jnp.int32)
+        toks, *_ = generate_chunk(
+            params, cache, first, jnp.full((1,), 5, jnp.int32),
+            jax.random.key(0), cfg, n_steps=8, temperature=0.0,
+            top_p=1.0, eos_id=-1,
+        )
+        return [int(first[0])] + np.asarray(toks)[0].tolist()
+
+    ring_out = gen(init_cache(cfg, 1))
+    paged = init_paged_cache(cfg, 1, pages=6, page_size=16)
+    paged = PagedKV(k=paged.k, v=paged.v,
+                    table=jnp.asarray([[4, 2, 5, 1]], jnp.int32))
+    assert gen(paged) == ring_out
