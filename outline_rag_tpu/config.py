@@ -262,6 +262,9 @@ class Settings:
     # lengths, admission waits for pages instead of reserving worst case
     decoder_kv_pages: int = 0
     decoder_page_size: int = 128
+    # paged mode: content-address full prompt pages and share them across
+    # requests (automatic prefix caching; exact — warm == cold bit-wise)
+    decoder_prefix_cache: bool = True
     query_batch_window_ms: float = 4.0
     query_batch_max: int = 32
     lex_weight: float = 0.0  # >0 blends BGE-m3 lexical overlap into retrieval
@@ -389,6 +392,7 @@ def load_settings(env: dict[str, str] | None = None) -> Settings:
         decoder_spec_gram=_env_int("DECODER_SPEC_GRAM", 3),
         decoder_kv_pages=_env_int("DECODER_KV_PAGES", 0),
         decoder_page_size=_env_int("DECODER_PAGE_SIZE", 128),
+        decoder_prefix_cache=_env_bool("DECODER_PREFIX_CACHE", True),
         query_batch_window_ms=_env_float("QUERY_BATCH_WINDOW_MS", 4.0),
         query_batch_max=_env_int("QUERY_BATCH_MAX", 32),
         lex_weight=_env_float("LEX_WEIGHT", 0.0),

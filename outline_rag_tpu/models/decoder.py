@@ -409,9 +409,18 @@ def decoder_forward(
 
         s_pg = cache.page
         table = cache.table
-        # scatter targets for the T new tokens of every row
-        w_pages = jnp.take_along_axis(
-            table, positions // s_pg, axis=1
+        maxp = table.shape[1]
+        # scatter targets for the T new tokens of every row; positions at
+        # or past capacity (padded prefill tails) go to scratch page 0 —
+        # without the guard take_along_axis clamps to the LAST table
+        # entry and garbage lands in the row's final live page
+        page_idx = positions // s_pg
+        w_pages = jnp.where(
+            page_idx < maxp,
+            jnp.take_along_axis(
+                table, jnp.minimum(page_idx, maxp - 1), axis=1
+            ),
+            0,
         )  # [B, T]
         w_offs = positions % s_pg
 

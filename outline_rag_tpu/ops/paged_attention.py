@@ -102,35 +102,45 @@ def _paged_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0, 0]  # [GT, Dh]
-    k = k_ref[0, 0]  # [S, Dh]
-    s = jax.lax.dot_general(
-        q, k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale  # [GT, S]
+    # pages past the row's live length contribute nothing: the index map
+    # re-targets them at the last live page (no new DMA — consecutive
+    # identical block indices skip the copy) and compute is skipped here,
+    # so per-row cost tracks actual sequence length, not MAXP
+    last_live = (pos_ref[b] + t_len - 1) // page
 
-    # causal/validity mask from positions: row r is decode offset r % T,
-    # page pp covers absolute slots [pp*page, (pp+1)*page)
-    gt = s.shape[0]
-    row_t = jax.lax.broadcasted_iota(jnp.int32, (gt, page), 0) % t_len
-    slot = pp * page + jax.lax.broadcasted_iota(jnp.int32, (gt, page), 1)
-    allowed = slot <= pos_ref[b] + row_t
-    s = jnp.where(allowed, s, -1e9)
+    @pl.when(pp <= last_live)
+    def _accumulate():
+        q = q_ref[0, 0]  # [GT, Dh]
+        k = k_ref[0, 0]  # [S, Dh]
+        s = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [GT, S]
 
-    m_prev = m_scr[:, :1]
-    l_prev = l_scr[:, :1]
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)
-    l_scr[:] = (l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)) + jnp.zeros_like(l_scr)
-    pv = jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0, 0],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    acc_scr[:] = acc_scr[:] * alpha + pv
-    m_scr[:] = m_new + jnp.zeros_like(m_scr)
+        # causal/validity mask from positions: row r is decode offset
+        # r % T, page pp covers absolute slots [pp*page, (pp+1)*page)
+        gt = s.shape[0]
+        row_t = jax.lax.broadcasted_iota(jnp.int32, (gt, page), 0) % t_len
+        slot = pp * page + jax.lax.broadcasted_iota(jnp.int32, (gt, page), 1)
+        allowed = slot <= pos_ref[b] + row_t
+        s = jnp.where(allowed, s, -1e9)
+
+        m_prev = m_scr[:, :1]
+        l_prev = l_scr[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_scr[:] = (
+            l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        ) + jnp.zeros_like(l_scr)
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, 0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[:] = acc_scr[:] * alpha + pv
+        m_scr[:] = m_new + jnp.zeros_like(m_scr)
 
     @pl.when(pp == npg - 1)
     def _emit():
@@ -175,6 +185,14 @@ def paged_attention(
     kernel = functools.partial(
         _paged_kernel, scale=scale, t_len=t, page=s_pg
     )
+
+    def kv_index(bb, hh, pp, tbl, ps):
+        # dead pages (beyond the row's live length) re-target the last
+        # live page: same block index as the previous grid step, so
+        # Pallas skips the DMA and the kernel skips the compute
+        live = jnp.minimum(pp, (ps[bb] + t - 1) // s_pg)
+        return (tbl[bb, live], hh, 0, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, kvh, maxp),
@@ -182,14 +200,8 @@ def paged_attention(
             pl.BlockSpec(
                 (1, 1, gt, dh), lambda bb, hh, pp, tbl, ps: (bb, hh, 0, 0)
             ),
-            pl.BlockSpec(
-                (1, 1, s_pg, dh),
-                lambda bb, hh, pp, tbl, ps: (tbl[bb, pp], hh, 0, 0),
-            ),
-            pl.BlockSpec(
-                (1, 1, s_pg, dh),
-                lambda bb, hh, pp, tbl, ps: (tbl[bb, pp], hh, 0, 0),
-            ),
+            pl.BlockSpec((1, 1, s_pg, dh), kv_index),
+            pl.BlockSpec((1, 1, s_pg, dh), kv_index),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, gt, dh), lambda bb, hh, pp, tbl, ps: (bb, hh, 0, 0)

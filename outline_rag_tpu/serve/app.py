@@ -197,6 +197,7 @@ def build_app(
                     spec_gram=settings.decoder_spec_gram,
                     kv_pages=settings.decoder_kv_pages,
                     page_size=settings.decoder_page_size,
+                    prefix_cache=settings.decoder_prefix_cache,
                 )
             except Exception as exc:
                 # An explicitly configured local decoder that fails to load

@@ -18,6 +18,16 @@ Host side is a single worker thread (one chip = one writer) that:
           scatter it into the slot row (``dynamic_update_slice``),
   step:   run one chunked decode over the whole batch,
   emit:   push each active row's new token ids to its request queue.
+
+Paged mode (``kv_pages > 0``) replaces the per-slot rings with a shared
+page pool (``ops/paged_attention.py``): admission allocates pages by
+actual prompt+generation need, prefills the prompt *through the pages*
+in fixed-width chunks, and reclaims pages at finish. Full prompt pages
+are content-addressed (cumulative block hashes) and shared between
+requests with refcounts — vLLM's automatic prefix caching. Sharing is
+exact: per-position math is independent of chunk boundaries, so a warm
+admission is bit-identical to a cold one. Cached pages with no live
+user stay resident and are evicted LRU under pool pressure.
 """
 
 from __future__ import annotations
@@ -55,6 +65,8 @@ class DecodeBatcher:
         spec_gram: int = 3,
         kv_pages: int = 0,  # >0 -> paged KV pool of this many pages
         page_size: int = 128,
+        prefix_cache: bool = True,  # paged mode: share full prompt pages
+        prefill_chunk: int = 256,  # paged-prefill program width (tokens)
     ):
         import functools
 
@@ -62,6 +74,7 @@ class DecodeBatcher:
         import jax.numpy as jnp
 
         from outline_rag_tpu.models.decoder import (
+            PagedKV,
             decoder_forward,
             generate_chunk_spec,
             init_cache,
@@ -85,15 +98,39 @@ class DecodeBatcher:
         # live sequence lengths, not slots x max_cache. Page 0 is the
         # reserved scratch target of inactive rows. Admission applies
         # backpressure: a request that cannot get its pages waits (in
-        # order) until a finishing request frees them.
+        # order) until a finishing request frees them. With
+        # ``prefix_cache`` full prompt pages are content-addressed
+        # (cumulative block hash) and shared between requests with
+        # refcounts — repeated system/history prefixes skip their
+        # prefill entirely (vLLM's automatic prefix caching, paged-TPU
+        # form). Sharing is exact: warm and cold admissions run the
+        # same per-position math, so outputs are bit-identical.
         self.page_size = page_size
         self.kv_pages = int(kv_pages)
         self._held: _Request | None = None
+        self.prefix_hits = 0  # prompt pages served from cache (stats)
+        self.prefix_lookups = 0
         if self.kv_pages > 0:
             self.cache = init_paged_cache(cfg, slots, self.kv_pages, page_size)
             self._maxp = cfg.max_cache // page_size
+            if self.kv_pages < self._maxp + 1:
+                # page 0 is scratch; a max-length request needs maxp pages
+                # or admission could deadlock waiting on an empty batcher
+                raise ValueError(
+                    f"kv_pages={kv_pages} < max_cache/page_size+1 "
+                    f"({self._maxp + 1}): one full-length request must fit"
+                )
             self._free_pages = list(range(self.kv_pages - 1, 0, -1))
             self._row_pages: list[list[int]] = [[] for _ in range(slots)]
+            self._page_ref = [0] * self.kv_pages
+            self.prefix_cache = bool(prefix_cache)
+            # hash -> page, insertion-ordered (LRU: touched entries are
+            # re-inserted at the end); page -> hash for reverse lookup
+            self._prefix_map: dict[bytes, int] = {}
+            self._page_hash: dict[int, bytes] = {}
+            self._pfc = max(
+                page_size, min(int(prefill_chunk), cfg.max_cache)
+            )
 
             def set_table_row(cache, row_table, row):
                 table = jax.lax.dynamic_update_slice(
@@ -103,25 +140,17 @@ class DecodeBatcher:
 
             self._set_table_row = jax.jit(set_table_row)
 
-            def copy_page(cache, ring_k, ring_v, pg, src_off):
-                # ring [L, 1, KvH, C, Dh] -> pool page [L, pg, KvH, S, Dh]
-                l, _, kvh, _, dh = ring_k.shape
-                blk_k = jax.lax.dynamic_slice(
-                    ring_k, (0, 0, 0, src_off, 0), (l, 1, kvh, page_size, dh)
-                )[:, 0]  # [L, KvH, S, Dh]
-                blk_v = jax.lax.dynamic_slice(
-                    ring_v, (0, 0, 0, src_off, 0), (l, 1, kvh, page_size, dh)
-                )[:, 0]
-                k = jax.lax.dynamic_update_slice(
-                    cache.k, blk_k[:, None], (0, pg, 0, 0, 0)
-                )
-                v = jax.lax.dynamic_update_slice(
-                    cache.v, blk_v[:, None], (0, pg, 0, 0, 0)
-                )
-                return dataclasses.replace(cache, k=k, v=v)
+            def prefill_paged(p, pool_k, pool_v, row_table, toks, start):
+                # one-row paged prefill: writes land in the row's own
+                # pages via the table; attention walks shared prefix
+                # pages read-only (start > their span)
+                row = PagedKV(k=pool_k, v=pool_v, table=row_table[None])
+                logits, row = decoder_forward(p, toks, row, start[None], cfg)
+                return logits, row.k, row.v
 
-            self._copy_page = jax.jit(copy_page)
+            self._prefill_paged = jax.jit(prefill_paged)
         else:
+            self.prefix_cache = False
             self.cache = init_cache(cfg, slots)
         self._init_row_cache = functools.partial(init_cache, cfg, 1)
         self.tok = np.zeros((slots,), np.int32)
@@ -256,60 +285,24 @@ class DecodeBatcher:
                 return i
         return None
 
-    def _admit(self, req: _Request, row: int) -> bool:
-        """Admit ``req`` into slot ``row``. Returns False when the paged
-        pool cannot supply the request's pages yet (backpressure: the
-        caller holds the request until a finish frees pages)."""
-        jnp = self._jnp
-        jax = self._jax
+    def _sample_first(self, req: _Request, logits, offset: int) -> int:
+        jnp, jax = self._jnp, self._jax
         from outline_rag_tpu.models.decoder import sample_token
 
-        t = len(req.prompt_ids)
-        pages: list[int] = []
-        if self.kv_pages > 0:
-            # worst-case pages for prompt + generation (+ the speculative
-            # write window), so the row can never starve mid-flight
-            span = t + req.max_new + 1 + self.spec_k
-            need = min(-(-span // self.page_size), self._maxp)
-            if len(self._free_pages) < need:
-                return False
-            pages = [self._free_pages.pop() for _ in range(need)]
-        bucket = next(
-            (b for b in self.prompt_buckets if b >= t), self.prompt_buckets[-1]
+        key = jax.random.key(
+            req.seed or (abs(hash(tuple(req.prompt_ids))) % (2**31))
         )
-        padded = req.prompt_ids + [0] * (bucket - t)
-        logits, row_cache = self._prefill(
-            self.params, jnp.asarray([padded], jnp.int32), self._init_row_cache()
-        )
-        key = jax.random.key(req.seed or (abs(hash(tuple(req.prompt_ids))) % (2**31)))
         first = sample_token(
-            logits[:, t - 1, :],
+            logits[:, offset, :],
             key,
             jnp.full((1,), req.temperature, jnp.float32),
             jnp.full((1,), req.top_p, jnp.float32),
         )
-        first_id = int(first[0])
-        if first_id == self.eos_id or req.max_new < 1:
-            if pages:
-                self._free_pages.extend(reversed(pages))
-            req.out.put(DONE)
-            return True
-        if self.kv_pages > 0:
-            self._row_pages[row] = pages
-            row_table = np.zeros((self._maxp,), np.int32)
-            row_table[: len(pages)] = pages
-            self.cache = self._set_table_row(
-                self.cache, jnp.asarray(row_table), jnp.int32(row)
-            )
-            # copy the prefilled ring KV into the row's prompt pages
-            n_prompt = -(-t // self.page_size)
-            for i in range(n_prompt):
-                self.cache = self._copy_page(
-                    self.cache, row_cache[0], row_cache[1],
-                    jnp.int32(pages[i]), jnp.int32(i * self.page_size),
-                )
-        else:
-            self.cache = self._insert(self.cache, row_cache, row)
+        return int(first[0])
+
+    def _set_row_state(self, req: _Request, row: int, first_id: int) -> None:
+        jnp = self._jnp
+        t = len(req.prompt_ids)
         if self.tok_buf is not None:
             row_buf = np.zeros((1, self.cfg.max_cache), np.int32)
             row_buf[0, :t] = req.prompt_ids
@@ -323,16 +316,166 @@ class DecodeBatcher:
         self.active[row] = req
         self.produced[row] = 1
         req.out.put([first_id])
+
+    def _admit(self, req: _Request, row: int) -> bool:
+        """Admit ``req`` into slot ``row``. Returns False when the paged
+        pool cannot supply the request's pages yet (backpressure: the
+        caller holds the request until a finish frees pages)."""
+        if self.kv_pages > 0:
+            return self._admit_paged(req, row)
+        jnp = self._jnp
+        t = len(req.prompt_ids)
+        bucket = next(
+            (b for b in self.prompt_buckets if b >= t), self.prompt_buckets[-1]
+        )
+        padded = req.prompt_ids + [0] * (bucket - t)
+        logits, row_cache = self._prefill(
+            self.params, jnp.asarray([padded], jnp.int32), self._init_row_cache()
+        )
+        first_id = self._sample_first(req, logits, t - 1)
+        if first_id == self.eos_id or req.max_new < 1:
+            req.out.put(DONE)
+            return True
+        self.cache = self._insert(self.cache, row_cache, row)
+        self._set_row_state(req, row, first_id)
+        return True
+
+    # -- paged-pool bookkeeping (worker thread only) -----------------------
+
+    def _block_hashes(self, ids: list[int]) -> list[bytes]:
+        """Cumulative content hash per full page-size block: block i's
+        key commits to every token in [0, (i+1)*page_size)."""
+        import hashlib
+
+        s = self.page_size
+        hs: list[bytes] = []
+        prev = b""
+        for i in range(len(ids) // s):
+            m = hashlib.blake2b(prev, digest_size=16)
+            m.update(np.asarray(ids[i * s:(i + 1) * s], np.int32).tobytes())
+            prev = m.digest()
+            hs.append(prev)
+        return hs
+
+    def _evict_one(self) -> bool:
+        """Free the least-recently-used cached page with no live user."""
+        victim = None
+        for h, pg in self._prefix_map.items():
+            if self._page_ref[pg] == 0:
+                victim = (h, pg)
+                break
+        if victim is None:
+            return False
+        h, pg = victim
+        del self._prefix_map[h]
+        del self._page_hash[pg]
+        self._free_pages.append(pg)
+        return True
+
+    def _release_pages(self, pages: list[int]) -> None:
+        for pg in reversed(pages):
+            self._page_ref[pg] -= 1
+            if self._page_ref[pg] <= 0 and pg not in self._page_hash:
+                self._free_pages.append(pg)
+
+    def _register_prompt_pages(
+        self, hashes: list[bytes], pages: list[int], n_full: int
+    ) -> None:
+        """Content-address the request's full prompt pages so later
+        requests with the same prefix can share them. Generated tokens
+        are never cached (their pages mutate until finish)."""
+        if not self.prefix_cache:
+            return
+        for i in range(n_full):
+            h = hashes[i]
+            if h in self._prefix_map or pages[i] in self._page_hash:
+                continue
+            self._prefix_map[h] = pages[i]
+            self._page_hash[pages[i]] = h
+
+    def _admit_paged(self, req: _Request, row: int) -> bool:
+        jnp = self._jnp
+        s = self.page_size
+        t = len(req.prompt_ids)
+        hashes = self._block_hashes(req.prompt_ids) if self.prefix_cache else []
+
+        # longest cached chain of full prompt pages — capped so at least
+        # one suffix token remains to forward (its logits seed sampling)
+        shared: list[int] = []
+        for i in range(min(len(hashes), (t - 1) // s)):
+            pg = self._prefix_map.get(hashes[i])
+            if pg is None:
+                break
+            shared.append(pg)
+        # take refs up front: a ref-0 cached page we are about to share
+        # must not double as an eviction candidate below
+        for pg in shared:
+            self._page_ref[pg] += 1
+            h = self._page_hash[pg]  # LRU touch
+            self._prefix_map.pop(h)
+            self._prefix_map[h] = pg
+        self.prefix_lookups += 1
+        self.prefix_hits += len(shared)
+
+        # worst-case pages for prompt + generation (+ the speculative
+        # write window), so the row can never starve mid-flight
+        span = t + req.max_new + 1 + self.spec_k
+        need = min(-(-span // s), self._maxp)
+        fresh_needed = need - len(shared)
+        while len(self._free_pages) < fresh_needed:
+            if not self._evict_one():
+                for pg in shared:  # roll back; hold for backpressure
+                    self._page_ref[pg] -= 1
+                return False
+        fresh = [self._free_pages.pop() for _ in range(fresh_needed)]
+        for pg in fresh:
+            self._page_ref[pg] = 1
+        pages = shared + fresh
+
+        row_table = np.zeros((self._maxp,), np.int32)
+        row_table[: len(pages)] = pages
+        row_table_dev = jnp.asarray(row_table)
+
+        # chunked paged prefill of the uncached suffix; per-position math
+        # is chunk-boundary-independent, so warm == cold bit-exactly.
+        # Padded tail positions write to the scratch page (decoder guard).
+        start = len(shared) * s
+        pfc = self._pfc
+        logits = None
+        c0 = start
+        pool_k, pool_v = self.cache.k, self.cache.v
+        for c0 in range(start, t, pfc):
+            chunk = req.prompt_ids[c0:c0 + pfc]
+            chunk = chunk + [0] * (pfc - len(chunk))
+            logits, pool_k, pool_v = self._prefill_paged(
+                self.params, pool_k, pool_v, row_table_dev,
+                jnp.asarray([chunk], jnp.int32),
+                jnp.asarray(c0, jnp.int32),
+            )
+        self.cache = dataclasses.replace(self.cache, k=pool_k, v=pool_v)
+
+        first_id = self._sample_first(req, logits, (t - 1) - c0)
+        self._register_prompt_pages(hashes, pages, t // s)
+        if first_id == self.eos_id or req.max_new < 1:
+            self._release_pages(pages)
+            req.out.put(DONE)
+            return True
+        self._row_pages[row] = pages
+        self.cache = self._set_table_row(
+            self.cache, row_table_dev, jnp.int32(row)
+        )
+        self._set_row_state(req, row, first_id)
         return True
 
     def _finish(self, row: int) -> None:
         req = self.active[row]
         self.active[row] = None
         if self.kv_pages > 0 and self._row_pages[row]:
-            # reclaim the row's pages; point its table at the scratch
-            # page 0 so the (still-running) row's garbage writes can
-            # never land in a reallocated page
-            self._free_pages.extend(reversed(self._row_pages[row]))
+            # drop the row's refs (cached prefix pages stay resident for
+            # reuse until evicted); point its table at the scratch page 0
+            # so the (still-running) row's garbage writes can never land
+            # in a reallocated page
+            self._release_pages(self._row_pages[row])
             self._row_pages[row] = []
             self.cache = self._set_table_row(
                 self.cache,

@@ -211,6 +211,7 @@ class LocalChatProvider:
         spec_gram: int = 3,
         kv_pages: int = 0,  # >0 -> paged KV pool for the batcher
         page_size: int = 128,
+        prefix_cache: bool = True,  # paged mode: share repeated prompt prefixes
     ):
         import functools
 
@@ -292,6 +293,7 @@ class LocalChatProvider:
                 spec_gram=int(spec_gram),
                 kv_pages=int(kv_pages),
                 page_size=int(page_size),
+                prefix_cache=bool(prefix_cache),
             )
 
     # -- prompt rendering -------------------------------------------------

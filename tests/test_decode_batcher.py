@@ -325,3 +325,100 @@ def test_paged_spec_batcher_greedy_matches_solo(setup):
     for p, g in zip(prompts, got):
         assert g == solo_greedy(cfg, params, p, 10), (p, g)
     batcher.close()
+
+
+def test_prefix_cache_warm_equals_cold(setup):
+    """Automatic prefix caching: a request repeating an earlier prompt's
+    full pages skips their prefill yet produces bit-identical output,
+    including when only the prefix (not the whole prompt) matches."""
+    cfg, params = setup  # tiny: max_cache=64
+    from outline_rag_tpu.models.decoder import (
+        cast_decoder_params,
+        stack_decoder_params,
+    )
+
+    stacked = stack_decoder_params(cast_decoder_params(params, cfg.dtype))
+    prefix = [(7 * i) % 200 + 1 for i in range(16)]  # one full 16-token page
+    pa = prefix + [5, 9, 13, 2]
+    pc = prefix + [100, 101]  # same first page, different tail
+
+    def cold(p):
+        b = DecodeBatcher(
+            stacked, cfg, slots=2, chunk_tokens=4, eos_id=0,
+            kv_pages=16, page_size=16,
+        )
+        try:
+            return collect(b.submit(p, 0.0, 1.0, 10))
+        finally:
+            b.close()
+
+    batcher = DecodeBatcher(
+        stacked, cfg, slots=2, chunk_tokens=4, eos_id=0,
+        kv_pages=16, page_size=16,
+    )
+    try:
+        got_a = collect(batcher.submit(pa, 0.0, 1.0, 10))
+        assert batcher.prefix_hits == 0  # first sight: nothing to share
+        got_b = collect(batcher.submit(pa, 0.0, 1.0, 10))  # exact repeat
+        assert batcher.prefix_hits == 1
+        got_c = collect(batcher.submit(pc, 0.0, 1.0, 10))  # prefix repeat
+        assert batcher.prefix_hits == 2
+    finally:
+        batcher.close()
+    assert got_b == got_a
+    assert got_a == cold(pa)
+    assert got_c == cold(pc)
+
+
+def test_prefix_cache_eviction_under_pressure(setup):
+    """Cached ref-0 pages are reclaimed (LRU) when a new request needs
+    them; the evicted entries disappear and decoding stays correct."""
+    cfg, params = setup
+    from outline_rag_tpu.models.decoder import (
+        cast_decoder_params,
+        stack_decoder_params,
+    )
+
+    stacked = stack_decoder_params(cast_decoder_params(params, cfg.dtype))
+    # pool: page 0 scratch + 4 allocatable (= maxp, the minimum legal)
+    batcher = DecodeBatcher(
+        stacked, cfg, slots=2, chunk_tokens=4, eos_id=0,
+        kv_pages=5, page_size=16,
+    )
+    try:
+        prefix = [(3 * i) % 150 + 1 for i in range(16)]
+        collect(batcher.submit(prefix + [5], 0.0, 1.0, 8))
+        assert len(batcher._prefix_map) == 1  # block 0 cached, ref 0
+        # needs ceil((40+8+1)/16)=4 pages -> must evict the cached one
+        big = [(11 * i) % 150 + 1 for i in range(40)]
+        got = collect(batcher.submit(big, 0.0, 1.0, 8))
+        assert got == solo_greedy(cfg, params, big, 8)
+        # old entry evicted; the big prompt's own 2 full pages now cached
+        assert len(batcher._prefix_map) == 2
+        assert all(r == 0 for r in batcher._page_ref[1:])
+    finally:
+        batcher.close()
+
+
+def test_prefix_cache_disabled(setup):
+    """prefix_cache=False: no sharing, no registration, exact decoding."""
+    cfg, params = setup
+    from outline_rag_tpu.models.decoder import (
+        cast_decoder_params,
+        stack_decoder_params,
+    )
+
+    stacked = stack_decoder_params(cast_decoder_params(params, cfg.dtype))
+    batcher = DecodeBatcher(
+        stacked, cfg, slots=2, chunk_tokens=4, eos_id=0,
+        kv_pages=16, page_size=16, prefix_cache=False,
+    )
+    try:
+        p = [(7 * i) % 200 + 1 for i in range(20)]
+        a = collect(batcher.submit(p, 0.0, 1.0, 10))
+        b = collect(batcher.submit(p, 0.0, 1.0, 10))
+        assert a == b
+        assert batcher.prefix_hits == 0
+        assert not batcher._prefix_map
+    finally:
+        batcher.close()
