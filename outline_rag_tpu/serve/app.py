@@ -306,18 +306,19 @@ def build_app(
         user = current_user(req)
         if user is None:
             return Response.json({"error": "unauthorized"}, 401)
-        return Response.json(
-            {
-                "stages": m.snapshot(),
-                "index": {
-                    "size": index.size,
-                    "capacity": index._shard.capacity,
-                    "generation": index.generation,
-                    "dtype": index.dtype,
-                    "fused": retrieval.fused,
-                },
-            }
-        )
+        body = {
+            "stages": m.snapshot(),
+            "index": {
+                "size": index.size,
+                "capacity": index._shard.capacity,
+                "generation": index.generation,
+                "dtype": index.dtype,
+                "fused": retrieval.fused,
+            },
+        }
+        if hasattr(provider, "stats"):
+            body["decoder"] = provider.stats()
+        return Response.json(body)
 
     # -- views ----------------------------------------------------------
 

@@ -258,6 +258,38 @@ class DecodeBatcher:
             self._die(self.dead)
         return out
 
+    def stats(self) -> dict:
+        """Operational snapshot (reads are racy-but-harmless: ints)."""
+        out = {
+            "slots": self.slots,
+            "active": sum(1 for r in self.active if r is not None),
+            "queued": self.pending.qsize() + (1 if self._held else 0),
+            "mode": "paged" if self.kv_pages > 0 else "ring",
+        }
+        if self.kv_pages > 0:
+            out.update(
+                pages_total=self.kv_pages - 1,  # page 0 is scratch
+                pages_free=len(self._free_pages),
+                pages_cached=len(self._prefix_map),
+                prefix_hits=self.prefix_hits,
+                prefix_lookups=self.prefix_lookups,
+            )
+        return out
+
+    def flush_prefix_cache(self) -> None:
+        """Drop every cached prefix page with no live user (frees them
+        for reallocation). Pages still referenced by active rows keep
+        their cache entries. Only safe while no admission is in flight
+        (the worker owns these structures); meant for tests/benchmarks
+        and operator resets."""
+        if self.kv_pages <= 0:
+            return
+        for h, pg in list(self._prefix_map.items()):
+            if self._page_ref[pg] == 0:
+                del self._prefix_map[h]
+                del self._page_hash[pg]
+                self._free_pages.append(pg)
+
     def close(self) -> None:
         """Stop the worker; active and pending requests get DONE so no
         caller blocks forever on a dead batcher."""

@@ -296,6 +296,15 @@ class LocalChatProvider:
                 prefix_cache=bool(prefix_cache),
             )
 
+    def stats(self) -> dict:
+        """Decode-path operational stats for /chat/api/metrics."""
+        out = {"model": self.model_name}
+        if self._batcher is not None:
+            out.update(self._batcher.stats())
+        else:
+            out["mode"] = "single-stream"
+        return out
+
     # -- prompt rendering -------------------------------------------------
 
     def _render(self, messages: list[dict]) -> str:
