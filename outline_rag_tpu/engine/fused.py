@@ -309,6 +309,10 @@ class FusedEngine:
             colbert_weight > 0.0
             and index.tokens is not None
             and index.tokens.colbert is not None
+            # encoders without the colbert head degrade (scoring skips
+            # the term, same guard as _rescore_and_rerank) rather than
+            # KeyError-ing app startup
+            and "colbert" in embedder.params
         ):
             from outline_rag_tpu.models.encoder import colbert_projection
 

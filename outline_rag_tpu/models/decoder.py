@@ -374,6 +374,15 @@ class PagedKV:
 def init_paged_cache(
     cfg: DecoderConfig, batch: int, pages: int, page_size: int = 128
 ) -> PagedKV:
+    if cfg.max_cache % page_size:
+        # a remainder would silently shrink per-row capacity below
+        # max_cache while every position guard still assumes max_cache —
+        # tail tokens would write to scratch and attention would run
+        # with recent KV missing
+        raise ValueError(
+            f"max_cache={cfg.max_cache} not divisible by "
+            f"page_size={page_size}"
+        )
     maxp = cfg.max_cache // page_size
     shape = (cfg.layers, pages, cfg.kv_heads, page_size, cfg.hd)
     return PagedKV(
@@ -616,6 +625,7 @@ def generate_chunk_spec(
     eos_id: int,
     done0: jax.Array | None = None,  # [B] bool — rows to skip (batcher)
     force_accept: bool = False,
+    seeds: jax.Array | None = None,  # [B] int32 — per-row sampler streams
 ) -> tuple[
     jax.Array,
     jax.Array,
@@ -655,6 +665,13 @@ def generate_chunk_spec(
     out0 = jnp.zeros((b, n_steps * kk), jnp.int32)
     temp_b = jnp.broadcast_to(jnp.asarray(temperature, jnp.float32), (b,))
     tp_b = jnp.broadcast_to(jnp.asarray(top_p, jnp.float32), (b,))
+    # per-row base keys: mixed-request batches must not share randomness
+    # (identical prompts with different seeds would emit identical text);
+    # None keeps the single-stream convention key_at(key, q) bit-exact
+    if seeds is None:
+        base_rows = jnp.broadcast_to(key, (b,))
+    else:
+        base_rows = jax.vmap(lambda s: jax.random.fold_in(key, s))(seeds)
 
     def step(carry, _):
         cache, buf, tok, pos, done, out, cursor = carry
@@ -666,7 +683,9 @@ def generate_chunk_spec(
         window = jnp.concatenate([tok[:, None], drafts], axis=1)
         logits, cache = decoder_forward(params, window, cache, posf, cfg)
         sample_pos = posf[:, None] + 1 + offs[None, :]
-        keys = jax.vmap(jax.vmap(lambda p: key_at(key, p)))(sample_pos)
+        keys = jax.vmap(
+            lambda bk, ps: jax.vmap(lambda p: key_at(bk, p))(ps)
+        )(base_rows, sample_pos)
         e = jax.vmap(
             jax.vmap(_sample_one, in_axes=(0, 0, None, None)),
             in_axes=(0, 0, 0, 0),

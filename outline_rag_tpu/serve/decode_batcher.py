@@ -75,11 +75,12 @@ class DecodeBatcher:
 
         from outline_rag_tpu.models.decoder import (
             PagedKV,
+            _sample_one,
             decoder_forward,
             generate_chunk_spec,
             init_cache,
             init_paged_cache,
-            sample_token,
+            key_at,
         )
 
         self._jax, self._jnp = jax, jnp
@@ -138,7 +139,11 @@ class DecodeBatcher:
                 )
                 return dataclasses.replace(cache, table=table)
 
-            self._set_table_row = jax.jit(set_table_row)
+            # the pool is the dominant HBM tenant, so every program that
+            # threads it through donates it — without donation XLA keeps
+            # input + output copies alive (2x pool peak, copy bandwidth
+            # rivalling the attention itself)
+            self._set_table_row = jax.jit(set_table_row, donate_argnums=(0,))
 
             def prefill_paged(p, pool_k, pool_v, row_table, toks, start):
                 # one-row paged prefill: writes land in the row's own
@@ -148,7 +153,9 @@ class DecodeBatcher:
                 logits, row = decoder_forward(p, toks, row, start[None], cfg)
                 return logits, row.k, row.v
 
-            self._prefill_paged = jax.jit(prefill_paged)
+            self._prefill_paged = jax.jit(
+                prefill_paged, donate_argnums=(1, 2)
+            )
         else:
             self.prefix_cache = False
             self.cache = init_cache(cfg, slots)
@@ -163,7 +170,13 @@ class DecodeBatcher:
         self._wake = threading.Event()
         self._stop = False
         self.dead: Exception | None = None  # set when the worker crashes
-        self._key = jax.random.key(0)
+        # sampler convention (all batched paths): the token landing at
+        # absolute position q is sampled with key_at(fold_in(KEY0,
+        # row_seed), q) — per-request randomness (mixed batches never
+        # share streams), reproducible given (seed, prompt), and
+        # identical between the plain and speculative step programs
+        self.seed = np.zeros((slots,), np.int32)
+        self._key0 = jax.random.key(0)
 
         self._prefill = jax.jit(
             lambda p, toks, cache: decoder_forward(
@@ -180,28 +193,33 @@ class DecodeBatcher:
                 jax.lax.dynamic_update_slice(v, v1, idx),
             )
 
-        self._insert = jax.jit(insert)
+        self._insert = jax.jit(insert, donate_argnums=(0,))
 
-        def step_chunk(p, cache, tok, pos, key, temp, tp, active):
+        def step_chunk(p, cache, tok, pos, seeds, temp, tp, active):
             cap = cfg.max_cache - 2
+            base = jax.vmap(
+                lambda s: jax.random.fold_in(self._key0, s)
+            )(seeds)
 
-            def body(carry, k_step):
+            def body(carry, _):
                 cache, tok, pos, done = carry
                 logits, cache = decoder_forward(p, tok[:, None], cache, pos, cfg)
-                nxt = sample_token(logits[:, -1, :], k_step, temp, tp)
+                keys_b = jax.vmap(key_at)(base, pos + 1)
+                nxt = jax.vmap(_sample_one)(
+                    logits[:, -1, :].astype(jnp.float32), keys_b, temp, tp
+                )
                 nxt = jnp.where(done, jnp.int32(eos_id), nxt)
                 done = jnp.logical_or(done, nxt == eos_id)
                 pos = jnp.minimum(pos + 1, cap)
                 return (cache, nxt, pos, done), nxt
 
             done0 = jnp.logical_not(active)
-            keys = jax.random.split(key, chunk_tokens)
             (cache, tok, pos, _), toks = jax.lax.scan(
-                body, (cache, tok, pos, done0), keys
+                body, (cache, tok, pos, done0), None, length=chunk_tokens
             )
             return toks.T, cache, tok, pos
 
-        self._step_chunk = jax.jit(step_chunk)
+        self._step_chunk = jax.jit(step_chunk, donate_argnums=(1,))
 
         # speculative mode: each of chunk_tokens verify steps advances a
         # row by 1..spec_k+1 tokens (prompt-lookup drafts; output is
@@ -211,22 +229,21 @@ class DecodeBatcher:
         self.tok_buf = None
         if self.spec_k > 0:
             self.tok_buf = jnp.zeros((slots, cfg.max_cache), jnp.int32)
-            self._spec_key = jax.random.key(0)
 
             def insert_buf(buf, row_buf, row):
                 return jax.lax.dynamic_update_slice(buf, row_buf, (row, 0))
 
-            self._insert_buf = jax.jit(insert_buf)
+            self._insert_buf = jax.jit(insert_buf, donate_argnums=(0,))
 
-            def step_spec(p, cache, buf, tok, pos, key, temp, tp, inactive):
+            def step_spec(p, cache, buf, tok, pos, seeds, temp, tp, inactive):
                 return generate_chunk_spec(
-                    p, cache, buf, tok, pos, key, cfg,
+                    p, cache, buf, tok, pos, self._key0, cfg,
                     n_steps=chunk_tokens, draft_k=self.spec_k,
                     gram=int(spec_gram), temperature=temp, top_p=tp,
-                    eos_id=eos_id, done0=inactive,
+                    eos_id=eos_id, done0=inactive, seeds=seeds,
                 )
 
-            self._step_spec = jax.jit(step_spec)
+            self._step_spec = jax.jit(step_spec, donate_argnums=(1, 2))
 
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
@@ -317,20 +334,25 @@ class DecodeBatcher:
                 return i
         return None
 
+    def _row_seed(self, req: _Request) -> int:
+        return req.seed or (abs(hash(tuple(req.prompt_ids))) % (2**31))
+
     def _sample_first(self, req: _Request, logits, offset: int) -> int:
         jnp, jax = self._jnp, self._jax
-        from outline_rag_tpu.models.decoder import sample_token
+        from outline_rag_tpu.models.decoder import _sample_one, key_at
 
-        key = jax.random.key(
-            req.seed or (abs(hash(tuple(req.prompt_ids))) % (2**31))
+        # the first token lands at position t=len(prompt): same
+        # positional-key convention as the step programs, so the whole
+        # stream for a (seed, prompt) pair is one deterministic sequence
+        t = len(req.prompt_ids)
+        base = jax.random.fold_in(self._key0, self._row_seed(req))
+        first = _sample_one(
+            logits[0, offset, :].astype(jnp.float32),
+            key_at(base, t),
+            jnp.float32(req.temperature),
+            jnp.float32(req.top_p),
         )
-        first = sample_token(
-            logits[:, offset, :],
-            key,
-            jnp.full((1,), req.temperature, jnp.float32),
-            jnp.full((1,), req.top_p, jnp.float32),
-        )
-        return int(first[0])
+        return int(first)
 
     def _set_row_state(self, req: _Request, row: int, first_id: int) -> None:
         jnp = self._jnp
@@ -343,6 +365,7 @@ class DecodeBatcher:
             )
         self.tok[row] = first_id
         self.pos[row] = t
+        self.seed[row] = self._row_seed(req)
         self.temp[row] = req.temperature
         self.tp[row] = req.top_p
         self.active[row] = req
@@ -471,22 +494,27 @@ class DecodeBatcher:
         # chunked paged prefill of the uncached suffix; per-position math
         # is chunk-boundary-independent, so warm == cold bit-exactly.
         # Padded tail positions write to the scratch page (decoder guard).
-        start = len(shared) * s
-        pfc = self._pfc
-        logits = None
-        c0 = start
-        pool_k, pool_v = self.cache.k, self.cache.v
-        for c0 in range(start, t, pfc):
-            chunk = req.prompt_ids[c0:c0 + pfc]
-            chunk = chunk + [0] * (pfc - len(chunk))
-            logits, pool_k, pool_v = self._prefill_paged(
-                self.params, pool_k, pool_v, row_table_dev,
-                jnp.asarray([chunk], jnp.int32),
-                jnp.asarray(c0, jnp.int32),
-            )
-        self.cache = dataclasses.replace(self.cache, k=pool_k, v=pool_v)
-
-        first_id = self._sample_first(req, logits, (t - 1) - c0)
+        try:
+            start = len(shared) * s
+            pfc = self._pfc
+            logits = None
+            c0 = start
+            pool_k, pool_v = self.cache.k, self.cache.v
+            for c0 in range(start, t, pfc):
+                chunk = req.prompt_ids[c0:c0 + pfc]
+                chunk = chunk + [0] * (pfc - len(chunk))
+                logits, pool_k, pool_v = self._prefill_paged(
+                    self.params, pool_k, pool_v, row_table_dev,
+                    jnp.asarray([chunk], jnp.int32),
+                    jnp.asarray(c0, jnp.int32),
+                )
+            self.cache = dataclasses.replace(self.cache, k=pool_k, v=pool_v)
+            first_id = self._sample_first(req, logits, (t - 1) - c0)
+        except Exception:
+            # keep the pool accounting coherent (refs dropped, fresh
+            # pages freed) before the caller's fail-fast policy runs
+            self._release_pages(pages)
+            raise
         self._register_prompt_pages(hashes, pages, t // s)
         if first_id == self.eos_id or req.max_new < 1:
             self._release_pages(pages)
@@ -543,6 +571,13 @@ class DecodeBatcher:
                 except Exception as e:  # surface failures to the caller
                     req.out.put(e)
                     req.out.put(DONE)
+                    if self.kv_pages > 0:
+                        # a failed paged admission may have died mid-way
+                        # through donated pool updates: cache integrity
+                        # is unknown, so fail the whole batcher fast
+                        # rather than decode from a corrupt pool
+                        self._die(e)
+                        return
 
             if not any(r is not None for r in self.active):
                 self._wake.wait(timeout=0.1)
@@ -562,7 +597,7 @@ class DecodeBatcher:
                             self.tok_buf,
                             jnp.asarray(self.tok),
                             jnp.asarray(self.pos),
-                            self._spec_key,
+                            jnp.asarray(self.seed),
                             jnp.asarray(self.temp),
                             jnp.asarray(self.tp),
                             jnp.asarray(~active_mask),
@@ -571,13 +606,12 @@ class DecodeBatcher:
                     toks_np = np.asarray(emitted)  # [slots, steps*(K+1)]
                     counts = np.asarray(cnt)
                 else:
-                    self._key, sub = jax.random.split(self._key)
                     toks, self.cache, tok_dev, pos_dev = self._step_chunk(
                         self.params,
                         self.cache,
                         jnp.asarray(self.tok),
                         jnp.asarray(self.pos),
-                        sub,
+                        jnp.asarray(self.seed),
                         jnp.asarray(self.temp),
                         jnp.asarray(self.tp),
                         jnp.asarray(active_mask),

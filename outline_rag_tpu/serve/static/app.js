@@ -507,14 +507,17 @@ async function sendQuestion() {
    * boundaries): completed paragraphs are rendered ONCE and appended to
    * a stable container; only the trailing partial paragraph re-renders
    * per SSE frame — O(answer) total instead of O(answer^2). A boundary
-   * only advances when the prefix has balanced ``` fences, so a code
-   * block containing blank lines is never split mid-fence. */
+   * only advances when the prefix has balanced ``` fences AND balanced
+   * $$ math fences, so a code block or display-math block containing
+   * blank lines is never split mid-fence. */
   let thinkEl = null, thinkBody = null;
   const stableEl = document.createElement("div");
   const tailEl = document.createElement("div");
   assistantDiv.append(stableEl, tailEl);
   let stableCut = 0;
-  const fencesBalanced = (s) => (s.split("```").length - 1) % 2 === 0;
+  const fencesBalanced = (s) =>
+    (s.split("```").length - 1) % 2 === 0 &&
+    (s.split("$$").length - 1) % 2 === 0;
   const renderTick = (content) => {
     let cut = content.lastIndexOf("\n\n");
     while (cut > stableCut && !fencesBalanced(content.slice(0, cut))) {

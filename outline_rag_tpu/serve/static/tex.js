@@ -392,11 +392,16 @@ function texSplitRows(body) {
   const rows = []; let depth = 0, cur = "", i = 0;
   while (i < body.length) {
     const ch = body[i];
+    // consume backslash escapes as pairs (like texSplitCells) so
+    // \{ / \} never skew the brace depth; \\ at depth 0 splits
+    if (ch === "\\" && i + 1 < body.length) {
+      if (depth === 0 && body[i + 1] === "\\") {
+        rows.push(cur); cur = ""; i += 2; continue;
+      }
+      cur += body.slice(i, i + 2); i += 2; continue;
+    }
     if (ch === "{") depth++;
     else if (ch === "}") depth--;
-    if (depth === 0 && ch === "\\" && i + 1 < body.length && body[i + 1] === "\\") {
-      rows.push(cur); cur = ""; i += 2; continue;
-    }
     cur += ch; i++;
   }
   if (cur.trim()) rows.push(cur);

@@ -127,16 +127,26 @@ class RespClient:
 
     async def command(self, *parts):
         conn = await self._checkout()
+        # the finally must run even on CancelledError (a consumer wrapping
+        # a blocking BRPOP in wait_for is routine): a cancelled command
+        # leaves a pending reply on the wire, so the connection cannot be
+        # pooled — close it and free the slot, or the pool leaks dry.
+        # A RespError (-ERR reply) is fully consumed: the conn stays good.
+        broken = True
         try:
             reply = await conn.command(*parts)
-        except (ConnectionError, asyncio.IncompleteReadError, OSError):
-            await self._checkin(conn, broken=True)
+            broken = False
+            return reply
+        except RespError:
+            broken = False
             raise
-        await self._checkin(conn)
-        return reply
+        finally:
+            await asyncio.shield(self._checkin(conn, broken=broken))
 
     async def aclose(self) -> None:
         async with self._waiter:
             for c in self._free:
                 c.close()
+            self._count -= len(self._free)
             self._free.clear()
+            self._waiter.notify_all()

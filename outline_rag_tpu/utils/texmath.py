@@ -380,15 +380,21 @@ def _split_rows(body: str) -> list[str]:
     rows, depth, cur, i = [], 0, [], 0
     while i < len(body):
         ch = body[i]
+        # consume backslash escapes as pairs (like _split_cells) so
+        # \{ / \} never skew the brace depth; \\ at depth 0 splits
+        if ch == "\\" and i + 1 < len(body):
+            if depth == 0 and body[i + 1] == "\\":
+                rows.append("".join(cur))
+                cur = []
+                i += 2
+                continue
+            cur.append(body[i:i + 2])
+            i += 2
+            continue
         if ch == "{":
             depth += 1
         elif ch == "}":
             depth -= 1
-        if depth == 0 and ch == "\\" and i + 1 < len(body) and body[i + 1] == "\\":
-            rows.append("".join(cur))
-            cur = []
-            i += 2
-            continue
         cur.append(ch)
         i += 1
     tail = "".join(cur).strip()

@@ -422,3 +422,59 @@ def test_prefix_cache_disabled(setup):
         assert not batcher._prefix_map
     finally:
         batcher.close()
+
+
+def test_per_request_seeds_diverge_and_reproduce(setup):
+    """Batched sampling randomness is per-request: identical prompts with
+    different seeds diverge; the same (seed, prompt) reproduces exactly;
+    and the plain and speculative step programs emit identical streams
+    (shared positional-key convention key_at(fold_in(KEY0, seed), q))."""
+    cfg, params = setup
+    from outline_rag_tpu.models.decoder import (
+        cast_decoder_params,
+        stack_decoder_params,
+    )
+
+    stacked = stack_decoder_params(cast_decoder_params(params, cfg.dtype))
+    prompt = [5, 9, 13, 2, 7, 40, 41]
+
+    def run(spec_k, seed):
+        b = DecodeBatcher(
+            stacked, cfg, slots=2, chunk_tokens=4, eos_id=0,
+            spec_k=spec_k, spec_gram=2,
+        )
+        try:
+            return collect(b.submit(prompt, 1.5, 0.95, 12, seed=seed))
+        finally:
+            b.close()
+
+    plain_s1 = run(0, 1)
+    plain_s2 = run(0, 2)
+    assert plain_s1 != plain_s2  # different seeds -> different streams
+    assert plain_s1 == run(0, 1)  # same seed reproduces
+    assert plain_s1 == run(3, 1)  # spec == plain, same (seed, prompt)
+    assert plain_s2 == run(3, 2)
+
+    # concurrent identical prompts with different seeds in ONE batch
+    b = DecodeBatcher(stacked, cfg, slots=2, chunk_tokens=4, eos_id=0)
+    try:
+        q1 = b.submit(prompt, 1.5, 0.95, 12, seed=1)
+        q2 = b.submit(prompt, 1.5, 0.95, 12, seed=2)
+        got1, got2 = collect(q1), collect(q2)
+    finally:
+        b.close()
+    assert got1 == plain_s1
+    assert got2 == plain_s2
+
+
+def test_paged_rejects_indivisible_page_size(setup):
+    cfg, params = setup  # max_cache=64
+    from outline_rag_tpu.models.decoder import (
+        cast_decoder_params,
+        stack_decoder_params,
+    )
+
+    stacked = stack_decoder_params(cast_decoder_params(params, cfg.dtype))
+    with pytest.raises(ValueError, match="not divisible"):
+        DecodeBatcher(stacked, cfg, slots=2, eos_id=0,
+                      kv_pages=8, page_size=24)

@@ -202,3 +202,33 @@ def test_webhook_on_worker_a_processed_on_worker_b(tmp_path):
             await server.stop()
 
     asyncio.run(run())
+
+
+def test_resp_pool_survives_cancellation():
+    """A cancelled in-flight command (routine: BRPOP under wait_for) must
+    return its slot — with max_connections=1 a leak wedges the pool."""
+    from outline_rag_tpu.storage.resp import RespClient
+
+    import contextlib
+
+    async def run():
+        server = FakeRedisServer()
+        port = await server.start()
+        try:
+            c = RespClient(f"redis://127.0.0.1:{port}/0", max_connections=1)
+            for _ in range(3):  # repeat: each leak would eat the 1 slot
+                with contextlib.suppress(asyncio.TimeoutError):
+                    await asyncio.wait_for(
+                        c.command("BRPOP", "empty-q", "5"), timeout=0.1
+                    )
+            # pool must still serve (would hang forever on a leak)
+            reply = await asyncio.wait_for(c.command("SET", "k", "v"), 2)
+            assert reply == "OK"
+            assert await asyncio.wait_for(c.command("GET", "k"), 2) == b"v"
+            await c.aclose()
+            # aclose() frees slots: the client re-dials afterwards
+            assert await asyncio.wait_for(c.command("GET", "k"), 2) == b"v"
+        finally:
+            await server.stop()
+
+    asyncio.run(run())

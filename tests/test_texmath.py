@@ -165,3 +165,14 @@ def test_js_port_symbol_table_in_sync():
             assert {k: tuple(v) for k, v in js_val.items()} == py_val, name
         else:
             assert js_val == py_val, name
+
+
+def test_matrix_rows_with_escaped_braces():
+    """\\{ and \\} inside a cases/matrix body must not skew the brace
+    depth that guards \\\\ row splitting (set-builder notation)."""
+    from outline_rag_tpu.utils.texmath import _split_rows, render_math
+
+    rows = _split_rows(r"\{a\} & x \\ b & y")
+    assert rows == [r"\{a\} & x ", "b & y"]
+    html = render_math(r"\begin{cases} \{a\} & x \\ b & y \end{cases}")
+    assert html.count('class="tex-row"') == 2
