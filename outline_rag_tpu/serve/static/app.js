@@ -636,11 +636,30 @@ async function pollRefresh() {
 
 // ---------- theme / composer helpers (reference: main.js) ----------
 
-function applyTheme(theme) {
-  document.documentElement.dataset.theme = theme;
-  try { localStorage.setItem("theme", theme); } catch (e) {}
+/* Three-way theme: light / dark / system (reference main.js:5-64).
+ * "system" follows prefers-color-scheme live; the resolved value lands
+ * on <html data-theme>, the user's *choice* in localStorage. */
+const _sysDark = window.matchMedia
+  ? window.matchMedia("(prefers-color-scheme: dark)") : null;
+
+function applyTheme(choice) {
+  const resolved = choice === "system"
+    ? (_sysDark && _sysDark.matches ? "dark" : "light") : choice;
+  document.documentElement.dataset.theme = resolved;
+  try { localStorage.setItem("theme", choice); } catch (e) {}
   const btn = $("#theme-toggle");
-  if (btn) btn.textContent = theme === "light" ? "🌙" : "☀";
+  if (btn) {
+    btn.textContent = choice === "system" ? "◑" : resolved === "light" ? "🌙" : "☀";
+    btn.title = `Theme: ${choice} (click to cycle)`;
+  }
+}
+
+if (_sysDark && _sysDark.addEventListener) {
+  _sysDark.addEventListener("change", () => {
+    let choice = "dark";
+    try { choice = localStorage.getItem("theme") || "dark"; } catch (e) {}
+    if (choice === "system") applyTheme("system");
+  });
 }
 
 function autoresize(el) {
@@ -705,8 +724,12 @@ window.addEventListener("DOMContentLoaded", async () => {
   };
   $("#refresh-kb").onclick = triggerRefresh;
   $("#menu-toggle").onclick = () => $("#sidebar").classList.toggle("open");
-  $("#theme-toggle").onclick = () =>
-    applyTheme(document.documentElement.dataset.theme === "light" ? "dark" : "light");
+  $("#theme-toggle").onclick = () => {
+    let choice = "dark";
+    try { choice = localStorage.getItem("theme") || "dark"; } catch (e) {}
+    const order = ["dark", "light", "system"];
+    applyTheme(order[(order.indexOf(choice) + 1) % order.length]);
+  };
 
   // sampling-params popover; becomes a bottom sheet on mobile
   // (reference: model/temp/top-p popovers + mobile sheet, main.js:204-473)
