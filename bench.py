@@ -244,22 +244,31 @@ def main() -> None:
         return cosine_topk(q, corpus, k, block_n=block_n)
 
     float(chained(1))  # warm/compile + one round-trip
-    # the tunnel's throughput swings 2-4x on a seconds timescale; take
-    # the best of a few rounds (same policy as tools/bench_topk_kernel)
+    # the tunnel's throughput swings 2-4x on a seconds timescale and its
+    # host round-trip has been observed anywhere from 50 ms to ~4 s —
+    # far larger than the compute under test. Two-point protocol: time a
+    # short and a long chained run (one fetch each); the round-trip
+    # cancels exactly in the difference, so only sweep time remains.
+    # Best-of-rounds guards the residual window-to-window swing.
     best_dt = float("inf")
-    rounds = 3 if on_tpu else 1
+    rounds = 4 if on_tpu else 1
+    short = 2
     for _ in range(rounds):
         t0 = time.perf_counter()
-        rt = float(chained(1))  # measure single-sweep + round-trip
-        t_one = time.perf_counter() - t0
+        a = float(chained(short))
+        t_short = time.perf_counter() - t0
         t0 = time.perf_counter()
-        total = float(chained(iters))
-        t_many = time.perf_counter() - t0
-        assert np.isfinite(total)
-        # subtract the fixed round-trip measured by the single-sweep call
-        dt = max(t_many - max(t_one - t_many / iters, 0.0), t_many / iters)
-        best_dt = min(best_dt, dt)
-    qps = b * iters / best_dt
+        total = float(chained(iters + short))
+        t_long = time.perf_counter() - t0
+        assert np.isfinite(a) and np.isfinite(total)
+        if t_long <= t_short:  # window shifted mid-round: discard
+            continue
+        best_dt = min(best_dt, (t_long - t_short) / iters)
+    if not np.isfinite(best_dt):  # every round degenerate: fall back
+        t0 = time.perf_counter()
+        float(chained(iters))
+        best_dt = (time.perf_counter() - t0) / iters
+    qps = b / best_dt
 
     # baseline: NumPy exact scan on the host (reference-pipeline stand-in)
     nb = min(n, 20_000)

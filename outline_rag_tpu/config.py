@@ -265,6 +265,8 @@ class Settings:
     # paged mode: content-address full prompt pages and share them across
     # requests (automatic prefix caching; exact — warm == cold bit-wise)
     decoder_prefix_cache: bool = True
+    # paged mode: int8 KV pool — half the KV HBM, 2x live context/chip
+    decoder_kv_int8: bool = False
     query_batch_window_ms: float = 4.0
     query_batch_max: int = 32
     lex_weight: float = 0.0  # >0 blends BGE-m3 lexical overlap into retrieval
@@ -393,6 +395,7 @@ def load_settings(env: dict[str, str] | None = None) -> Settings:
         decoder_kv_pages=_env_int("DECODER_KV_PAGES", 0),
         decoder_page_size=_env_int("DECODER_PAGE_SIZE", 128),
         decoder_prefix_cache=_env_bool("DECODER_PREFIX_CACHE", True),
+        decoder_kv_int8=_env_bool("DECODER_KV_INT8", False),
         query_batch_window_ms=_env_float("QUERY_BATCH_WINDOW_MS", 4.0),
         query_batch_max=_env_int("QUERY_BATCH_MAX", 32),
         lex_weight=_env_float("LEX_WEIGHT", 0.0),

@@ -360,11 +360,18 @@ class PagedKV:
     ``table[b, i]``. Effective per-row capacity is MAXP * page, which
     callers must keep <= cfg.max_cache (the position-guard contract of
     the generation loops).
+
+    ``kv_dtype="int8"`` stores the pool quantized (symmetric per-token
+    per-head int8; ``k_scale``/``v_scale``: [L, P, KvH, page] f32) —
+    half the KV HBM of bf16, so twice the live context per chip, with
+    the page-walk kernel dequantizing in VMEM.
     """
 
     k: jax.Array
     v: jax.Array
     table: jax.Array
+    k_scale: jax.Array | None = None
+    v_scale: jax.Array | None = None
 
     @property
     def page(self) -> int:
@@ -372,7 +379,11 @@ class PagedKV:
 
 
 def init_paged_cache(
-    cfg: DecoderConfig, batch: int, pages: int, page_size: int = 128
+    cfg: DecoderConfig,
+    batch: int,
+    pages: int,
+    page_size: int = 128,
+    kv_dtype: str | None = None,  # "int8" -> quantized pool
 ) -> PagedKV:
     if cfg.max_cache % page_size:
         # a remainder would silently shrink per-row capacity below
@@ -385,11 +396,32 @@ def init_paged_cache(
         )
     maxp = cfg.max_cache // page_size
     shape = (cfg.layers, pages, cfg.kv_heads, page_size, cfg.hd)
+    if kv_dtype == "int8":
+        return PagedKV(
+            k=jnp.zeros(shape, jnp.int8),
+            v=jnp.zeros(shape, jnp.int8),
+            table=jnp.zeros((batch, maxp), jnp.int32),
+            k_scale=jnp.zeros(shape[:-1], jnp.float32),
+            v_scale=jnp.zeros(shape[:-1], jnp.float32),
+        )
+    if kv_dtype is not None:
+        raise ValueError(
+            f"unsupported kv_dtype {kv_dtype!r} (use 'int8' or None)"
+        )
     return PagedKV(
         k=jnp.zeros(shape, cfg.dtype),
         v=jnp.zeros(shape, cfg.dtype),
         table=jnp.zeros((batch, maxp), jnp.int32),
     )
+
+
+def _quantize_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Symmetric per-token per-head int8: x [B, T, KvH, Dh] ->
+    (q int8 same shape, scale f32 [B, T, KvH])."""
+    a = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    s = a / 127.0 + 1e-12
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127)
+    return q.astype(jnp.int8), s[..., 0]
 
 
 def decoder_forward(
@@ -433,24 +465,55 @@ def decoder_forward(
         )  # [B, T]
         w_offs = positions % s_pg
 
+        quant = cache.k_scale is not None
+
         def body(carry, inputs):
             x = carry
-            layer, k_pool, v_pool = inputs
+            if quant:
+                layer, k_pool, v_pool, ks_pool, vs_pool = inputs
+            else:
+                layer, k_pool, v_pool = inputs
+                ks_pool = vs_pool = None
             h = _rms_norm(x, layer["ln1"], cfg.norm_eps)
             q, k_new, v_new = _qkv(h, layer, positions, cfg)
             # pool [P, KvH, S, Dh]; advanced-index scatter at
             # (page, :, offset) — in-place under donation
-            k_pool = k_pool.at[w_pages, :, w_offs, :].set(k_new.astype(dt))
-            v_pool = v_pool.at[w_pages, :, w_offs, :].set(v_new.astype(dt))
-            ctx = paged_attention(q, k_pool, v_pool, table, start_pos)
+            if quant:
+                k_q, k_s = _quantize_kv(k_new)
+                v_q, v_s = _quantize_kv(v_new)
+                k_pool = k_pool.at[w_pages, :, w_offs, :].set(k_q)
+                v_pool = v_pool.at[w_pages, :, w_offs, :].set(v_q)
+                ks_pool = ks_pool.at[w_pages, :, w_offs].set(k_s)
+                vs_pool = vs_pool.at[w_pages, :, w_offs].set(v_s)
+            else:
+                k_pool = k_pool.at[w_pages, :, w_offs, :].set(k_new.astype(dt))
+                v_pool = v_pool.at[w_pages, :, w_offs, :].set(v_new.astype(dt))
+            ctx = paged_attention(
+                q, k_pool, v_pool, table, start_pos,
+                k_scale=ks_pool, v_scale=vs_pool,
+            )
             x = x + _mm(ctx.reshape(b, t, -1), layer["wo"], dt)
             h2 = _rms_norm(x, layer["ln2"], cfg.norm_eps)
             x = x + _mlp(h2, layer, cfg)
+            if quant:
+                return x, (k_pool, v_pool, ks_pool, vs_pool)
             return x, (k_pool, v_pool)
 
         layers = params["layers"]
-        x, (k_pool, v_pool) = jax.lax.scan(body, x, (layers, cache.k, cache.v))
-        out_cache = PagedKV(k=k_pool, v=v_pool, table=table)
+        if quant:
+            x, (k_pool, v_pool, ks_pool, vs_pool) = jax.lax.scan(
+                body, x,
+                (layers, cache.k, cache.v, cache.k_scale, cache.v_scale),
+            )
+            out_cache = PagedKV(
+                k=k_pool, v=v_pool, table=table,
+                k_scale=ks_pool, v_scale=vs_pool,
+            )
+        else:
+            x, (k_pool, v_pool) = jax.lax.scan(
+                body, x, (layers, cache.k, cache.v)
+            )
+            out_cache = PagedKV(k=k_pool, v=v_pool, table=table)
     else:
         c = cfg.max_cache
         # attention bias [B, T, C]: slot j visible to token i iff j <= pos_i

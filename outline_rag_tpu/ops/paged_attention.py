@@ -15,7 +15,15 @@ walks the page table with scalar prefetch: grid ``(B, KvH, n_pages)``,
 each step DMA-ing ONE page ``[page, Dh]`` into VMEM directly from its
 pooled location (the block index map reads the page table), with the
 online-softmax accumulator discipline of ``ops/attention.py``. KV bytes
-move exactly once.
+move exactly once, and pages beyond a row's live length are neither
+fetched nor computed (the index map re-targets them at the last live
+page — consecutive identical block indices skip the DMA).
+
+Quantized pools (``k_scale``/``v_scale`` given): pages are int8 with
+per-token per-head f32 scales. The kernel dequantizes in VMEM —
+columns of the q·kᵀ product are rescaled by the page's k-scales and
+the probability rows are rescaled by v-scales before the p·v product —
+so HBM KV traffic halves while the matmuls stay on the MXU.
 
 The grouped-query layout folds the G = H/KvH query heads of one KV head
 and the T decode positions into one ``[G*T, Dh]`` matmul operand — at
@@ -46,6 +54,8 @@ def paged_attention_xla(
     pool_v: jax.Array,  # [P, KvH, S, Dh]
     table: jax.Array,  # [B, MAXP] int32 page ids (position order)
     pos: jax.Array,  # [B] int32 — absolute position of q[:, 0]
+    k_scale: jax.Array | None = None,  # [P, KvH, S] f32 (int8 pools)
+    v_scale: jax.Array | None = None,
 ) -> jax.Array:
     """Reference path: gather pages into a contiguous view and attend.
 
@@ -58,11 +68,17 @@ def paged_attention_xla(
     c = maxp * s_pg
     group = h // kvh
 
-    def gather(pool):  # -> [B, KvH, C, Dh]
+    def gather(pool, scale):  # -> [B, KvH, C, Dh] dequantized
         g = jnp.take(pool, table, axis=0)  # [B, MAXP, KvH, S, Dh]
-        return g.transpose(0, 2, 1, 3, 4).reshape(b, kvh, c, dh)
+        g = g.transpose(0, 2, 1, 3, 4).reshape(b, kvh, c, dh)
+        if scale is None:
+            return g
+        sc = jnp.take(scale, table, axis=0)  # [B, MAXP, KvH, S]
+        sc = sc.transpose(0, 2, 1, 3).reshape(b, kvh, c)
+        return g.astype(jnp.float32) * sc[..., None]
 
-    k_cache, v_cache = gather(pool_k), gather(pool_v)
+    k_cache = gather(pool_k, k_scale)
+    v_cache = gather(pool_v, v_scale)
     positions = pos[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
     slot = jnp.arange(c, dtype=jnp.int32)
     mask = slot[None, None, :] <= positions[:, :, None]
@@ -72,9 +88,13 @@ def paged_attention_xla(
         "btngd,bncd->btngc", qg, k_cache, preferred_element_type=jnp.float32
     ) / jnp.sqrt(jnp.float32(dh))
     logits = logits + bias[:, :, None, None, :]
-    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
-    ctx = jnp.einsum("btngc,bncd->btngd", probs, v_cache)
-    return ctx.reshape(b, t, h, dh)
+    probs = jax.nn.softmax(logits, axis=-1)
+    ctx = jnp.einsum(
+        "btngc,bncd->btngd",
+        probs.astype(jnp.float32 if k_scale is not None else q.dtype),
+        v_cache,
+    )
+    return ctx.reshape(b, t, h, dh).astype(q.dtype)
 
 
 def _paged_kernel(
@@ -83,15 +103,20 @@ def _paged_kernel(
     q_ref,  # [1, 1, GT, Dh]
     k_ref,  # [1, 1, S, Dh] — the page this grid step walks
     v_ref,  # [1, 1, S, Dh]
-    o_ref,  # [1, 1, GT, Dh]
-    m_scr,  # [GT, LANE] f32 running max
-    l_scr,  # [GT, LANE] f32 running sum
-    acc_scr,  # [GT, Dh] f32
-    *,
+    *rest,  # (ks_ref [1,1,S], vs_ref [1,1,S] when quant) + o_ref + scratch
     scale: float,
     t_len: int,
     page: int,
+    quant: bool,
 ):
+    if quant:
+        # scale refs are [1, 1, 1, S] views (the dummy axis satisfies the
+        # TPU block-shape rule that the last two dims tile (8, 128) or
+        # span the array)
+        ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        o_ref, m_scr, l_scr, acc_scr = rest
+        ks_ref = vs_ref = None
     b = pl.program_id(0)
     pp = pl.program_id(2)
     npg = pl.num_programs(2)
@@ -111,12 +136,15 @@ def _paged_kernel(
     @pl.when(pp <= last_live)
     def _accumulate():
         q = q_ref[0, 0]  # [GT, Dh]
-        k = k_ref[0, 0]  # [S, Dh]
+        k = k_ref[0, 0]  # [S, Dh] (int8 when quant)
         s = jax.lax.dot_general(
-            q, k,
+            q, k.astype(q.dtype),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale  # [GT, S]
+        if quant:
+            # column j of s used k-token j: rescale by its k-scale
+            s = s * ks_ref[0, 0, 0][None, :]
 
         # causal/validity mask from positions: row r is decode offset
         # r % T, page pp covers absolute slots [pp*page, (pp+1)*page)
@@ -134,11 +162,21 @@ def _paged_kernel(
         l_scr[:] = (
             l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
         ) + jnp.zeros_like(l_scr)
-        pv = jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0, 0],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        if quant:
+            # p·v with per-token v-scales folded into p's columns; keep
+            # the product in f32 (int8 v has no meaningful low precision)
+            pv = jax.lax.dot_general(
+                p * vs_ref[0, 0, 0][None, :],
+                v_ref[0, 0].astype(jnp.float32),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            pv = jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[0, 0],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         acc_scr[:] = acc_scr[:] * alpha + pv
         m_scr[:] = m_new + jnp.zeros_like(m_scr)
 
@@ -155,6 +193,8 @@ def paged_attention(
     pool_v: jax.Array,  # [P, KvH, S, Dh]
     table: jax.Array,  # [B, MAXP] int32
     pos: jax.Array,  # [B] int32
+    k_scale: jax.Array | None = None,  # [P, KvH, S] f32 -> int8 pool
+    v_scale: jax.Array | None = None,
     *,
     interpret: bool | None = None,
 ) -> jax.Array:
@@ -166,8 +206,11 @@ def paged_attention(
     """
     if interpret is None:
         if jax.default_backend() != "tpu":
-            return paged_attention_xla(q, pool_k, pool_v, table, pos)
+            return paged_attention_xla(
+                q, pool_k, pool_v, table, pos, k_scale, v_scale
+            )
         interpret = False
+    quant = k_scale is not None
     b, t, h, dh = q.shape
     p_, kvh, s_pg, _ = pool_k.shape
     maxp = table.shape[1]
@@ -183,7 +226,7 @@ def paged_attention(
     )
 
     kernel = functools.partial(
-        _paged_kernel, scale=scale, t_len=t, page=s_pg
+        _paged_kernel, scale=scale, t_len=t, page=s_pg, quant=quant
     )
 
     def kv_index(bb, hh, pp, tbl, ps):
@@ -193,16 +236,32 @@ def paged_attention(
         live = jnp.minimum(pp, (ps[bb] + t - 1) // s_pg)
         return (tbl[bb, live], hh, 0, 0)
 
+    def scale_index(bb, hh, pp, tbl, ps):
+        live = jnp.minimum(pp, (ps[bb] + t - 1) // s_pg)
+        return (tbl[bb, live], hh, 0, 0)
+
+    in_specs = [
+        pl.BlockSpec(
+            (1, 1, gt, dh), lambda bb, hh, pp, tbl, ps: (bb, hh, 0, 0)
+        ),
+        pl.BlockSpec((1, 1, s_pg, dh), kv_index),
+        pl.BlockSpec((1, 1, s_pg, dh), kv_index),
+    ]
+    operands = [q_g, pool_k, pool_v]
+    if quant:
+        in_specs += [
+            pl.BlockSpec((1, 1, 1, s_pg), scale_index),
+            pl.BlockSpec((1, 1, 1, s_pg), scale_index),
+        ]
+        operands += [
+            k_scale.reshape(p_, kvh, 1, s_pg),
+            v_scale.reshape(p_, kvh, 1, s_pg),
+        ]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, kvh, maxp),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, gt, dh), lambda bb, hh, pp, tbl, ps: (bb, hh, 0, 0)
-            ),
-            pl.BlockSpec((1, 1, s_pg, dh), kv_index),
-            pl.BlockSpec((1, 1, s_pg, dh), kv_index),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, 1, gt, dh), lambda bb, hh, pp, tbl, ps: (bb, hh, 0, 0)
         ),
@@ -220,7 +279,7 @@ def paged_attention(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(table, pos, q_g, pool_k, pool_v)
+    )(table, pos, *operands)
     # [B, KvH, G*T, Dh] -> [B, T, H, Dh]
     return (
         out.reshape(b, kvh, group, t, dh)

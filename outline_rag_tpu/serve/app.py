@@ -198,6 +198,7 @@ def build_app(
                     kv_pages=settings.decoder_kv_pages,
                     page_size=settings.decoder_page_size,
                     prefix_cache=settings.decoder_prefix_cache,
+                    kv_int8=settings.decoder_kv_int8,
                 )
             except Exception as exc:
                 # An explicitly configured local decoder that fails to load

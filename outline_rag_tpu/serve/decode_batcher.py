@@ -67,6 +67,7 @@ class DecodeBatcher:
         page_size: int = 128,
         prefix_cache: bool = True,  # paged mode: share full prompt pages
         prefill_chunk: int = 256,  # paged-prefill program width (tokens)
+        kv_int8: bool = False,  # paged mode: int8 pool (half the KV HBM)
     ):
         import functools
 
@@ -111,8 +112,12 @@ class DecodeBatcher:
         self._held: _Request | None = None
         self.prefix_hits = 0  # prompt pages served from cache (stats)
         self.prefix_lookups = 0
+        self.kv_int8 = bool(kv_int8) and self.kv_pages > 0
         if self.kv_pages > 0:
-            self.cache = init_paged_cache(cfg, slots, self.kv_pages, page_size)
+            self.cache = init_paged_cache(
+                cfg, slots, self.kv_pages, page_size,
+                kv_dtype="int8" if self.kv_int8 else None,
+            )
             self._maxp = cfg.max_cache // page_size
             if self.kv_pages < self._maxp + 1:
                 # page 0 is scratch; a max-length request needs maxp pages
@@ -145,17 +150,21 @@ class DecodeBatcher:
             # rivalling the attention itself)
             self._set_table_row = jax.jit(set_table_row, donate_argnums=(0,))
 
-            def prefill_paged(p, pool_k, pool_v, row_table, toks, start):
+            def prefill_paged(p, cache, row_table, toks, start):
                 # one-row paged prefill: writes land in the row's own
                 # pages via the table; attention walks shared prefix
-                # pages read-only (start > their span)
-                row = PagedKV(k=pool_k, v=pool_v, table=row_table[None])
-                logits, row = decoder_forward(p, toks, row, start[None], cfg)
-                return logits, row.k, row.v
+                # pages read-only (start > their span). The full cache
+                # threads through so int8 scale pools travel with k/v;
+                # the slot table is restored on the way out.
+                row_view = dataclasses.replace(cache, table=row_table[None])
+                logits, row_view = decoder_forward(
+                    p, toks, row_view, start[None], cfg
+                )
+                return logits, dataclasses.replace(
+                    row_view, table=cache.table
+                )
 
-            self._prefill_paged = jax.jit(
-                prefill_paged, donate_argnums=(1, 2)
-            )
+            self._prefill_paged = jax.jit(prefill_paged, donate_argnums=(1,))
         else:
             self.prefix_cache = False
             self.cache = init_cache(cfg, slots)
@@ -286,6 +295,7 @@ class DecodeBatcher:
         if self.kv_pages > 0:
             out.update(
                 pages_total=self.kv_pages - 1,  # page 0 is scratch
+                kv_dtype="int8" if self.kv_int8 else str(self.cfg.dtype.__name__),
                 pages_free=len(self._free_pages),
                 pages_cached=len(self._prefix_map),
                 prefix_hits=self.prefix_hits,
@@ -499,16 +509,14 @@ class DecodeBatcher:
             pfc = self._pfc
             logits = None
             c0 = start
-            pool_k, pool_v = self.cache.k, self.cache.v
             for c0 in range(start, t, pfc):
                 chunk = req.prompt_ids[c0:c0 + pfc]
                 chunk = chunk + [0] * (pfc - len(chunk))
-                logits, pool_k, pool_v = self._prefill_paged(
-                    self.params, pool_k, pool_v, row_table_dev,
+                logits, self.cache = self._prefill_paged(
+                    self.params, self.cache, row_table_dev,
                     jnp.asarray([chunk], jnp.int32),
                     jnp.asarray(c0, jnp.int32),
                 )
-            self.cache = dataclasses.replace(self.cache, k=pool_k, v=pool_v)
             first_id = self._sample_first(req, logits, (t - 1) - c0)
         except Exception:
             # keep the pool accounting coherent (refs dropped, fresh

@@ -212,6 +212,7 @@ class LocalChatProvider:
         kv_pages: int = 0,  # >0 -> paged KV pool for the batcher
         page_size: int = 128,
         prefix_cache: bool = True,  # paged mode: share repeated prompt prefixes
+        kv_int8: bool = False,  # paged mode: int8 KV pool
     ):
         import functools
 
@@ -294,6 +295,7 @@ class LocalChatProvider:
                 kv_pages=int(kv_pages),
                 page_size=int(page_size),
                 prefix_cache=bool(prefix_cache),
+                kv_int8=bool(kv_int8),
             )
 
     def stats(self) -> dict:

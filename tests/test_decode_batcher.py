@@ -478,3 +478,40 @@ def test_paged_rejects_indivisible_page_size(setup):
     with pytest.raises(ValueError, match="not divisible"):
         DecodeBatcher(stacked, cfg, slots=2, eos_id=0,
                       kv_pages=8, page_size=24)
+
+
+def test_kv_int8_batcher_generates_and_reproduces(setup):
+    """int8 paged pool: the batcher serves requests end-to-end (right
+    counts, eos handling) and a (seed, prompt) pair reproduces exactly —
+    quantized KV is deterministic, so the whole stream is too. Token-level
+    parity with the f32 ring is NOT asserted (quantization error can flip
+    near-tie argmaxes on a random-init model); logits-level quality is
+    pinned in tests/test_paged_attention.py."""
+    cfg, params = setup
+    from outline_rag_tpu.models.decoder import (
+        cast_decoder_params,
+        stack_decoder_params,
+    )
+
+    stacked = stack_decoder_params(cast_decoder_params(params, cfg.dtype))
+
+    def run():
+        b = DecodeBatcher(
+            stacked, cfg, slots=2, chunk_tokens=4, eos_id=0,
+            kv_pages=16, page_size=16, kv_int8=True,
+        )
+        try:
+            qs = [
+                b.submit([5, 9, 13, 2, 7], 0.0, 1.0, 12, seed=1),
+                b.submit([(7 * i) % 200 + 1 for i in range(20)], 1.2, 0.95, 10, seed=2),
+            ]
+            out = [collect(q) for q in qs]
+            assert b.stats()["kv_dtype"] == "int8"
+            return out
+        finally:
+            b.close()
+
+    first = run()
+    assert len(first[0]) <= 12 and len(first[1]) <= 10
+    assert len(first[0]) > 0 and len(first[1]) > 0
+    assert first == run()  # deterministic given (seed, prompt)

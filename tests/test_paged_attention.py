@@ -165,3 +165,87 @@ def test_generate_chunk_paged_greedy_matches_ring():
     paged = PagedKV(k=paged.k, v=paged.v,
                     table=jnp.asarray([[4, 2, 5, 1]], jnp.int32))
     assert gen(paged) == ring_out
+
+
+def _quantize_pool(pool):
+    """Symmetric per-token per-head int8 quantization of an f32 pool."""
+    a = np.max(np.abs(np.asarray(pool, np.float32)), axis=-1, keepdims=True)
+    s = a / 127.0 + 1e-12
+    q = np.clip(np.round(np.asarray(pool) / s), -127, 127).astype(np.int8)
+    return jnp.asarray(q), jnp.asarray(s[..., 0].astype(np.float32))
+
+
+def test_xla_reference_int8_matches_dequantized_oracle():
+    q, pool_k, pool_v, table, pos = _setup(seed=11)
+    k_q, k_s = _quantize_pool(pool_k)
+    v_q, v_s = _quantize_pool(pool_v)
+    got = np.asarray(paged_attention_xla(q, k_q, v_q, table, pos, k_s, v_s))
+    # oracle over the dequantized values: the int8 path must match it
+    # exactly up to float assoc (the quantization error itself cancels)
+    k_deq = jnp.asarray(np.asarray(k_q, np.float32) * np.asarray(k_s)[..., None])
+    v_deq = jnp.asarray(np.asarray(v_q, np.float32) * np.asarray(v_s)[..., None])
+    want = _dense_oracle(q, k_deq, v_deq, table, pos)
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=3e-5)
+
+
+@pytest.mark.parametrize("t", [1, 4])
+def test_kernel_interpret_int8_matches_reference(t):
+    q, pool_k, pool_v, table, pos = _setup(t=t, seed=20 + t)
+    k_q, k_s = _quantize_pool(pool_k)
+    v_q, v_s = _quantize_pool(pool_v)
+    got = np.asarray(
+        paged_attention(q, k_q, v_q, table, pos, k_s, v_s, interpret=True)
+    )
+    want = np.asarray(paged_attention_xla(q, k_q, v_q, table, pos, k_s, v_s))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=3e-5)
+
+
+def test_decoder_forward_paged_int8_quality():
+    """int8 KV pool: logits track the f32 ring within quantization
+    tolerance (per-position cosine > 0.999) through prefill + decode."""
+    from outline_rag_tpu.models.decoder import (
+        DecoderConfig,
+        PagedKV,
+        decoder_forward,
+        init_cache,
+        init_decoder_params,
+        init_paged_cache,
+        stack_decoder_params,
+    )
+
+    cfg = DecoderConfig.tiny()  # max_cache=64, f32
+    params = stack_decoder_params(init_decoder_params(jax.random.key(0), cfg))
+    b, t = 2, 24
+    toks = jax.random.randint(jax.random.key(1), (b, t), 0, cfg.vocab_size)
+    zero = jnp.zeros((b,), jnp.int32)
+
+    want, ring = decoder_forward(params, toks, init_cache(cfg, b), zero, cfg)
+
+    paged = init_paged_cache(cfg, b, pages=12, page_size=16, kv_dtype="int8")
+    table = jnp.asarray([[3, 1, 7, 5], [2, 9, 4, 11]], jnp.int32)
+    paged = dataclasses_replace(paged, table=table)
+    got, paged = decoder_forward(params, toks, paged, zero, cfg)
+
+    def cos(a, b_):
+        a = np.asarray(a, np.float64).reshape(-1)
+        b_ = np.asarray(b_, np.float64).reshape(-1)
+        return float(a @ b_ / (np.linalg.norm(a) * np.linalg.norm(b_) + 1e-12))
+
+    for bi in range(b):
+        for ti in range(t):
+            assert cos(got[bi, ti], want[bi, ti]) > 0.999
+
+    # decode a few tokens: stays close step by step
+    nxt = jnp.argmax(want[:, -1], axis=-1).astype(jnp.int32)
+    for i in range(3):
+        posv = jnp.full((b,), t + i, jnp.int32)
+        lw, ring = decoder_forward(params, nxt[:, None], ring, posv, cfg)
+        lg, paged = decoder_forward(params, nxt[:, None], paged, posv, cfg)
+        assert cos(lg, lw) > 0.999
+        nxt = jnp.argmax(lw[:, -1], axis=-1).astype(jnp.int32)
+
+
+def dataclasses_replace(obj, **kw):
+    import dataclasses
+
+    return dataclasses.replace(obj, **kw)

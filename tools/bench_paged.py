@@ -74,6 +74,11 @@ def main() -> None:
         "paged": DecodeBatcher(params, cfg, slots=slots, chunk_tokens=16,
                                eos_id=-1, kv_pages=pool, page_size=page),
     }
+    if os.environ.get("BENCH_KV_INT8"):
+        batchers["paged-int8"] = DecodeBatcher(
+            params, cfg, slots=slots, chunk_tokens=16, eos_id=-1,
+            kv_pages=pool, page_size=page, kv_int8=True,
+        )
 
     def one_round(b, tag):
         prompts = [
@@ -98,7 +103,9 @@ def main() -> None:
             print(f"# round {r} {name}: {rate:.1f} tok/s", file=sys.stderr)
     for name, rate in best.items():
         print(f"{name}: {rate:.1f} tok/s aggregate ({slots} slots)")
-    batchers["ring"].close()
+    for name, b in batchers.items():
+        if name != "paged":
+            b.close()
 
     # -- prefix-cache admission latency ---------------------------------
     b = batchers["paged"]
