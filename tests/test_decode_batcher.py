@@ -515,3 +515,30 @@ def test_kv_int8_batcher_generates_and_reproduces(setup):
     assert len(first[0]) <= 12 and len(first[1]) <= 10
     assert len(first[0]) > 0 and len(first[1]) > 0
     assert first == run()  # deterministic given (seed, prompt)
+
+
+def test_paged_multichunk_prefill_matches_solo(setup):
+    """Prompts longer than the prefill-chunk width run several chunked
+    paged prefills (positions advance across calls); output must still
+    match solo ring decoding exactly, cold and warm."""
+    cfg, params = setup  # max_cache=64
+    from outline_rag_tpu.models.decoder import (
+        cast_decoder_params,
+        stack_decoder_params,
+    )
+
+    stacked = stack_decoder_params(cast_decoder_params(params, cfg.dtype))
+    batcher = DecodeBatcher(
+        stacked, cfg, slots=2, chunk_tokens=4, eos_id=0,
+        kv_pages=16, page_size=16, prefill_chunk=16,  # force chunking
+    )
+    prompt = [(7 * i) % 200 + 1 for i in range(40)]  # 3 prefill chunks
+    try:
+        cold = collect(batcher.submit(prompt, 0.0, 1.0, 10))
+        warm = collect(batcher.submit(prompt, 0.0, 1.0, 10))
+        assert batcher.prefix_hits >= 2  # 2 full pages shared on repeat
+    finally:
+        batcher.close()
+    want = solo_greedy(cfg, params, prompt, 10)
+    assert cold == want, (cold, want)
+    assert warm == cold
