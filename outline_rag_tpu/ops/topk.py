@@ -61,6 +61,37 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
+def topk_wide(
+    scores: jax.Array, k: int, seg: int = 8192
+) -> tuple[jax.Array, jax.Array]:
+    """Two-stage top-k over wide score rows: per-segment top-k, then
+    top-k of the ~N/seg*k survivors. Sorting cost drops from one
+    N-wide (partial) sort to many seg-wide ones plus a tiny merge.
+
+    Tie-break parity with ``lax.top_k`` (lowest index wins) is exact:
+    within a segment lax.top_k orders ties by index; across segments the
+    merge sees candidates laid out in segment order, so equal values
+    resolve to the lower segment — i.e. the lower corpus index.
+    """
+    b, n = scores.shape
+    if n <= seg:
+        vals, idx = jax.lax.top_k(scores, k)
+        return vals, idx.astype(jnp.int32)
+    nseg = -(-n // seg)
+    pad = nseg * seg - n
+    if pad:
+        scores = jnp.pad(
+            scores, ((0, 0), (0, pad)), constant_values=-jnp.inf
+        )
+    v, i = jax.lax.top_k(scores.reshape(b, nseg, seg), k)  # [B, nseg, k]
+    base = (jnp.arange(nseg, dtype=jnp.int32) * seg)[None, :, None]
+    flat_v = v.reshape(b, nseg * k)
+    flat_i = (i.astype(jnp.int32) + base).reshape(b, nseg * k)
+    vals, j = jax.lax.top_k(flat_v, k)
+    idx = jnp.take_along_axis(flat_i, j, axis=1)
+    return vals, idx
+
+
 def topk_xla(
     queries: jax.Array,
     corpus: jax.Array,
@@ -85,8 +116,7 @@ def topk_xla(
     )
     if penalty is not None:
         scores = scores + penalty[None, :]
-    vals, idx = jax.lax.top_k(scores, k)
-    return vals, idx.astype(jnp.int32)
+    return topk_wide(scores, k)
 
 
 # ---------------------------------------------------------------------------
@@ -156,8 +186,7 @@ def topk_xla_compensated(
     scores = _dot_compensated(split_f32_bf16x2(queries), corpus)
     if penalty is not None:
         scores = scores + penalty[None, :]
-    vals, idx = jax.lax.top_k(scores, k)
-    return vals, idx.astype(jnp.int32)
+    return topk_wide(scores, k)
 
 
 def merge_topk(
