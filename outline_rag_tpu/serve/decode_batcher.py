@@ -110,6 +110,7 @@ class DecodeBatcher:
         self.page_size = page_size
         self.kv_pages = int(kv_pages)
         self._held: _Request | None = None
+        self._adm: dict | None = None  # staged paged admission in flight
         self.prefix_hits = 0  # prompt pages served from cache (stats)
         self.prefix_lookups = 0
         self.kv_int8 = bool(kv_int8) and self.kv_pages > 0
@@ -290,6 +291,7 @@ class DecodeBatcher:
             "slots": self.slots,
             "active": sum(1 for r in self.active if r is not None),
             "queued": self.pending.qsize() + (1 if self._held else 0),
+            "admitting": self._adm is not None,
             "mode": "paged" if self.kv_pages > 0 else "ring",
         }
         if self.kv_pages > 0:
@@ -323,6 +325,9 @@ class DecodeBatcher:
         self._stop = True
         self._wake.set()
         self._thread.join(timeout=10)
+        if self._adm is not None:
+            self._adm["req"].out.put(DONE)
+            self._adm = None
         if self._held is not None:
             self._held.out.put(DONE)
             self._held = None
@@ -339,8 +344,9 @@ class DecodeBatcher:
     # -- worker ------------------------------------------------------------
 
     def _free_slot(self) -> int | None:
+        reserved = self._adm["row"] if self._adm is not None else -1
         for i, r in enumerate(self.active):
-            if r is None:
+            if r is None and i != reserved:
                 return i
         return None
 
@@ -385,9 +391,11 @@ class DecodeBatcher:
     def _admit(self, req: _Request, row: int) -> bool:
         """Admit ``req`` into slot ``row``. Returns False when the paged
         pool cannot supply the request's pages yet (backpressure: the
-        caller holds the request until a finish frees pages)."""
+        caller holds the request until a finish frees pages). Paged mode
+        only *stages* the admission here; prefill advances chunk-by-chunk
+        in the worker loop."""
         if self.kv_pages > 0:
-            return self._admit_paged(req, row)
+            return self._start_admission(req, row)
         jnp = self._jnp
         t = len(req.prompt_ids)
         bucket = next(
@@ -458,8 +466,13 @@ class DecodeBatcher:
             self._prefix_map[h] = pages[i]
             self._page_hash[pages[i]] = h
 
-    def _admit_paged(self, req: _Request, row: int) -> bool:
-        jnp = self._jnp
+    def _start_admission(self, req: _Request, row: int) -> bool:
+        """Allocate pages for ``req`` and stage an incremental admission
+        (host-side only — no device work). Returns False under
+        backpressure. Prefill then advances ONE chunk per worker-loop
+        iteration (``_advance_admission``), interleaved with decode
+        steps, so a long prompt never stalls active streams for more
+        than one chunk (vLLM's chunked-prefill scheduling)."""
         s = self.page_size
         t = len(req.prompt_ids)
         hashes = self._block_hashes(req.prompt_ids) if self.prefix_cache else []
@@ -499,41 +512,54 @@ class DecodeBatcher:
 
         row_table = np.zeros((self._maxp,), np.int32)
         row_table[: len(pages)] = pages
-        row_table_dev = jnp.asarray(row_table)
+        self._adm = {
+            "req": req, "row": row, "pages": pages, "hashes": hashes,
+            "table": self._jnp.asarray(row_table), "t": t,
+            "c0": len(shared) * s, "logits": None,
+        }
+        return True
 
-        # chunked paged prefill of the uncached suffix; per-position math
-        # is chunk-boundary-independent, so warm == cold bit-exactly.
-        # Padded tail positions write to the scratch page (decoder guard).
+    def _advance_admission(self) -> None:
+        """One prefill chunk of the staged admission; finalizes (first
+        token, prefix registration, row activation) after the last.
+        Chunk sequence and per-position math are identical to a
+        monolithic prefill, so interleaving never changes output."""
+        jnp = self._jnp
+        adm = self._adm
+        assert adm is not None
+        req, t, c0 = adm["req"], adm["t"], adm["c0"]
+        pfc = self._pfc
         try:
-            start = len(shared) * s
-            pfc = self._pfc
-            logits = None
-            c0 = start
-            for c0 in range(start, t, pfc):
-                chunk = req.prompt_ids[c0:c0 + pfc]
-                chunk = chunk + [0] * (pfc - len(chunk))
-                logits, self.cache = self._prefill_paged(
-                    self.params, self.cache, row_table_dev,
-                    jnp.asarray([chunk], jnp.int32),
-                    jnp.asarray(c0, jnp.int32),
-                )
+            chunk = req.prompt_ids[c0:c0 + pfc]
+            chunk = chunk + [0] * (pfc - len(chunk))
+            logits, self.cache = self._prefill_paged(
+                self.params, self.cache, adm["table"],
+                jnp.asarray([chunk], jnp.int32),
+                jnp.asarray(c0, jnp.int32),
+            )
+            adm["c0"] = c0 + pfc
+            if adm["c0"] < t:
+                return  # more chunks to go; let decode steps interleave
             first_id = self._sample_first(req, logits, (t - 1) - c0)
         except Exception:
             # keep the pool accounting coherent (refs dropped, fresh
             # pages freed) before the caller's fail-fast policy runs
-            self._release_pages(pages)
+            self._release_pages(adm["pages"])
+            self._adm = None
             raise
-        self._register_prompt_pages(hashes, pages, t // s)
+        self._adm = None
+        s = self.page_size
+        self._register_prompt_pages(adm["hashes"], adm["pages"], t // s)
         if first_id == self.eos_id or req.max_new < 1:
-            self._release_pages(pages)
+            self._release_pages(adm["pages"])
             req.out.put(DONE)
-            return True
-        self._row_pages[row] = pages
+            return
+        row = adm["row"]
+        self._row_pages[row] = adm["pages"]
         self.cache = self._set_table_row(
-            self.cache, row_table_dev, jnp.int32(row)
+            self.cache, adm["table"], jnp.int32(row)
         )
         self._set_row_state(req, row, first_id)
-        return True
 
     def _finish(self, row: int) -> None:
         req = self.active[row]
@@ -560,8 +586,10 @@ class DecodeBatcher:
         while not self._stop:
             # admit pending requests into free slots (in order; a request
             # the paged pool cannot serve yet is held, blocking later
-            # ones, until a finishing request frees pages)
-            while True:
+            # ones, until a finishing request frees pages). Paged mode
+            # stages at most one admission at a time and advances its
+            # prefill one chunk per loop iteration below.
+            while not (self.kv_pages > 0 and self._adm is not None):
                 row = self._free_slot()
                 if row is None:
                     break
@@ -579,18 +607,29 @@ class DecodeBatcher:
                 except Exception as e:  # surface failures to the caller
                     req.out.put(e)
                     req.out.put(DONE)
-                    if self.kv_pages > 0:
-                        # a failed paged admission may have died mid-way
-                        # through donated pool updates: cache integrity
-                        # is unknown, so fail the whole batcher fast
-                        # rather than decode from a corrupt pool
-                        self._die(e)
-                        return
 
-            if not any(r is not None for r in self.active):
+            if self._adm is not None:
+                adm_req = self._adm["req"]
+                try:
+                    self._advance_admission()
+                except Exception as e:
+                    # a failed paged prefill may have died mid-way
+                    # through donated pool updates: cache integrity is
+                    # unknown, so fail the whole batcher fast rather
+                    # than decode from a corrupt pool
+                    adm_req.out.put(e)
+                    adm_req.out.put(DONE)
+                    self._die(e)
+                    return
+
+            if self._adm is None and not any(
+                r is not None for r in self.active
+            ):
                 self._wake.wait(timeout=0.1)
                 self._wake.clear()
                 continue
+            if not any(r is not None for r in self.active):
+                continue  # only the staged admission is in flight
 
             try:
                 active_mask = np.asarray(
@@ -656,6 +695,10 @@ class DecodeBatcher:
 
     def _die(self, exc: Exception) -> None:
         self.dead = exc
+        if self._adm is not None:
+            self._adm["req"].out.put(exc)
+            self._adm["req"].out.put(DONE)
+            self._adm = None
         if self._held is not None:
             self._held.out.put(exc)
             self._held.out.put(DONE)

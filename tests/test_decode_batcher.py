@@ -542,3 +542,33 @@ def test_paged_multichunk_prefill_matches_solo(setup):
     want = solo_greedy(cfg, params, prompt, 10)
     assert cold == want, (cold, want)
     assert warm == cold
+
+
+def test_paged_interleaved_admission_under_load(setup):
+    """A long multi-chunk prompt admits while another stream decodes:
+    chunked prefill interleaves with decode steps (bounded stall) and
+    both streams still match solo decoding exactly."""
+    cfg, params = setup
+    from outline_rag_tpu.models.decoder import (
+        cast_decoder_params,
+        stack_decoder_params,
+    )
+
+    stacked = stack_decoder_params(cast_decoder_params(params, cfg.dtype))
+    batcher = DecodeBatcher(
+        stacked, cfg, slots=2, chunk_tokens=2, eos_id=0,
+        kv_pages=16, page_size=16, prefill_chunk=16,
+    )
+    short = [5, 9, 13]
+    long_p = [(3 * i) % 190 + 1 for i in range(44)]  # 3 prefill chunks
+    try:
+        qa = batcher.submit(short, 0.0, 1.0, 14)
+        first = qa.get(timeout=60)  # A is decoding
+        assert first is not DONE and not isinstance(first, Exception)
+        qb = batcher.submit(long_p, 0.0, 1.0, 10)  # admits mid-decode
+        got_a = (first if isinstance(first, list) else []) + collect(qa)
+        got_b = collect(qb)
+    finally:
+        batcher.close()
+    assert got_a == solo_greedy(cfg, params, short, 14)
+    assert got_b == solo_greedy(cfg, params, long_p, 10)
