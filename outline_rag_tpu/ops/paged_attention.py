@@ -236,10 +236,6 @@ def paged_attention(
         live = jnp.minimum(pp, (ps[bb] + t - 1) // s_pg)
         return (tbl[bb, live], hh, 0, 0)
 
-    def scale_index(bb, hh, pp, tbl, ps):
-        live = jnp.minimum(pp, (ps[bb] + t - 1) // s_pg)
-        return (tbl[bb, live], hh, 0, 0)
-
     in_specs = [
         pl.BlockSpec(
             (1, 1, gt, dh), lambda bb, hh, pp, tbl, ps: (bb, hh, 0, 0)
@@ -249,9 +245,10 @@ def paged_attention(
     ]
     operands = [q_g, pool_k, pool_v]
     if quant:
+        # scale views are 4-d like k/v, so the same index map serves both
         in_specs += [
-            pl.BlockSpec((1, 1, 1, s_pg), scale_index),
-            pl.BlockSpec((1, 1, 1, s_pg), scale_index),
+            pl.BlockSpec((1, 1, 1, s_pg), kv_index),
+            pl.BlockSpec((1, 1, 1, s_pg), kv_index),
         ]
         operands += [
             k_scale.reshape(p_, kvh, 1, s_pg),

@@ -60,7 +60,7 @@ def _round_up(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
+@functools.partial(jax.jit, static_argnames=("k", "seg"))
 def topk_wide(
     scores: jax.Array, k: int, seg: int = 8192
 ) -> tuple[jax.Array, jax.Array]:
@@ -74,7 +74,9 @@ def topk_wide(
     resolve to the lower segment — i.e. the lower corpus index.
     """
     b, n = scores.shape
-    if n <= seg:
+    if n <= seg or k > seg:
+        # narrow rows gain nothing; k > seg would overflow the segment
+        # top-k (single-stage handles any k <= n, as before)
         vals, idx = jax.lax.top_k(scores, k)
         return vals, idx.astype(jnp.int32)
     nseg = -(-n // seg)
@@ -92,6 +94,7 @@ def topk_wide(
     return vals, idx
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
 def topk_xla(
     queries: jax.Array,
     corpus: jax.Array,

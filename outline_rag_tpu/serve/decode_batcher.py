@@ -113,7 +113,13 @@ class DecodeBatcher:
         self._adm: dict | None = None  # staged paged admission in flight
         self.prefix_hits = 0  # prompt pages served from cache (stats)
         self.prefix_lookups = 0
-        self.kv_int8 = bool(kv_int8) and self.kv_pages > 0
+        if kv_int8 and self.kv_pages <= 0:
+            raise ValueError(
+                "kv_int8 requires the paged pool (set kv_pages > 0 / "
+                "DECODER_KV_PAGES); refusing to silently run the "
+                "full-precision ring"
+            )
+        self.kv_int8 = bool(kv_int8)
         if self.kv_pages > 0:
             self.cache = init_paged_cache(
                 cfg, slots, self.kv_pages, page_size,
@@ -290,7 +296,9 @@ class DecodeBatcher:
         out = {
             "slots": self.slots,
             "active": sum(1 for r in self.active if r is not None),
-            "queued": self.pending.qsize() + (1 if self._held else 0),
+            "queued": self.pending.qsize()
+            + (1 if self._held else 0)
+            + (1 if self._adm is not None else 0),
             "admitting": self._adm is not None,
             "mode": "paged" if self.kv_pages > 0 else "ring",
         }

@@ -515,9 +515,15 @@ async function sendQuestion() {
   const tailEl = document.createElement("div");
   assistantDiv.append(stableEl, tailEl);
   let stableCut = 0;
-  const fencesBalanced = (s) =>
-    (s.split("```").length - 1) % 2 === 0 &&
-    (s.split("$$").length - 1) % 2 === 0;
+  const fencesBalanced = (s) => {
+    const parts = s.split("```");
+    if ((parts.length - 1) % 2 !== 0) return false;
+    // count $$ only OUTSIDE code fences: a lone $$ inside a shell or
+    // Makefile snippet must not freeze the stable cut forever
+    let dollars = 0;
+    for (let i = 0; i < parts.length; i += 2) dollars += parts[i].split("$$").length - 1;
+    return dollars % 2 === 0;
+  };
   const renderTick = (content) => {
     let cut = content.lastIndexOf("\n\n");
     while (cut > stableCut && !fencesBalanced(content.slice(0, cut))) {

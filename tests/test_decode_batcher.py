@@ -572,3 +572,15 @@ def test_paged_interleaved_admission_under_load(setup):
         batcher.close()
     assert got_a == solo_greedy(cfg, params, short, 14)
     assert got_b == solo_greedy(cfg, params, long_p, 10)
+
+
+def test_kv_int8_requires_paged_pool(setup):
+    cfg, params = setup
+    from outline_rag_tpu.models.decoder import (
+        cast_decoder_params,
+        stack_decoder_params,
+    )
+
+    stacked = stack_decoder_params(cast_decoder_params(params, cfg.dtype))
+    with pytest.raises(ValueError, match="kv_int8 requires"):
+        DecodeBatcher(stacked, cfg, slots=2, eos_id=0, kv_int8=True)
