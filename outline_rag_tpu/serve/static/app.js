@@ -187,14 +187,27 @@ function renderBlocks(text) {
       i++;
     } else if (/^(\s*)([-*+]|\d+[.)])\s+/.test(line)) {
       flushPara(para);
-      const ordered = /^\s*\d/.test(line);
-      const tag = ordered ? "ol" : "ul";
-      html += `<${tag}>`;
-      while (i < lines.length && /^(\s*)([-*+]|\d+[.)])\s+/.test(lines[i])) {
-        html += "<li>" + renderInline(lines[i].replace(/^(\s*)([-*+]|\d+[.)])\s+/, "")) + "</li>";
-        i++;
-      }
-      html += `</${tag}>`;
+      /* indentation-based nesting: deeper items open a sublist inside
+       * the previous <li> (reference uses marked's full list parser) */
+      const listAt = (indent) => {
+        const first = lines[i].match(/^(\s*)([-*+]|\d+[.)])\s+/);
+        const tag = /\d/.test(first[2]) ? "ol" : "ul";
+        let out = `<${tag}>`, liOpen = false;
+        while (i < lines.length) {
+          const m2 = lines[i].match(/^(\s*)([-*+]|\d+[.)])\s+(.*)$/);
+          if (!m2) break;
+          const ind = m2[1].length;
+          if (ind < indent) break;
+          if (ind > indent) { out += listAt(ind); continue; }
+          if (liOpen) out += "</li>";
+          out += "<li>" + renderInline(m2[3]);
+          liOpen = true;
+          i++;
+        }
+        if (liOpen) out += "</li>";
+        return out + `</${tag}>`;
+      };
+      html += listAt(line.match(/^(\s*)/)[1].length);
     } else if (/^\s*>\s?/.test(line)) {
       flushPara(para);
       const quote = [];

@@ -584,3 +584,36 @@ def test_kv_int8_requires_paged_pool(setup):
     stacked = stack_decoder_params(cast_decoder_params(params, cfg.dtype))
     with pytest.raises(ValueError, match="kv_int8 requires"):
         DecodeBatcher(stacked, cfg, slots=2, eos_id=0, kv_int8=True)
+
+
+def test_all_features_compose(setup):
+    """Speculation + paged pool + int8 KV + prefix cache in one batcher:
+    serves, reproduces per (seed, prompt), and shares prefix pages."""
+    cfg, params = setup
+    from outline_rag_tpu.models.decoder import (
+        cast_decoder_params,
+        stack_decoder_params,
+    )
+
+    stacked = stack_decoder_params(cast_decoder_params(params, cfg.dtype))
+    p = [(7 * i) % 200 + 1 for i in range(20)]
+
+    def run():
+        b = DecodeBatcher(
+            stacked, cfg, slots=2, chunk_tokens=4, eos_id=0,
+            spec_k=2, spec_gram=2, kv_pages=16, page_size=16,
+            kv_int8=True, prefill_chunk=16,
+        )
+        try:
+            a = collect(b.submit(p, 0.8, 0.95, 10, seed=7))
+            c = collect(b.submit(p, 0.8, 0.95, 10, seed=7))  # warm
+            assert b.prefix_hits >= 1
+            return a, c
+        finally:
+            b.close()
+
+    a1, c1 = run()
+    assert a1 == c1  # warm == cold (quantized writes are deterministic)
+    a2, _ = run()
+    assert a1 == a2  # reproducible across batcher instances
+    assert 0 < len(a1) <= 10
