@@ -207,3 +207,35 @@ def test_compensated_with_penalty_and_ties():
     # without the penalty the tie breaks low
     vals2, idx2 = cosine_topk(jnp.asarray(q), c2, 4, impl="pallas", block_n=128)
     assert np.asarray(idx2)[0, 0] == 7
+
+
+def test_topk_wide_matches_single_stage():
+    """Two-stage wide top-k == lax.top_k exactly (values, indices, ties,
+    tombstones at segment boundaries, explicit seg, k > seg fallback)."""
+    import jax
+
+    from outline_rag_tpu.ops.topk import NEG, topk_wide
+
+    rng = np.random.default_rng(5)
+    scores = rng.standard_normal((4, 20000)).astype(np.float32)
+    # plant exact ties straddling the default segment boundary
+    scores[0, 8190:8195] = 7.5
+    scores[1, :] = 1.0  # fully tied row: lowest indices must win
+    # a row that is all-tombstone except 3 entries
+    scores[2, :] = NEG
+    scores[2, [11, 8191, 16384]] = [3.0, 2.0, 1.0]
+    s = jnp.asarray(scores)
+
+    want_v, want_i = jax.lax.top_k(s, 12)
+    got_v, got_i = topk_wide(s, 12)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+
+    # explicit (static) seg
+    gv, gi = topk_wide(s, 12, seg=4096)
+    np.testing.assert_array_equal(np.asarray(gi), np.asarray(want_i))
+
+    # k > seg falls back to single-stage
+    wv, wi = jax.lax.top_k(s[:, :300], 40)
+    gv, gi = topk_wide(s[:, :300], 40, seg=32)
+    np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
