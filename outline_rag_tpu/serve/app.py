@@ -199,6 +199,7 @@ def build_app(
                     page_size=settings.decoder_page_size,
                     prefix_cache=settings.decoder_prefix_cache,
                     kv_int8=settings.decoder_kv_int8,
+                    tp_devices=settings.decoder_tp,
                 )
             except Exception as exc:
                 # An explicitly configured local decoder that fails to load

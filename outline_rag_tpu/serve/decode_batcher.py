@@ -68,6 +68,7 @@ class DecodeBatcher:
         prefix_cache: bool = True,  # paged mode: share full prompt pages
         prefill_chunk: int = 256,  # paged-prefill program width (tokens)
         kv_int8: bool = False,  # paged mode: int8 pool (half the KV HBM)
+        mesh=None,  # TP mesh (parallel/tp.py): ring cache shards on KvH
     ):
         import functools
 
@@ -175,7 +176,18 @@ class DecodeBatcher:
         else:
             self.prefix_cache = False
             self.cache = init_cache(cfg, slots)
-        self._init_row_cache = functools.partial(init_cache, cfg, 1)
+        self.mesh = mesh
+        if mesh is not None:
+            if self.kv_pages > 0:
+                raise ValueError("TP mesh requires the ring cache")
+            from outline_rag_tpu.parallel.tp import shard_decoder_cache
+
+            self.cache = shard_decoder_cache(self.cache, mesh)
+            self._init_row_cache = lambda: shard_decoder_cache(
+                init_cache(cfg, 1), mesh
+            )
+        else:
+            self._init_row_cache = functools.partial(init_cache, cfg, 1)
         self.tok = np.zeros((slots,), np.int32)
         self.pos = np.zeros((slots,), np.int32)
         self.temp = np.zeros((slots,), np.float32)

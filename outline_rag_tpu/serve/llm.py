@@ -213,6 +213,7 @@ class LocalChatProvider:
         page_size: int = 128,
         prefix_cache: bool = True,  # paged mode: share repeated prompt prefixes
         kv_int8: bool = False,  # paged mode: int8 KV pool
+        tp_devices: int = 0,  # >1 -> Megatron-TP decode over a device mesh
     ):
         import functools
 
@@ -230,11 +231,46 @@ class LocalChatProvider:
         )
 
         self.cfg = cfg
-        self.params = fuse_decoder_params(
-            stack_decoder_params(cast_decoder_params(params, cfg.dtype))
-        )
-        if int8_weights:
-            self.params = quantize_decoder_params(self.params)
+        # tensor parallelism (parallel/tp.py): pure GSPMD — params are
+        # sharded Megatron-style and every already-jitted program below
+        # partitions automatically (XLA inserts the two per-layer
+        # all-reduces). Unfused weights (the TP layouts shard wq/wk/wv
+        # individually) and the ring cache (the paged Pallas walk is a
+        # single-device program) are required.
+        self.mesh = None
+        if tp_devices and int(tp_devices) > 1:
+            if int8_weights:
+                raise ValueError(
+                    "DECODER_TP with DECODER_INT8 is unsupported: the "
+                    "quantized {'q','s'} leaves have no TP layout yet"
+                )
+            if kv_pages:
+                raise ValueError(
+                    "DECODER_TP requires the ring cache "
+                    "(DECODER_KV_PAGES=0): the paged page-walk kernel "
+                    "is a single-device program"
+                )
+            if cfg.heads % int(tp_devices) or cfg.kv_heads % int(tp_devices):
+                raise ValueError(
+                    f"heads={cfg.heads}/kv_heads={cfg.kv_heads} not "
+                    f"divisible by tp_devices={tp_devices}"
+                )
+            from outline_rag_tpu.parallel.tp import (
+                model_mesh,
+                shard_decoder_params,
+            )
+
+            self.mesh = model_mesh(int(tp_devices))
+            self.params = shard_decoder_params(
+                stack_decoder_params(cast_decoder_params(params, cfg.dtype)),
+                self.mesh,
+            )
+        else:
+            self.params = fuse_decoder_params(
+                stack_decoder_params(cast_decoder_params(params, cfg.dtype))
+            )
+            if int8_weights:
+                self.params = quantize_decoder_params(self.params)
         self.tokenizer = tokenizer
         self.eos_id = eos_id if eos_id is not None else getattr(
             tokenizer, "eos_token_id", 2
@@ -245,7 +281,14 @@ class LocalChatProvider:
         self.prompt_buckets = tuple(
             b for b in prompt_buckets if b <= cfg.max_cache
         ) or (cfg.max_cache,)
-        self._init_cache = lambda: init_cache(cfg, 1)
+        if self.mesh is not None:
+            from outline_rag_tpu.parallel.tp import shard_decoder_cache
+
+            self._init_cache = lambda: shard_decoder_cache(
+                init_cache(cfg, 1), self.mesh
+            )
+        else:
+            self._init_cache = lambda: init_cache(cfg, 1)
         self._prefill = jax.jit(
             lambda p, toks, cache, start: decoder_forward(
                 p, toks, cache, start, cfg
@@ -296,6 +339,7 @@ class LocalChatProvider:
                 page_size=int(page_size),
                 prefix_cache=bool(prefix_cache),
                 kv_int8=bool(kv_int8),
+                mesh=self.mesh,
             )
 
     def stats(self) -> dict:

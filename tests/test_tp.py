@@ -75,3 +75,76 @@ def test_tp_generation_matches_single_device():
         shard_decoder_cache(init_cache(cfg, 1), mesh),
     )
     assert got == want
+
+
+def test_tp_provider_serving_matches_unsharded():
+    """LocalChatProvider(tp_devices=2): Megatron-sharded decode through
+    the continuous batcher equals the unsharded provider token-for-token
+    (greedy). The forward is untouched — GSPMD partitions the jitted
+    step programs from the param shardings alone."""
+    import asyncio
+
+    from outline_rag_tpu.models.decoder import (
+        DecoderConfig,
+        init_decoder_params,
+    )
+    from outline_rag_tpu.serve.llm import LocalChatProvider
+
+    cfg = DecoderConfig.tiny()  # heads=4, kv_heads=2: divisible by 2
+    params = init_decoder_params(jax.random.key(0), cfg)
+
+    class Tok:
+        eos_token_id = 0
+
+        def encode(self, text):
+            return [1 + (b % 250) for b in text.encode()][:40]
+
+        def decode(self, ids):
+            return " ".join(str(i) for i in ids)
+
+    def complete(prov, text):
+        return asyncio.run(
+            prov.complete(
+                "m", [{"role": "user", "content": text}], temperature=0.0
+            )
+        )
+
+    plain = LocalChatProvider(
+        params, cfg, Tok(), chunk_tokens=4, max_new_tokens=10
+    )
+    tp = LocalChatProvider(
+        params, cfg, Tok(), chunk_tokens=4, max_new_tokens=10,
+        tp_devices=2, batch_slots=2,
+    )
+    try:
+        for text in ("hello tensor parallel", "second stream"):
+            assert complete(tp, text) == complete(plain, text)
+    finally:
+        if tp._batcher is not None:
+            tp._batcher.close()
+
+
+def test_tp_provider_rejects_bad_configs():
+    import pytest
+
+    from outline_rag_tpu.models.decoder import (
+        DecoderConfig,
+        init_decoder_params,
+    )
+    from outline_rag_tpu.serve.llm import LocalChatProvider
+
+    cfg = DecoderConfig.tiny()
+    params = init_decoder_params(jax.random.key(1), cfg)
+
+    class Tok:
+        eos_token_id = 0
+        encode = staticmethod(lambda t: [1, 2, 3])
+        decode = staticmethod(lambda ids: "x")
+
+    with pytest.raises(ValueError, match="DECODER_INT8"):
+        LocalChatProvider(params, cfg, Tok(), tp_devices=2, int8_weights=True)
+    with pytest.raises(ValueError, match="ring cache"):
+        LocalChatProvider(params, cfg, Tok(), tp_devices=2, kv_pages=8,
+                          batch_slots=2)
+    with pytest.raises(ValueError, match="divisible"):
+        LocalChatProvider(params, cfg, Tok(), tp_devices=3)
