@@ -636,12 +636,37 @@ async def serve(
     return server
 
 
-def run(app: App, host: str = "0.0.0.0", port: int = 8000) -> None:
+def run(
+    app: App,
+    host: str = "0.0.0.0",
+    port: int = 8000,
+    drain_timeout: float = 10.0,
+) -> None:
+    """Serve until SIGTERM/SIGINT, then shut down gracefully: stop
+    accepting, give in-flight requests (including SSE streams) up to
+    ``drain_timeout`` seconds to finish, then run shutdown hooks — the
+    behavior uvicorn gives the reference (`app/main.py` stack); without
+    a handler, Docker's SIGTERM would kill mid-stream with no cleanup."""
+    import signal
+
     async def main():
-        server = await serve(app, host, port)
+        limits = ServerLimits()
+        server = await serve(app, host, port, limits=limits)
+        stop = asyncio.Event()
+        loop = asyncio.get_running_loop()
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                loop.add_signal_handler(sig, stop.set)
+            except (NotImplementedError, RuntimeError):
+                pass  # non-unix / nested loop: fall back to default
         try:
-            async with server:
-                await server.serve_forever()
+            await stop.wait()
+            server.close()  # stop accepting; in-flight handlers continue
+            log.info("shutdown signal: draining %d connection(s)",
+                     limits.connections)
+            deadline = loop.time() + drain_timeout
+            while limits.connections > 0 and loop.time() < deadline:
+                await asyncio.sleep(0.1)
         finally:
             await app.shutdown()
 

@@ -381,3 +381,64 @@ def test_stream_cap_503():
             await server.wait_closed()
 
     asyncio.run(run())
+
+
+def test_run_drains_on_sigterm(tmp_path):
+    """run(): SIGTERM stops accepting, drains, runs shutdown hooks, and
+    exits 0 (the uvicorn-parity graceful path Docker relies on)."""
+    import os
+    import signal
+    import socket
+    import subprocess
+    import sys
+    import time
+
+    marker = tmp_path / "shutdown.txt"
+    script = tmp_path / "srv.py"
+    script.write_text(
+        "import sys\n"
+        f"sys.path.insert(0, {repr(os.getcwd())})\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from outline_rag_tpu.serve.http import App, Response, run\n"
+        "app = App(secret_key='k')\n"
+        "@app.get('/ping')\n"
+        "async def ping(req):\n"
+        "    return Response.json({'ok': True})\n"
+        "async def on_stop():\n"
+        f"    open({repr(str(marker))}, 'w').write('done')\n"
+        "app.on_shutdown.append(on_stop)\n"
+        f"run(app, host='127.0.0.1', port={0}, drain_timeout=3.0)\n"
+    )
+    # pick a free port first (run() binds it directly)
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    script.write_text(script.read_text().replace("port=0", f"port={port}"))
+
+    proc = subprocess.Popen(
+        [sys.executable, str(script)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+    )
+    try:
+        deadline = time.time() + 30
+        up = False
+        while time.time() < deadline:
+            try:
+                c = socket.create_connection(("127.0.0.1", port), timeout=0.5)
+                c.sendall(b"GET /ping HTTP/1.1\r\nhost: x\r\n\r\n")
+                if b"200" in c.recv(4096):
+                    up = True
+                c.close()
+                if up:
+                    break
+            except OSError:
+                time.sleep(0.2)
+        assert up, "server never came up"
+        proc.send_signal(signal.SIGTERM)
+        assert proc.wait(timeout=15) == 0
+        assert marker.read_text() == "done"
+    finally:
+        if proc.poll() is None:
+            proc.kill()
