@@ -345,6 +345,8 @@ class LocalChatProvider:
     def stats(self) -> dict:
         """Decode-path operational stats for /chat/api/metrics."""
         out = {"model": self.model_name}
+        if self.mesh is not None:
+            out["tp"] = int(self.mesh.size)
         if self._batcher is not None:
             out.update(self._batcher.stats())
         else:

@@ -148,3 +148,43 @@ def test_tp_provider_rejects_bad_configs():
                           batch_slots=2)
     with pytest.raises(ValueError, match="divisible"):
         LocalChatProvider(params, cfg, Tok(), tp_devices=3)
+
+
+def test_tp_spec_batcher_matches_unsharded():
+    """Speculation composes with TP: GSPMD partitions the spec step
+    program too; greedy output equals the unsharded spec batcher."""
+    from outline_rag_tpu.models.decoder import (
+        DecoderConfig,
+        init_decoder_params,
+        stack_decoder_params,
+    )
+    from outline_rag_tpu.parallel.tp import model_mesh, shard_decoder_params
+    from outline_rag_tpu.serve.decode_batcher import DONE, DecodeBatcher
+
+    cfg = DecoderConfig.tiny()
+    params = stack_decoder_params(init_decoder_params(jax.random.key(3), cfg))
+
+    def collect(q):
+        out = []
+        while True:
+            item = q.get(timeout=60)
+            if item is DONE:
+                return out
+            if isinstance(item, Exception):
+                raise item
+            out.extend(item)
+
+    def run(mesh, p):
+        b = DecodeBatcher(
+            p, cfg, slots=2, chunk_tokens=4, eos_id=0,
+            spec_k=2, spec_gram=2, mesh=mesh,
+        )
+        try:
+            return collect(b.submit([5, 9, 13, 5, 9, 13], 0.0, 1.0, 10))
+        finally:
+            b.close()
+
+    mesh = model_mesh(2)
+    want = run(None, params)
+    got = run(mesh, shard_decoder_params(params, mesh))
+    assert got == want, (got, want)
