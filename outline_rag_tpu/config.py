@@ -269,6 +269,8 @@ class Settings:
     decoder_kv_int8: bool = False
     # >1: Megatron-TP decode over that many devices (parallel/tp.py)
     decoder_tp: int = 0
+    # graceful-shutdown drain window for in-flight requests/streams
+    drain_timeout: float = 10.0
     query_batch_window_ms: float = 4.0
     query_batch_max: int = 32
     lex_weight: float = 0.0  # >0 blends BGE-m3 lexical overlap into retrieval
@@ -399,6 +401,7 @@ def load_settings(env: dict[str, str] | None = None) -> Settings:
         decoder_prefix_cache=_env_bool("DECODER_PREFIX_CACHE", True),
         decoder_kv_int8=_env_bool("DECODER_KV_INT8", False),
         decoder_tp=_env_int("DECODER_TP", 0),
+        drain_timeout=_env_float("DRAIN_TIMEOUT", 10.0),
         query_batch_window_ms=_env_float("QUERY_BATCH_WINDOW_MS", 4.0),
         query_batch_max=_env_int("QUERY_BATCH_MAX", 32),
         lex_weight=_env_float("LEX_WEIGHT", 0.0),

@@ -110,7 +110,8 @@ def main() -> None:
         settings.shard_capacity,
         app.state["retrieval"].fused,
     )
-    run(app, settings.host, settings.port)
+    run(app, settings.host, settings.port,
+        drain_timeout=settings.drain_timeout)
 
 
 if __name__ == "__main__":
