@@ -52,6 +52,13 @@ _LAYER_SPECS = {
 def model_mesh(n_devices: int | None = None) -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devs):
+            # silently truncating would run a lower TP degree than the
+            # divisibility guards validated (and than the HBM plan needs)
+            raise ValueError(
+                f"requested {n_devices}-way TP but only "
+                f"{len(devs)} device(s) are visible"
+            )
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (MODEL_AXIS,))
 

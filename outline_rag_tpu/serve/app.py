@@ -201,6 +201,12 @@ def build_app(
                     kv_int8=settings.decoder_kv_int8,
                     tp_devices=settings.decoder_tp,
                 )
+            except ValueError:
+                # invalid DECODER_* combination (TP+int8, TP+paged pool,
+                # indivisible heads, ...): surface the config error
+                # as-is — blaming the checkpoint would send the operator
+                # debugging the wrong thing
+                raise
             except Exception as exc:
                 # An explicitly configured local decoder that fails to load
                 # is a deployment error — fail fast (reference startup

@@ -538,6 +538,8 @@ class ServerLimits:
         self.max_streams = max_streams
         self.connections = 0  # live counters
         self.streams = 0
+        self.in_flight = 0  # requests being processed (drain watches this,
+        # not `connections`: idle keep-alive conns must not stall shutdown)
 
 
 async def _serve_connection(
@@ -574,11 +576,13 @@ async def _serve_connection(
                 streaming = False
             if streaming:
                 limits.streams += 1
+            limits.in_flight += 1
             try:
                 ok = await _write_response(
                     writer, resp, keep, write_timeout=limits.write_timeout
                 )
             finally:
+                limits.in_flight -= 1
                 if streaming:
                     limits.streams -= 1
             if not ok:
@@ -647,6 +651,7 @@ def run(
     ``drain_timeout`` seconds to finish, then run shutdown hooks — the
     behavior uvicorn gives the reference (`app/main.py` stack); without
     a handler, Docker's SIGTERM would kill mid-stream with no cleanup."""
+    import os
     import signal
 
     async def main():
@@ -654,18 +659,27 @@ def run(
         server = await serve(app, host, port, limits=limits)
         stop = asyncio.Event()
         loop = asyncio.get_running_loop()
+
+        def on_signal():
+            if stop.is_set():  # second signal: force-quit (uvicorn-like)
+                log.warning("second shutdown signal: forcing exit")
+                os._exit(130)
+            stop.set()
+
         for sig in (signal.SIGTERM, signal.SIGINT):
             try:
-                loop.add_signal_handler(sig, stop.set)
+                loop.add_signal_handler(sig, on_signal)
             except (NotImplementedError, RuntimeError):
                 pass  # non-unix / nested loop: fall back to default
         try:
             await stop.wait()
             server.close()  # stop accepting; in-flight handlers continue
-            log.info("shutdown signal: draining %d connection(s)",
-                     limits.connections)
+            log.info("shutdown signal: draining %d in-flight request(s)",
+                     limits.in_flight)
             deadline = loop.time() + drain_timeout
-            while limits.connections > 0 and loop.time() < deadline:
+            # idle keep-alive connections don't count: only requests
+            # mid-processing (SSE streams included) hold the window open
+            while limits.in_flight > 0 and loop.time() < deadline:
                 await asyncio.sleep(0.1)
         finally:
             await app.shutdown()

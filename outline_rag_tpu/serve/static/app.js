@@ -189,7 +189,7 @@ function renderBlocks(text) {
       flushPara(para);
       /* indentation-based nesting: deeper items open a sublist inside
        * the previous <li> (reference uses marked's full list parser) */
-      const listAt = (indent) => {
+      const listAt = (indent, depth) => {
         const first = lines[i].match(/^(\s*)([-*+]|\d+[.)])\s+/);
         const tag = /\d/.test(first[2]) ? "ol" : "ul";
         let out = `<${tag}>`, liOpen = false;
@@ -198,7 +198,9 @@ function renderBlocks(text) {
           if (!m2) break;
           const ind = m2[1].length;
           if (ind < indent) break;
-          if (ind > indent) { out += listAt(ind); continue; }
+          /* depth bound: degenerate ever-deeper input renders flat at
+           * the cap instead of overflowing the call stack */
+          if (ind > indent && depth < 8) { out += listAt(ind, depth + 1); continue; }
           if (liOpen) out += "</li>";
           out += "<li>" + renderInline(m2[3]);
           liOpen = true;
@@ -207,7 +209,7 @@ function renderBlocks(text) {
         if (liOpen) out += "</li>";
         return out + `</${tag}>`;
       };
-      html += listAt(line.match(/^(\s*)/)[1].length);
+      html += listAt(line.match(/^(\s*)/)[1].length, 0);
     } else if (/^\s*>\s?/.test(line)) {
       flushPara(para);
       const quote = [];
