@@ -14,6 +14,12 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 
+# the dev/demo server is fully offline (hash embedder, fake LLM): force
+# the CPU backend so it never depends on the TPU tunnel's health
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 from outline_rag_tpu.config import load_settings
 from outline_rag_tpu.serve.app import build_app
 from outline_rag_tpu.serve.http import serve
