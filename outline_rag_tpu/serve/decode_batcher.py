@@ -50,6 +50,7 @@ class _Request:
     max_new: int
     out: "queue.Queue[Any]"
     seed: int
+    token: int = 0  # cancellation handle (see DecodeBatcher.cancel)
 
 
 class DecodeBatcher:
@@ -195,6 +196,8 @@ class DecodeBatcher:
         self.active: list[_Request | None] = [None] * slots
         self.produced = [0] * slots
         self.pending: "queue.Queue[_Request]" = queue.Queue()
+        self._next_token = 1
+        self._cancelled: set[int] = set()  # tokens; set ops are atomic
         self._wake = threading.Event()
         self._stop = False
         self.dead: Exception | None = None  # set when the worker crashes
@@ -295,13 +298,30 @@ class DecodeBatcher:
         prompt_ids = list(prompt_ids)[-max(limit, 4):]
         # cap generation so positions never reach the ring capacity
         max_new = min(max_new, self.cfg.max_cache - len(prompt_ids) - 2)
+        tok = self._next_token
+        self._next_token += 1
+        out.cancel_token = tok  # handle for cancel(out)
         self.pending.put(
-            _Request(prompt_ids, float(temperature), float(top_p), max_new, out, seed)
+            _Request(
+                prompt_ids, float(temperature), float(top_p), max_new,
+                out, seed, token=tok,
+            )
         )
         self._wake.set()
         if self.dead is not None:  # worker died between the check and the put
             self._die(self.dead)
         return out
+
+    def cancel(self, out: "queue.Queue[Any]") -> None:
+        """Abandon the stream bound to ``out`` (thread-safe; e.g. the
+        client disconnected mid-SSE). The worker reclaims the slot —
+        and in paged mode the pages — at its next scheduling point
+        instead of decoding the remaining max_new tokens for nobody.
+        The stream still ends with DONE."""
+        token = getattr(out, "cancel_token", None)
+        if token is not None:
+            self._cancelled.add(token)
+            self._wake.set()
 
     def stats(self) -> dict:
         """Operational snapshot (reads are racy-but-harmless: ints)."""
@@ -548,6 +568,12 @@ class DecodeBatcher:
         adm = self._adm
         assert adm is not None
         req, t, c0 = adm["req"], adm["t"], adm["c0"]
+        if req.token in self._cancelled:
+            self._cancelled.discard(req.token)
+            self._release_pages(adm["pages"])
+            self._adm = None
+            req.out.put(DONE)
+            return
         pfc = self._pfc
         try:
             chunk = req.prompt_ids[c0:c0 + pfc]
@@ -584,6 +610,8 @@ class DecodeBatcher:
     def _finish(self, row: int) -> None:
         req = self.active[row]
         self.active[row] = None
+        if req is not None:
+            self._cancelled.discard(req.token)
         if self.kv_pages > 0 and self._row_pages[row]:
             # drop the row's refs (cached prefix pages stay resident for
             # reuse until evicted); point its table at the scratch page 0
@@ -620,6 +648,10 @@ class DecodeBatcher:
                         req = self.pending.get_nowait()
                     except queue.Empty:
                         break
+                if req.token in self._cancelled:
+                    self._cancelled.discard(req.token)
+                    req.out.put(DONE)
+                    continue
                 try:
                     if not self._admit(req, row):
                         self._held = req
@@ -690,6 +722,9 @@ class DecodeBatcher:
                 self.pos = np.array(pos_dev, np.int32)
                 for row, req in enumerate(self.active):
                     if req is None:
+                        continue
+                    if req.token in self._cancelled:
+                        self._finish(row)  # reclaims slot/pages; DONE
                         continue
                     ids = toks_np[row].tolist()
                     if counts is not None:

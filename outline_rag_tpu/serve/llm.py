@@ -464,26 +464,34 @@ class LocalChatProvider:
         )
         out_ids: list[int] = []
         emitted = ""
-        while True:
-            try:
-                item = out_q.get(timeout=30.0)
-            except queue.Empty:
-                # No progress: either the worker died (surface it) or the
-                # queue is congested / a remote compile is in flight (wait on).
-                if self._batcher.dead is not None:
-                    raise RuntimeError(
-                        "decode batcher worker died mid-stream"
-                    ) from self._batcher.dead
-                continue
-            if item is B_DONE:
-                break
-            if isinstance(item, Exception):
-                raise item
-            out_ids.extend(item)
-            text = self.tokenizer.decode(out_ids)
-            if not text.endswith("�") and len(text) > len(emitted):
-                yield text[len(emitted):]
-                emitted = text
+        finished = False
+        try:
+            while True:
+                try:
+                    item = out_q.get(timeout=30.0)
+                except queue.Empty:
+                    # No progress: either the worker died (surface it) or the
+                    # queue is congested / a remote compile is in flight (wait on).
+                    if self._batcher.dead is not None:
+                        raise RuntimeError(
+                            "decode batcher worker died mid-stream"
+                        ) from self._batcher.dead
+                    continue
+                if item is B_DONE:
+                    finished = True
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                out_ids.extend(item)
+                text = self.tokenizer.decode(out_ids)
+                if not text.endswith("�") and len(text) > len(emitted):
+                    yield text[len(emitted):]
+                    emitted = text
+        finally:
+            if not finished:
+                # generator closed early (client disconnected mid-SSE):
+                # reclaim the slot instead of decoding for nobody
+                self._batcher.cancel(out_q)
 
     def _generate_spec(
         self, ids, t, padded, cache, logits, key, temp, tp, max_new
@@ -577,19 +585,30 @@ class LocalChatProvider:
         q: _q.Queue = _q.Queue()
         DONE = object()
 
+        import threading
+
+        stop = threading.Event()
+
         def worker():
             try:
-                for piece in self._pieces(
+                gen = self._pieces(
                     messages, temperature, top_p, self.max_new_tokens
-                ):
+                )
+                for piece in gen:
+                    if stop.is_set():
+                        gen.close()  # fires the cancel path above
+                        break
                     q.put(piece)
             finally:
                 q.put(DONE)
 
         task = asyncio.get_running_loop().run_in_executor(None, worker)
-        while True:
-            piece = await asyncio.to_thread(q.get)
-            if piece is DONE:
-                break
-            yield {"content": piece, "thinking": None, "model": self.model_name}
-        await task
+        try:
+            while True:
+                piece = await asyncio.to_thread(q.get)
+                if piece is DONE:
+                    break
+                yield {"content": piece, "thinking": None, "model": self.model_name}
+            await task
+        finally:
+            stop.set()  # aclose() mid-stream: stop the feeding thread

@@ -617,3 +617,73 @@ def test_all_features_compose(setup):
     a2, _ = run()
     assert a1 == a2  # reproducible across batcher instances
     assert 0 < len(a1) <= 10
+
+
+def test_cancel_reclaims_slot_and_pages(setup):
+    """cancel(out): an abandoned stream's slot (and paged pool pages)
+    are reclaimed at the next scheduling point; the queue still ends
+    with DONE; pending cancels never get admitted."""
+    import time as _time
+
+    cfg, params = setup
+    from outline_rag_tpu.models.decoder import (
+        cast_decoder_params,
+        stack_decoder_params,
+    )
+
+    stacked = stack_decoder_params(cast_decoder_params(params, cfg.dtype))
+    b = DecodeBatcher(
+        stacked, cfg, slots=1, chunk_tokens=2, eos_id=0,
+        kv_pages=8, page_size=16,
+    )
+    try:
+        q1 = b.submit([5, 9, 13], 0.0, 1.0, 40)
+        first = q1.get(timeout=60)
+        assert isinstance(first, list)
+        q2 = b.submit([7, 8], 0.0, 1.0, 10)  # waits behind the 1 slot
+        b.cancel(q1)
+        got2 = collect(q2)  # can only complete if q1's slot was freed
+        assert got2 == solo_greedy(cfg, params, [7, 8], 10)
+        # q1 ended with DONE without producing all 40 tokens
+        drained = []
+        while True:
+            item = q1.get(timeout=10)
+            if item is DONE:
+                break
+            drained.extend(item)
+        assert len(drained) < 40 - 1
+        deadline = _time.time() + 10
+        while _time.time() < deadline and b.stats()["pages_free"] != 7:
+            _time.sleep(0.05)
+        assert b.stats()["pages_free"] == 7  # all but scratch reclaimed
+        assert b.stats()["active"] == 0
+    finally:
+        b.close()
+
+
+def test_provider_stream_close_cancels_row(setup):
+    """Closing the provider's async stream mid-generation frees the
+    batcher slot (the abandoned-request path a client disconnect takes)."""
+    import time as _time
+
+    cfg, params = setup
+    prov = LocalChatProvider(
+        params, cfg, StubTok(), chunk_tokens=2, max_new_tokens=50,
+        batch_slots=2,
+    )
+
+    async def run():
+        gen = prov.stream("m", [{"role": "user", "content": "hello"}],
+                          temperature=0.0)
+        async for _ in gen:
+            break  # take one piece, then abandon
+        await gen.aclose()
+
+    try:
+        asyncio.run(run())
+        deadline = _time.time() + 15
+        while _time.time() < deadline and prov._batcher.stats()["active"]:
+            _time.sleep(0.05)
+        assert prov._batcher.stats()["active"] == 0
+    finally:
+        prov._batcher.close()
