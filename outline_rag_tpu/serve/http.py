@@ -487,6 +487,14 @@ async def _write_response(
                 writer.write(f"{len(chunk):x}\r\n".encode() + chunk + b"\r\n")
                 await drain()
         finally:
+            # deterministically close the generator chain on ANY exit
+            # (client disconnect included): downstream finallys — e.g.
+            # the decode batcher's abandoned-request cancellation —
+            # must fire now, not whenever GC finds the suspended frame
+            try:
+                await resp.stream.aclose()
+            except Exception:
+                pass
             writer.write(b"0\r\n\r\n")
             await drain()
         return keep_alive

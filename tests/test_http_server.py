@@ -442,3 +442,41 @@ def test_run_drains_on_sigterm(tmp_path):
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_stream_generator_closed_on_client_disconnect():
+    """A client that vanishes mid-SSE must close the response generator
+    deterministically (downstream cleanup like decode-slot cancellation
+    hangs off its finally)."""
+    import asyncio
+
+    from outline_rag_tpu.serve.http import App, Response, serve
+
+    app = App(secret_key="k")
+    closed = asyncio.Event()
+
+    @app.get("/sse")
+    async def sse(req):
+        async def gen():
+            try:
+                for i in range(10_000):
+                    yield f"data: {i}\n\n".encode()
+                    await asyncio.sleep(0.01)
+            finally:
+                closed.set()
+
+        return Response.streaming(gen())
+
+    async def run():
+        server = await serve(app, "127.0.0.1", 0)
+        port = server.sockets[0].getsockname()[1]
+        r, w = await asyncio.open_connection("127.0.0.1", port)
+        w.write(b"GET /sse HTTP/1.1\r\nhost: x\r\n\r\n")
+        await w.drain()
+        await r.read(256)  # headers + first chunks arriving
+        w.close()  # vanish mid-stream
+        await asyncio.wait_for(closed.wait(), timeout=10)
+        server.close()
+        await app.shutdown()
+
+    asyncio.run(run())
