@@ -268,6 +268,13 @@ class ChatPipeline:
                     next_task.cancel()
                 except Exception:
                     pass
+                # close the provider stream NOW (cancelling a done
+                # __anext__ task is a no-op): its finally is what frees
+                # an abandoned decode slot — don't leave it to GC
+                try:
+                    await agen.aclose()
+                except Exception:
+                    log.exception("provider stream close failed")
                 await self._persist(
                     user, conversation_id, answer_parts, thinking_parts, model_spec
                 )

@@ -195,9 +195,15 @@ class DecodeBatcher:
         self.tp = np.ones((slots,), np.float32)
         self.active: list[_Request | None] = [None] * slots
         self.produced = [0] * slots
+        import itertools
+
         self.pending: "queue.Queue[_Request]" = queue.Queue()
-        self._next_token = 1
+        # itertools.count().__next__ is atomic at the C level: submit()
+        # runs on caller threads, and duplicate tokens would let a
+        # cancel() kill the wrong stream
+        self._next_token = itertools.count(1).__next__
         self._cancelled: set[int] = set()  # tokens; set ops are atomic
+        self._live: set[int] = set()  # tokens of unfinished requests
         self._wake = threading.Event()
         self._stop = False
         self.dead: Exception | None = None  # set when the worker crashes
@@ -298,9 +304,9 @@ class DecodeBatcher:
         prompt_ids = list(prompt_ids)[-max(limit, 4):]
         # cap generation so positions never reach the ring capacity
         max_new = min(max_new, self.cfg.max_cache - len(prompt_ids) - 2)
-        tok = self._next_token
-        self._next_token += 1
+        tok = self._next_token()
         out.cancel_token = tok  # handle for cancel(out)
+        self._live.add(tok)
         self.pending.put(
             _Request(
                 prompt_ids, float(temperature), float(top_p), max_new,
@@ -312,6 +318,14 @@ class DecodeBatcher:
             self._die(self.dead)
         return out
 
+    def _retire(self, req: "_Request | None") -> None:
+        """Mark a request finished: its token leaves the live set and any
+        pending cancel mark is dropped (bounds both sets for the life of
+        a long-running server)."""
+        if req is not None:
+            self._live.discard(req.token)
+            self._cancelled.discard(req.token)
+
     def cancel(self, out: "queue.Queue[Any]") -> None:
         """Abandon the stream bound to ``out`` (thread-safe; e.g. the
         client disconnected mid-SSE). The worker reclaims the slot —
@@ -319,7 +333,7 @@ class DecodeBatcher:
         instead of decoding the remaining max_new tokens for nobody.
         The stream still ends with DONE."""
         token = getattr(out, "cancel_token", None)
-        if token is not None:
+        if token is not None and token in self._live:
             self._cancelled.add(token)
             self._wake.set()
 
@@ -366,20 +380,25 @@ class DecodeBatcher:
         self._wake.set()
         self._thread.join(timeout=10)
         if self._adm is not None:
+            self._retire(self._adm["req"])
             self._adm["req"].out.put(DONE)
             self._adm = None
         if self._held is not None:
+            self._retire(self._held)
             self._held.out.put(DONE)
             self._held = None
         for row, req in enumerate(self.active):
             if req is not None:
                 self.active[row] = None
+                self._retire(req)
                 req.out.put(DONE)
         while True:
             try:
-                self.pending.get_nowait().out.put(DONE)
+                req = self.pending.get_nowait()
             except queue.Empty:
                 break
+            self._retire(req)
+            req.out.put(DONE)
 
     # -- worker ------------------------------------------------------------
 
@@ -447,6 +466,7 @@ class DecodeBatcher:
         )
         first_id = self._sample_first(req, logits, t - 1)
         if first_id == self.eos_id or req.max_new < 1:
+            self._retire(req)
             req.out.put(DONE)
             return True
         self.cache = self._insert(self.cache, row_cache, row)
@@ -569,7 +589,7 @@ class DecodeBatcher:
         assert adm is not None
         req, t, c0 = adm["req"], adm["t"], adm["c0"]
         if req.token in self._cancelled:
-            self._cancelled.discard(req.token)
+            self._retire(req)
             self._release_pages(adm["pages"])
             self._adm = None
             req.out.put(DONE)
@@ -597,6 +617,7 @@ class DecodeBatcher:
         s = self.page_size
         self._register_prompt_pages(adm["hashes"], adm["pages"], t // s)
         if first_id == self.eos_id or req.max_new < 1:
+            self._retire(req)
             self._release_pages(adm["pages"])
             req.out.put(DONE)
             return
@@ -610,8 +631,7 @@ class DecodeBatcher:
     def _finish(self, row: int) -> None:
         req = self.active[row]
         self.active[row] = None
-        if req is not None:
-            self._cancelled.discard(req.token)
+        self._retire(req)
         if self.kv_pages > 0 and self._row_pages[row]:
             # drop the row's refs (cached prefix pages stay resident for
             # reuse until evicted); point its table at the scratch page 0
@@ -649,7 +669,7 @@ class DecodeBatcher:
                     except queue.Empty:
                         break
                 if req.token in self._cancelled:
-                    self._cancelled.discard(req.token)
+                    self._retire(req)
                     req.out.put(DONE)
                     continue
                 try:
@@ -657,9 +677,13 @@ class DecodeBatcher:
                         self._held = req
                         break
                 except Exception as e:  # surface failures to the caller
+                    self._retire(req)
                     req.out.put(e)
                     req.out.put(DONE)
 
+            if self._cancelled:
+                # cancel() raced a completion: drop tokens no longer live
+                self._cancelled &= self._live
             if self._adm is not None:
                 adm_req = self._adm["req"]
                 try:
@@ -669,6 +693,7 @@ class DecodeBatcher:
                     # through donated pool updates: cache integrity is
                     # unknown, so fail the whole batcher fast rather
                     # than decode from a corrupt pool
+                    self._retire(adm_req)
                     adm_req.out.put(e)
                     adm_req.out.put(DONE)
                     self._die(e)
@@ -751,16 +776,19 @@ class DecodeBatcher:
     def _die(self, exc: Exception) -> None:
         self.dead = exc
         if self._adm is not None:
+            self._retire(self._adm["req"])
             self._adm["req"].out.put(exc)
             self._adm["req"].out.put(DONE)
             self._adm = None
         if self._held is not None:
+            self._retire(self._held)
             self._held.out.put(exc)
             self._held.out.put(DONE)
             self._held = None
         for row, req in enumerate(self.active):
             if req is not None:
                 self.active[row] = None
+                self._retire(req)
                 req.out.put(exc)
                 req.out.put(DONE)
         while True:
@@ -768,5 +796,6 @@ class DecodeBatcher:
                 req = self.pending.get_nowait()
             except queue.Empty:
                 break
+            self._retire(req)
             req.out.put(exc)
             req.out.put(DONE)

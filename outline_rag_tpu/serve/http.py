@@ -494,7 +494,9 @@ async def _write_response(
             try:
                 await resp.stream.aclose()
             except Exception:
-                pass
+                # generator cleanup can do real work (persisting the
+                # partial turn) — a failure must at least be visible
+                log.exception("stream generator close failed")
             writer.write(b"0\r\n\r\n")
             await drain()
         return keep_alive

@@ -612,3 +612,12 @@ class LocalChatProvider:
             await task
         finally:
             stop.set()  # aclose() mid-stream: stop the feeding thread
+
+            def _log_worker_exc(fut):
+                if not fut.cancelled() and fut.exception() is not None:
+                    logging.getLogger(__name__).warning(
+                        "decode stream worker failed after client "
+                        "disconnect: %r", fut.exception(),
+                    )
+
+            task.add_done_callback(_log_worker_exc)
