@@ -687,3 +687,71 @@ def test_provider_stream_close_cancels_row(setup):
         assert prov._batcher.stats()["active"] == 0
     finally:
         prov._batcher.close()
+
+
+def test_concurrent_submit_cancel_fuzz(setup):
+    """Many threads submitting and cancelling at random: every stream
+    terminates with DONE, no deadlock, all slots and pages reclaimed."""
+    import random
+    import time as _time
+
+    cfg, params = setup
+    from outline_rag_tpu.models.decoder import (
+        cast_decoder_params,
+        stack_decoder_params,
+    )
+
+    stacked = stack_decoder_params(cast_decoder_params(params, cfg.dtype))
+    b = DecodeBatcher(
+        stacked, cfg, slots=2, chunk_tokens=2, eos_id=0,
+        kv_pages=8, page_size=16,
+    )
+    results: list[bool] = []
+    lock = threading.Lock()
+
+    def one(seed):
+        rng = random.Random(seed)
+        q = b.submit(
+            [rng.randrange(1, 200) for _ in range(rng.randrange(2, 30))],
+            0.8, 0.95, rng.randrange(1, 20), seed=seed,
+        )
+        if rng.random() < 0.5:
+            _time.sleep(rng.random() * 0.1)
+            b.cancel(q)
+        ok = False
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            try:
+                item = q.get(timeout=1.0)
+            except _q.Empty:
+                continue
+            if item is DONE:
+                ok = True
+                break
+            assert not isinstance(item, Exception), item
+        with lock:
+            results.append(ok)
+
+    try:
+        threads = [
+            threading.Thread(target=one, args=(i,)) for i in range(16)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=180)
+        assert all(not t.is_alive() for t in threads)
+        assert len(results) == 16 and all(results)
+        deadline = _time.time() + 15
+        while _time.time() < deadline and (
+            b.stats()["active"]
+            or b.stats()["pages_free"] + b.stats()["pages_cached"] != 7
+        ):
+            _time.sleep(0.05)
+        st = b.stats()
+        assert st["active"] == 0 and st["queued"] == 0
+        # every page is either free or resident in the prefix cache
+        assert st["pages_free"] + st["pages_cached"] == 7, st
+        assert not b._live and not b._cancelled
+    finally:
+        b.close()
