@@ -244,6 +244,13 @@ def main() -> None:
         return cosine_topk(q, corpus, k, block_n=block_n)
 
     float(chained(1))  # warm/compile + one round-trip
+    # tunnel health marker: this VM's remote-TPU round trip has been
+    # observed anywhere from 50 ms to minutes; a degraded window
+    # depresses even the RTT-cancelling protocol below (dispatch itself
+    # throttles), so record it alongside the headline number
+    t0 = time.perf_counter()
+    float(chained(1))
+    tunnel_rtt = time.perf_counter() - t0
     # the tunnel's throughput swings 2-4x on a seconds timescale and its
     # host round-trip has been observed anywhere from 50 ms to ~4 s —
     # far larger than the compute under test. Two-point protocol: time a
@@ -299,6 +306,7 @@ def main() -> None:
                 "value": round(qps, 1),
                 "unit": "queries/s",
                 "vs_baseline": round(qps / base_qps, 2) if base_qps > 0 else None,
+                "tunnel_rtt_s": round(tunnel_rtt, 3),
             }
         )
     )
