@@ -257,20 +257,38 @@ def main() -> None:
     # short and a long chained run (one fetch each); the round-trip
     # cancels exactly in the difference, so only sweep time remains.
     # Best-of-rounds guards the residual window-to-window swing.
-    best_dt = float("inf")
-    rounds = 4 if on_tpu else 1
+    def measure_rounds(rounds):
+        best = float("inf")
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            a = float(chained(short))
+            t_short = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            total = float(chained(iters + short))
+            t_long = time.perf_counter() - t0
+            assert np.isfinite(a) and np.isfinite(total)
+            if t_long <= t_short:  # window shifted mid-round: discard
+                continue
+            best = min(best, (t_long - t_short) / iters)
+        return best
+
     short = 2
-    for _ in range(rounds):
+    best_dt = measure_rounds(4 if on_tpu else 1)
+    if on_tpu and tunnel_rtt > 2.0:
+        # catastrophic tunnel window (RTTs of minutes have been
+        # observed): wait briefly and retry once — a fair window may be
+        # one oscillation away, and the retry is bounded (~2 min)
+        print(
+            f"# degraded tunnel (rtt {tunnel_rtt:.1f}s): retrying once",
+            file=sys.stderr,
+        )
+        time.sleep(60)
         t0 = time.perf_counter()
-        a = float(chained(short))
-        t_short = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        total = float(chained(iters + short))
-        t_long = time.perf_counter() - t0
-        assert np.isfinite(a) and np.isfinite(total)
-        if t_long <= t_short:  # window shifted mid-round: discard
-            continue
-        best_dt = min(best_dt, (t_long - t_short) / iters)
+        float(chained(1))
+        rtt2 = time.perf_counter() - t0
+        if rtt2 < tunnel_rtt:
+            tunnel_rtt = rtt2
+            best_dt = min(best_dt, measure_rounds(2))
     if not np.isfinite(best_dt):  # every round degenerate: fall back
         t0 = time.perf_counter()
         float(chained(iters))
