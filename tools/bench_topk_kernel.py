@@ -99,16 +99,40 @@ def make_chained(fn):
     return chained
 
 
+@jax.jit
+def _xla_single_stage(q, c):
+    """Control: plain dot + full-width lax.top_k (pre-topk_wide path),
+    for measuring the two-stage top-k gain in isolation."""
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if c.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    scores = jnp.dot(
+        q.astype(c.dtype), c.T,
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    v, i = jax.lax.top_k(scores, 12)
+    return v, i.astype(jnp.int32)
+
+
 VARIANTS = {
     "full": lambda q, c: topk_pallas(q, c, 12, block_n=BLOCK_N, interpret=False),
     "xla": lambda q, c: topk_xla(q, c, 12),
+    "xla1stage": lambda q, c: _xla_single_stage(q, c),
 }
 if DT == jnp.float32:
-    from outline_rag_tpu.ops.topk import split_f32_bf16x2
+    from outline_rag_tpu.ops.topk import (
+        split_f32_bf16x2,
+        topk_xla_compensated,
+    )
 
     corpus_x2 = jax.block_until_ready(split_f32_bf16x2(corpus))
     VARIANTS["f32x2"] = lambda q, c: topk_pallas(
         q.astype(jnp.float32), corpus_x2, 12, block_n=BLOCK_N, interpret=False
+    )
+    VARIANTS["f32x2_xla"] = lambda q, c: topk_xla_compensated(
+        q.astype(jnp.float32), corpus_x2, 12
     )
 if B <= 128:  # the stripped diagnostics don't chunk B and OOM VMEM past it
     VARIANTS["matmul"] = lambda q, c: run_variant(q, c, "matmul")
