@@ -65,8 +65,13 @@ def topk_wide(
     scores: jax.Array, k: int, seg: int = 8192
 ) -> tuple[jax.Array, jax.Array]:
     """Two-stage top-k over wide score rows: per-segment top-k, then
-    top-k of the ~N/seg*k survivors. Sorting cost drops from one
-    N-wide (partial) sort to many seg-wide ones plus a tiny merge.
+    top-k of the ~N/seg*k survivors.
+
+    MEASURED SLOWER than plain ``lax.top_k`` on TPU (1.36 vs 1.01 ms at
+    [32, 99328] fp32 — tools/bench_topk_kernel.py ``xla`` vs
+    ``xla1stage``): XLA's native top-k handles wide rows well and the
+    reshape + second select + gather overhead loses. Kept as a utility
+    (exact, tie-break-parity-tested) but NOT routed on the score paths.
 
     Tie-break parity with ``lax.top_k`` (lowest index wins) is exact:
     within a segment lax.top_k orders ties by index; across segments the
@@ -119,7 +124,8 @@ def topk_xla(
     )
     if penalty is not None:
         scores = scores + penalty[None, :]
-    return topk_wide(scores, k)
+    vals, idx = jax.lax.top_k(scores, k)
+    return vals, idx.astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -189,7 +195,8 @@ def topk_xla_compensated(
     scores = _dot_compensated(split_f32_bf16x2(queries), corpus)
     if penalty is not None:
         scores = scores + penalty[None, :]
-    return topk_wide(scores, k)
+    vals, idx = jax.lax.top_k(scores, k)
+    return vals, idx.astype(jnp.int32)
 
 
 def merge_topk(
