@@ -200,3 +200,19 @@ def test_compact_keeps_colbert_rows(setup):
     idx.compact()
     after = np.asarray(idx.tokens.colbert.codes)[[idx._by_chunk["geiger"]]]
     np.testing.assert_array_equal(before, after)
+
+
+def test_colbert_cache_defaults_on_with_colbert_weight():
+    """VERDICT r2 weak #8: enabling COLBERT_WEIGHT without reading the
+    benchmarks must not buy the -34% re-encode path — the cache defaults
+    to r=128 unless COLBERT_CACHE_RANK is set explicitly (0 opts out)."""
+    from outline_rag_tpu.config import load_settings
+
+    s = load_settings({"COLBERT_WEIGHT": "0.3"})
+    assert s.colbert_cache_rank == 128
+    s = load_settings({"COLBERT_WEIGHT": "0.3", "COLBERT_CACHE_RANK": "0"})
+    assert s.colbert_cache_rank == 0
+    s = load_settings({"COLBERT_WEIGHT": "0.3", "COLBERT_CACHE_RANK": "64"})
+    assert s.colbert_cache_rank == 64
+    s = load_settings({})
+    assert s.colbert_cache_rank == 0
