@@ -105,11 +105,21 @@ class EncoderEmbedder:
         return "colbert" in self.params
 
     def colbert_cache(
-        self, input_ids: np.ndarray, attention_mask: np.ndarray, rank: int
+        self,
+        input_ids: np.ndarray,
+        attention_mask: np.ndarray,
+        rank: int,
+        proj: np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray] | tuple[None, None]:
         """Projected + int8-quantized per-token ColBERT vectors for the
         index cache (``models/encoder.py::colbert_cache_codes``); (None,
-        None) when the checkpoint has no ColBERT head."""
+        None) when the checkpoint has no ColBERT head.
+
+        ``proj`` should be the index-pinned matrix
+        (``VectorIndex.colbert_projection_for``) so ingest-side codes
+        provably match the query-side projection; when omitted the
+        fixed-seed matrix is computed locally (legacy callers/tests).
+        """
         if not self.has_colbert_head:
             return None, None
         from outline_rag_tpu.models.encoder import (
@@ -117,13 +127,27 @@ class EncoderEmbedder:
             colbert_projection,
         )
 
-        if getattr(self, "_colbert_rank", None) != rank:
+        proj_np = None if proj is None else np.asarray(proj, np.float32)
+        cached = getattr(self, "_colbert_proj_np", None)
+        same_proj = (
+            proj_np is None and cached is None
+        ) or (
+            proj_np is not None
+            and cached is not None
+            and np.array_equal(cached, proj_np)
+        )
+        if getattr(self, "_colbert_rank", None) != rank or not same_proj:
             hc = self.params["colbert"]["w"].shape[1]
-            proj = colbert_projection(hc, rank)
+            use = (
+                jnp.asarray(proj_np)
+                if proj_np is not None
+                else colbert_projection(hc, rank)
+            )
             self._colbert_rank = rank
+            self._colbert_proj_np = proj_np
             self._colbert_jit = jax.jit(
                 lambda p, ids, mask: colbert_cache_codes(
-                    p, ids, mask, self.cfg, proj
+                    p, ids, mask, self.cfg, use
                 )
             )
         codes, scales = self._colbert_jit(

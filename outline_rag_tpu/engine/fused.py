@@ -302,8 +302,9 @@ class FusedEngine:
         self.lex_weight = lex_weight
         self.colbert_weight = colbert_weight
         # cached-ColBERT mode: the index carries projected int8 token
-        # vectors; compute the query-side projection once (must match the
-        # ingest-side matrix — same fixed seed)
+        # vectors; the query-side projection is the index-pinned matrix
+        # (persisted with the snapshot, so it matches ingest by
+        # construction rather than by seed-recomputation)
         self._colbert_proj = None
         if (
             colbert_weight > 0.0
@@ -314,11 +315,11 @@ class FusedEngine:
             # KeyError-ing app startup
             and "colbert" in embedder.params
         ):
-            from outline_rag_tpu.models.encoder import colbert_projection
-
             hc = embedder.params["colbert"]["w"].shape[1]
-            self._colbert_proj = colbert_projection(
-                hc, index.tokens.colbert_rank
+            # index-pinned matrix (persisted in snapshots): provably the
+            # same matrix the cached codes were projected with
+            self._colbert_proj = jnp.asarray(
+                index.colbert_projection_for(hc)
             )
 
     def query(self, texts: list[str]):

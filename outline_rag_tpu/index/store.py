@@ -127,6 +127,37 @@ class VectorIndex:
         self._by_chunk: dict[str, int] = {}  # chunk_id -> row
         self._by_source: dict[str, list[str]] = {}  # source_id -> chunk ids
         self._rw = _RWLock()
+        # ingest-time ColBERT projection matrix [Hc, colbert_rank];
+        # lazily pinned by colbert_projection_for and persisted in the
+        # snapshot so ingest and query provably share one matrix
+        self.colbert_proj: np.ndarray | None = None
+
+    def colbert_projection_for(self, hc: int) -> np.ndarray:
+        """The [hc, colbert_rank] projection shared by ingest and query.
+
+        QR output (column signs, rounding) is backend-implementation-
+        dependent, so relying on both sides recomputing the fixed-seed
+        matrix can silently skew cached scores when a snapshot ingested
+        on one backend is served on another. The first caller pins the
+        matrix on the index; ``save``/``load`` carry it with the cached
+        codes, so a loaded snapshot always scores with its ingest-time
+        matrix.
+        """
+        if self.colbert_rank <= 0:
+            raise ValueError("index has no ColBERT cache (colbert_rank=0)")
+        if self.colbert_proj is None:
+            from outline_rag_tpu.models.encoder import colbert_projection
+
+            self.colbert_proj = np.asarray(
+                colbert_projection(hc, self.colbert_rank), np.float32
+            )
+        if self.colbert_proj.shape != (hc, self.colbert_rank):
+            raise ValueError(
+                f"ColBERT projection shape {self.colbert_proj.shape} does not "
+                f"match encoder head ({hc}, {self.colbert_rank}) — snapshot "
+                "was ingested with a different encoder"
+            )
+        return self.colbert_proj
 
     def read_section(self):
         """Context manager for external readers (FusedEngine): snapshot,
@@ -382,6 +413,8 @@ class VectorIndex:
                 if self.tokens.colbert is not None:
                     arrays["colbert_codes"] = np.asarray(self.tokens.colbert.codes)
                     arrays["colbert_scales"] = np.asarray(self.tokens.colbert.scales)
+                    if self.colbert_proj is not None:
+                        arrays["colbert_proj"] = self.colbert_proj
             (np.savez_compressed if compress else np.savez)(path, **arrays)
             meta = {
                 "dim": self.dim,
@@ -414,6 +447,8 @@ class VectorIndex:
             token_pad_id=meta.get("token_pad_id", 1),
             colbert_rank=meta.get("colbert_rank", 0),
         )
+        if "colbert_proj" in arrays:
+            idx.colbert_proj = np.asarray(arrays["colbert_proj"], np.float32)
         cursor = meta["cursor"]
         row_ids = meta["row_ids"]
         penalty = arrays["penalty"]

@@ -773,10 +773,15 @@ def generate_chunk_spec(
         )
         pos2 = pos + cnt
         # unmasked window writes: slots beyond cnt are stale but every
-        # later window starts at the first stale slot and rewrites
+        # later window starts at the first stale slot and rewrites.
+        # Only the first draft_k samples are written (max accepted prefix
+        # is cnt-1 <= draft_k past posf; the bonus sample becomes tok2 and
+        # is written at the new posf next step) so the slice end is
+        # posf+1+draft_k <= c and dynamic_update_slice never clamps —
+        # a clamped write at pos+kk == c would corrupt buf[posf].
         buf = jax.vmap(
             lambda r, v, p: jax.lax.dynamic_update_slice(r, v, (p,))
-        )(buf, e, posf + 1)
+        )(buf, e[:, :draft_k], posf + 1)
         out = jax.vmap(
             lambda r, v, cu: jax.lax.dynamic_update_slice(r, v, (cu,))
         )(out, e, cursor)

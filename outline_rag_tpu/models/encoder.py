@@ -401,10 +401,15 @@ def colbert_projection(dim: int, rank: int) -> jax.Array:
     the full-dimension dots (JL-style); at rank == dim the map is exactly
     orthogonal and dots are preserved bit-for-bit up to fp rounding.
     Shared between ingest (chunk side) and query (query side) — both
-    sides MUST use the same matrix, which the fixed seed guarantees.
+    sides MUST use the same matrix. QR column signs are an
+    implementation choice, so Q is sign-normalized (R's diagonal forced
+    positive) to be backend-independent; for provable sharing across
+    backends the ingest-time matrix is additionally persisted in the
+    index snapshot (``VectorIndex.colbert_projection_for``).
     """
     g = jax.random.normal(jax.random.key(0x0C01BE47), (dim, rank), jnp.float32)
-    q, _ = jnp.linalg.qr(g)
+    q, r = jnp.linalg.qr(g)
+    q = q * jnp.where(jnp.diagonal(r) < 0, -1.0, 1.0)[None, :]
     return q * jnp.sqrt(jnp.float32(dim) / jnp.float32(rank))
 
 

@@ -375,10 +375,33 @@ class DecodeBatcher:
 
     def close(self) -> None:
         """Stop the worker; active and pending requests get DONE so no
-        caller blocks forever on a dead batcher."""
+        caller blocks forever on a dead batcher.
+
+        The worker thread is the only writer of batcher state, so the
+        teardown below must not run concurrently with it: a worker stuck
+        in a 20-70 s remote-TPU compile outlives a bounded join, and
+        mutating ``_adm``/``_held``/``active`` (or double-putting DONE)
+        under it corrupts the slot accounting. Join until the thread is
+        actually dead; if it is wedged far past any plausible compile,
+        leave the state to it (callers still unblock: the worker drains
+        to DONE itself once it observes ``_stop``).
+        """
         self._stop = True
         self._wake.set()
-        self._thread.join(timeout=10)
+        deadline = 18  # x10s ≈ 3 min, past any observed remote compile
+        for _ in range(deadline):
+            self._thread.join(timeout=10)
+            if not self._thread.is_alive():
+                break
+        if self._thread.is_alive():
+            import logging
+
+            logging.getLogger(__name__).error(
+                "decode batcher worker did not exit within %ss; "
+                "skipping teardown of worker-owned state",
+                deadline * 10,
+            )
+            return
         if self._adm is not None:
             self._retire(self._adm["req"])
             self._adm["req"].out.put(DONE)

@@ -294,14 +294,16 @@ class LocalChatProvider:
                 p, toks, cache, start, cfg
             )
         )
+        # temperature/top_p are traced scalars (the samplers accept
+        # arrays): a user-supplied pair must never trigger a 20-70 s
+        # remote recompile, which static args would (ADVICE r2)
         self._chunk = jax.jit(
             functools.partial(
                 generate_chunk,
                 cfg=cfg,
                 n_steps=chunk_tokens,
                 eos_id=self.eos_id,
-            ),
-            static_argnames=("temperature", "top_p"),
+            )
         )
         # speculative decode: chunk_tokens verify steps per dispatch,
         # each advancing 1..spec_k+1 tokens (prompt-lookup drafts —
@@ -319,8 +321,7 @@ class LocalChatProvider:
                     draft_k=self.spec_k,
                     gram=int(spec_gram),
                     eos_id=self.eos_id,
-                ),
-                static_argnames=("temperature", "top_p"),
+                )
             )
         self._batcher = None
         if batch_slots and batch_slots > 1:
@@ -396,9 +397,10 @@ class LocalChatProvider:
             cache,
             jnp.zeros((1,), jnp.int32),
         )
-        # sampling params are static jit args: quantize to limit variants
-        temp = round(float(temperature or 0.0), 2)
-        tp = round(float(top_p if top_p is not None else 1.0), 2)
+        # traced scalars: any user-supplied pair reuses the one compiled
+        # program (values are data, not part of the jit cache key)
+        temp = jnp.float32(temperature or 0.0)
+        tp = jnp.float32(top_p if top_p is not None else 1.0)
         key = jax.random.key(abs(hash(tuple(ids))) % (2**31))
         from outline_rag_tpu.models.decoder import sample_token
 

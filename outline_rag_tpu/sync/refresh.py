@@ -210,8 +210,14 @@ class Ingestor:
                 self.index.tokens.colbert is not None
                 and getattr(inner, "has_colbert_head", False)
             ):
+                hc = inner.params["colbert"]["w"].shape[1]
                 cb_codes, cb_scales = inner.colbert_cache(
-                    token_ids, token_mask, self.index.colbert_rank
+                    token_ids,
+                    token_mask,
+                    self.index.colbert_rank,
+                    # index-pinned matrix: persisted in the snapshot so
+                    # query-side scoring provably shares it (ADVICE r2)
+                    proj=self.index.colbert_projection_for(hc),
                 )
         self.meta.upsert_document(source_id, title, url, updated_at, text)
         self.meta.replace_chunks(

@@ -79,7 +79,8 @@ def _build_index(cfg, tok, emb, rank, texts, sharding=None, capacity=2048):
         cb_codes = cb_scales = None
         if rank:
             cb_codes, cb_scales = emb.colbert_cache(
-                tb.input_ids, tb.attention_mask, rank
+                tb.input_ids, tb.attention_mask, rank,
+                proj=idx.colbert_projection_for(cfg.hidden),
             )
         idx.add_chunks(
             [name], vecs, source_id=name,
@@ -188,6 +189,22 @@ def test_save_load_roundtrip_with_colbert(tmp_path, setup):
         np.asarray(idx.tokens.colbert.scales),
         np.asarray(loaded.tokens.colbert.scales),
     )
+    # the ingest-time projection travels with the snapshot, so a serve
+    # process on a different backend provably scores with the same
+    # matrix the cached codes were projected with (ADVICE r2)
+    assert loaded.colbert_proj is not None
+    np.testing.assert_array_equal(loaded.colbert_proj, idx.colbert_proj)
+    np.testing.assert_array_equal(
+        loaded.colbert_projection_for(cfg.hidden), idx.colbert_proj
+    )
+
+
+def test_projection_for_rejects_mismatched_encoder(setup):
+    cfg, params, tok, emb, rr = setup
+    idx = _build_index(cfg, tok, emb, 8, TEXTS)
+    idx.colbert_projection_for(cfg.hidden)
+    with pytest.raises(ValueError):
+        idx.colbert_projection_for(cfg.hidden + 1)
 
 
 def test_compact_keeps_colbert_rows(setup):

@@ -180,3 +180,44 @@ def test_ask_sse_with_local_provider():
         assert msgs[-1]["role"] == "assistant" and msgs[-1]["content"]
 
     asyncio.run(run())
+
+
+def test_sampling_params_do_not_recompile(provider):
+    """temperature/top_p are traced scalars: distinct user-supplied
+    pairs must reuse the one compiled chunk program — a static-arg
+    recompile costs 20-70 s through the remote-TPU tunnel (ADVICE r2)."""
+    msgs = [{"role": "user", "content": "vary the knobs"}]
+
+    async def once(temp, tp):
+        out = []
+        async for d in provider.stream(
+            "local", msgs, temperature=temp, top_p=tp
+        ):
+            out.append(d["content"] or "")
+        return "".join(out)
+
+    asyncio.run(once(0.31, 0.91))
+    n_after_first = provider._chunk._cache_size()
+    for temp, tp in [(0.7, 0.9), (1.13, 0.87), (0.0, 1.0)]:
+        asyncio.run(once(temp, tp))
+    assert provider._chunk._cache_size() == n_after_first == 1
+
+
+def test_spec_sampling_params_do_not_recompile():
+    cfg = DecoderConfig.tiny()
+    params = init_decoder_params(jax.random.key(0), cfg)
+    prov = LocalChatProvider(
+        params, cfg, StubTok(), chunk_tokens=4, max_new_tokens=12,
+        spec_k=2, spec_gram=2,
+    )
+    msgs = [{"role": "user", "content": "knob sweep again"}]
+
+    async def once(temp, tp):
+        async for _ in prov.stream("local", msgs, temperature=temp, top_p=tp):
+            pass
+
+    asyncio.run(once(0.42, 0.99))
+    n = prov._chunk_spec._cache_size()
+    asyncio.run(once(0.87, 0.55))
+    asyncio.run(once(0.0, 1.0))
+    assert prov._chunk_spec._cache_size() == n == 1
