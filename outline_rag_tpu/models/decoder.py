@@ -365,6 +365,12 @@ class PagedKV:
     per-head int8; ``k_scale``/``v_scale``: [L, P, KvH, page] f32) —
     half the KV HBM of bf16, so twice the live context per chip, with
     the page-walk kernel dequantizing in VMEM.
+
+    ``mesh`` (static pytree metadata) marks a tensor-parallel pool: the
+    pools shard on their KvH axis (``parallel/tp.py`` Megatron layout,
+    same as the ring cache) and the forward routes attention through the
+    shard_map page walk (``ops/paged_attention.py``); page tables are
+    replicated host state either way.
     """
 
     k: jax.Array
@@ -372,6 +378,9 @@ class PagedKV:
     table: jax.Array
     k_scale: jax.Array | None = None
     v_scale: jax.Array | None = None
+    mesh: jax.sharding.Mesh | None = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
 
     @property
     def page(self) -> int:
@@ -384,6 +393,7 @@ def init_paged_cache(
     pages: int,
     page_size: int = 128,
     kv_dtype: str | None = None,  # "int8" -> quantized pool
+    mesh: "jax.sharding.Mesh | None" = None,  # TP: shard pools on KvH
 ) -> PagedKV:
     if cfg.max_cache % page_size:
         # a remainder would silently shrink per-row capacity below
@@ -396,22 +406,39 @@ def init_paged_cache(
         )
     maxp = cfg.max_cache // page_size
     shape = (cfg.layers, pages, cfg.kv_heads, page_size, cfg.hd)
+    if mesh is not None and cfg.kv_heads % mesh.size:
+        raise ValueError(
+            f"kv_heads={cfg.kv_heads} not divisible by TP mesh size "
+            f"{mesh.size}"
+        )
+
+    def place(x, kvh_axis):
+        if mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        spec = [None] * x.ndim
+        spec[kvh_axis] = mesh.axis_names[0]
+        return jax.device_put(x, NamedSharding(mesh, PartitionSpec(*spec)))
+
     if kv_dtype == "int8":
         return PagedKV(
-            k=jnp.zeros(shape, jnp.int8),
-            v=jnp.zeros(shape, jnp.int8),
+            k=place(jnp.zeros(shape, jnp.int8), 2),
+            v=place(jnp.zeros(shape, jnp.int8), 2),
             table=jnp.zeros((batch, maxp), jnp.int32),
-            k_scale=jnp.zeros(shape[:-1], jnp.float32),
-            v_scale=jnp.zeros(shape[:-1], jnp.float32),
+            k_scale=place(jnp.zeros(shape[:-1], jnp.float32), 2),
+            v_scale=place(jnp.zeros(shape[:-1], jnp.float32), 2),
+            mesh=mesh,
         )
     if kv_dtype is not None:
         raise ValueError(
             f"unsupported kv_dtype {kv_dtype!r} (use 'int8' or None)"
         )
     return PagedKV(
-        k=jnp.zeros(shape, cfg.dtype),
-        v=jnp.zeros(shape, cfg.dtype),
+        k=place(jnp.zeros(shape, cfg.dtype), 2),
+        v=place(jnp.zeros(shape, cfg.dtype), 2),
         table=jnp.zeros((batch, maxp), jnp.int32),
+        mesh=mesh,
     )
 
 
@@ -446,8 +473,21 @@ def decoder_forward(
     paged = isinstance(cache, PagedKV)
 
     if paged:
-        from outline_rag_tpu.ops.paged_attention import paged_attention
+        import functools as _ft
 
+        from outline_rag_tpu.ops.paged_attention import (
+            paged_attention,
+            paged_attention_sharded,
+        )
+
+        if cache.mesh is not None:
+            # TP pool: the pallas page walk cannot be GSPMD-partitioned,
+            # so it runs per-device under shard_map on the KvH slice
+            paged_attention = _ft.partial(
+                paged_attention_sharded,
+                mesh=cache.mesh,
+                axis=cache.mesh.axis_names[0],
+            )
         s_pg = cache.page
         table = cache.table
         maxp = table.shape[1]
@@ -507,13 +547,15 @@ def decoder_forward(
             )
             out_cache = PagedKV(
                 k=k_pool, v=v_pool, table=table,
-                k_scale=ks_pool, v_scale=vs_pool,
+                k_scale=ks_pool, v_scale=vs_pool, mesh=cache.mesh,
             )
         else:
             x, (k_pool, v_pool) = jax.lax.scan(
                 body, x, (layers, cache.k, cache.v)
             )
-            out_cache = PagedKV(k=k_pool, v=v_pool, table=table)
+            out_cache = PagedKV(
+                k=k_pool, v=v_pool, table=table, mesh=cache.mesh
+            )
     else:
         c = cfg.max_cache
         # attention bias [B, T, C]: slot j visible to token i iff j <= pos_i

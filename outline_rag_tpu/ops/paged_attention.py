@@ -97,6 +97,64 @@ def paged_attention_xla(
     return ctx.reshape(b, t, h, dh).astype(q.dtype)
 
 
+def paged_attention_sharded(
+    q: jax.Array,  # [B, T, H, Dh] — H sharded on `axis`
+    pool_k: jax.Array,  # [P, KvH, S, Dh] — KvH sharded on `axis`
+    pool_v: jax.Array,
+    table: jax.Array,  # [B, MAXP] replicated
+    pos: jax.Array,  # [B] replicated
+    k_scale: jax.Array | None = None,  # [P, KvH, S] — KvH sharded
+    v_scale: jax.Array | None = None,
+    *,
+    mesh: jax.sharding.Mesh,
+    axis: str = "model",
+) -> jax.Array:
+    """Tensor-parallel page walk: :func:`paged_attention` under shard_map.
+
+    Attention is embarrassingly parallel over heads, so each device runs
+    the page-walk kernel on its local KvH slice of the pool against its
+    local query-head group — no collective inside; the row-parallel
+    ``wo`` psum that follows in the decoder is the only communication
+    (the Megatron layout of ``parallel/tp.py``). A pallas_call cannot be
+    partitioned by GSPMD, hence the explicit map; everything around it
+    stays annotation-driven.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    quant = k_scale is not None
+    kv_spec = P(None, axis, None, None)
+    sc_spec = P(None, axis, None)
+
+    if quant:
+
+        def local(q, pk, pv, tbl, ps, ks, vs):
+            return paged_attention(q, pk, pv, tbl, ps, ks, vs)
+
+        in_specs = (
+            P(None, None, axis, None), kv_spec, kv_spec, P(None, None),
+            P(None), sc_spec, sc_spec,
+        )
+        args = (q, pool_k, pool_v, table, pos, k_scale, v_scale)
+    else:
+
+        def local(q, pk, pv, tbl, ps):
+            return paged_attention(q, pk, pv, tbl, ps)
+
+        in_specs = (
+            P(None, None, axis, None), kv_spec, kv_spec, P(None, None),
+            P(None),
+        )
+        args = (q, pool_k, pool_v, table, pos)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=P(None, None, axis, None),
+        check_vma=False,
+    )(*args)
+
+
 def _paged_kernel(
     table_ref,  # scalar prefetch [B, MAXP]
     pos_ref,  # scalar prefetch [B]

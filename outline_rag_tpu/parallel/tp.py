@@ -48,6 +48,23 @@ _LAYER_SPECS = {
     "ln2": P(),
 }
 
+# w8a8-quantized leaves ({"q": [L, N, K] int8, "s": [L, N] f32},
+# models/decoder.py::quantize_decoder_params — note q is transposed
+# [out, in]): column-parallel weights shard the output dim N of both q
+# and the per-output-channel scales; row-parallel weights shard the
+# contraction dim K of q while the scales (indexed by the *output*
+# channel) replicate. GSPMD then partitions the int8 dot and inserts
+# the psum on the row-parallel contraction, same as the dense layout.
+_LAYER_QSPECS = {
+    "wq": {"q": P(None, MODEL_AXIS, None), "s": P(None, MODEL_AXIS)},
+    "wk": {"q": P(None, MODEL_AXIS, None), "s": P(None, MODEL_AXIS)},
+    "wv": {"q": P(None, MODEL_AXIS, None), "s": P(None, MODEL_AXIS)},
+    "wg": {"q": P(None, MODEL_AXIS, None), "s": P(None, MODEL_AXIS)},
+    "wu": {"q": P(None, MODEL_AXIS, None), "s": P(None, MODEL_AXIS)},
+    "wo": {"q": P(None, None, MODEL_AXIS), "s": P()},
+    "wd": {"q": P(None, None, MODEL_AXIS), "s": P()},
+}
+
 
 def model_mesh(n_devices: int | None = None) -> Mesh:
     devs = jax.devices()
@@ -67,10 +84,17 @@ def decoder_param_shardings(params, mesh: Mesh):
     """Sharding pytree matching a *stacked* decoder params dict."""
 
     def spec_for(path, leaf):
-        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        def key(entry):
+            return entry.key if hasattr(entry, "key") else str(entry)
+
+        name = key(path[-1])
         if name in _LAYER_SPECS:
             return NamedSharding(mesh, _LAYER_SPECS[name])
-        return NamedSharding(mesh, P())  # embed / final_norm / lm_head
+        if name in ("q", "s") and len(path) >= 2:
+            parent = key(path[-2])
+            if parent in _LAYER_QSPECS:
+                return NamedSharding(mesh, _LAYER_QSPECS[parent][name])
+        return NamedSharding(mesh, P())  # embed / norms / lm_head / biases
 
     return jax.tree_util.tree_map_with_path(spec_for, params)
 

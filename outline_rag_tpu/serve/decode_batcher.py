@@ -122,10 +122,12 @@ class DecodeBatcher:
                 "full-precision ring"
             )
         self.kv_int8 = bool(kv_int8)
+        self.mesh = mesh
         if self.kv_pages > 0:
             self.cache = init_paged_cache(
                 cfg, slots, self.kv_pages, page_size,
                 kv_dtype="int8" if self.kv_int8 else None,
+                mesh=mesh,  # TP: pools shard on KvH; tables replicate
             )
             self._maxp = cfg.max_cache // page_size
             if self.kv_pages < self._maxp + 1:
@@ -177,10 +179,7 @@ class DecodeBatcher:
         else:
             self.prefix_cache = False
             self.cache = init_cache(cfg, slots)
-        self.mesh = mesh
-        if mesh is not None:
-            if self.kv_pages > 0:
-                raise ValueError("TP mesh requires the ring cache")
+        if mesh is not None and self.kv_pages <= 0:
             from outline_rag_tpu.parallel.tp import shard_decoder_cache
 
             self.cache = shard_decoder_cache(self.cache, mesh)

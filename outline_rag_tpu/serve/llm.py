@@ -234,37 +234,35 @@ class LocalChatProvider:
         # tensor parallelism (parallel/tp.py): pure GSPMD — params are
         # sharded Megatron-style and every already-jitted program below
         # partitions automatically (XLA inserts the two per-layer
-        # all-reduces). Unfused weights (the TP layouts shard wq/wk/wv
-        # individually) and the ring cache (the paged Pallas walk is a
-        # single-device program) are required.
+        # all-reduces). Unfused weights are required (the TP layouts
+        # shard wq/wk/wv individually). Composes with w8a8 int8 weights
+        # (quantized {'q','s'} leaves have their own TP layouts) and
+        # with the paged KV pool (the page-walk kernel runs per-device
+        # under shard_map on the KvH slice).
         self.mesh = None
         if tp_devices and int(tp_devices) > 1:
-            if int8_weights:
-                raise ValueError(
-                    "DECODER_TP with DECODER_INT8 is unsupported: the "
-                    "quantized {'q','s'} leaves have no TP layout yet"
-                )
-            if kv_pages:
-                raise ValueError(
-                    "DECODER_TP requires the ring cache "
-                    "(DECODER_KV_PAGES=0): the paged page-walk kernel "
-                    "is a single-device program"
-                )
             if cfg.heads % int(tp_devices) or cfg.kv_heads % int(tp_devices):
                 raise ValueError(
                     f"heads={cfg.heads}/kv_heads={cfg.kv_heads} not "
                     f"divisible by tp_devices={tp_devices}"
                 )
+            from outline_rag_tpu.models.decoder import _INT8_MODE
             from outline_rag_tpu.parallel.tp import (
                 model_mesh,
                 shard_decoder_params,
             )
 
+            if int8_weights and _INT8_MODE != "w8a8":
+                raise ValueError(
+                    "DECODER_TP with DECODER_INT8 requires "
+                    "DECODER_INT8_MODE=w8a8 (the in-VMEM dequant kernel "
+                    "is a single-device program)"
+                )
             self.mesh = model_mesh(int(tp_devices))
-            self.params = shard_decoder_params(
-                stack_decoder_params(cast_decoder_params(params, cfg.dtype)),
-                self.mesh,
-            )
+            p = stack_decoder_params(cast_decoder_params(params, cfg.dtype))
+            if int8_weights:
+                p = quantize_decoder_params(p)  # unfused names keep TP layouts
+            self.params = shard_decoder_params(p, self.mesh)
         else:
             self.params = fuse_decoder_params(
                 stack_decoder_params(cast_decoder_params(params, cfg.dtype))

@@ -124,9 +124,10 @@ def test_tp_provider_serving_matches_unsharded():
             tp._batcher.close()
 
 
-def test_tp_provider_rejects_bad_configs():
+def test_tp_provider_rejects_bad_configs(monkeypatch):
     import pytest
 
+    from outline_rag_tpu.models import decoder as decoder_mod
     from outline_rag_tpu.models.decoder import (
         DecoderConfig,
         init_decoder_params,
@@ -141,13 +142,13 @@ def test_tp_provider_rejects_bad_configs():
         encode = staticmethod(lambda t: [1, 2, 3])
         decode = staticmethod(lambda ids: "x")
 
-    with pytest.raises(ValueError, match="DECODER_INT8"):
-        LocalChatProvider(params, cfg, Tok(), tp_devices=2, int8_weights=True)
-    with pytest.raises(ValueError, match="ring cache"):
-        LocalChatProvider(params, cfg, Tok(), tp_devices=2, kv_pages=8,
-                          batch_slots=2)
     with pytest.raises(ValueError, match="divisible"):
         LocalChatProvider(params, cfg, Tok(), tp_devices=3)
+    # int8+TP is only lowered for the pure-XLA w8a8 strategy; the
+    # in-VMEM dequant kernel is a single-device program
+    monkeypatch.setattr(decoder_mod, "_INT8_MODE", "kernel")
+    with pytest.raises(ValueError, match="w8a8"):
+        LocalChatProvider(params, cfg, Tok(), tp_devices=2, int8_weights=True)
 
 
 def test_tp_spec_batcher_matches_unsharded():
@@ -188,3 +189,120 @@ def test_tp_spec_batcher_matches_unsharded():
     want = run(None, params)
     got = run(mesh, shard_decoder_params(params, mesh))
     assert got == want, (got, want)
+
+
+def _collect(q):
+    from outline_rag_tpu.serve.decode_batcher import DONE
+
+    out = []
+    while True:
+        item = q.get(timeout=120)
+        if item is DONE:
+            return out
+        if isinstance(item, Exception):
+            raise item
+        out.extend(item)
+
+
+def _run_batcher(params, cfg, mesh, prompts, **kw):
+    from outline_rag_tpu.serve.decode_batcher import DecodeBatcher
+
+    b = DecodeBatcher(
+        params, cfg, slots=2, chunk_tokens=4, eos_id=0, mesh=mesh, **kw
+    )
+    try:
+        qs = [b.submit(p, 0.0, 1.0, 8, seed=7 + i) for i, p in enumerate(prompts)]
+        return [_collect(q) for q in qs]
+    finally:
+        b.close()
+
+
+def test_tp_paged_batcher_matches_unsharded():
+    """TP x paged KV: the page-walk attention runs per-device under
+    shard_map on the KvH slice; greedy tokens equal the single-device
+    paged batcher (and the pool actually shards)."""
+    from outline_rag_tpu.models.decoder import (
+        DecoderConfig,
+        init_decoder_params,
+        stack_decoder_params,
+    )
+    from outline_rag_tpu.parallel.tp import model_mesh, shard_decoder_params
+
+    cfg = DecoderConfig.tiny()
+    params = stack_decoder_params(init_decoder_params(jax.random.key(3), cfg))
+    prompts = [[5, 9, 13, 5, 9, 13], [7, 11, 7, 11]]
+    paged = dict(kv_pages=12, page_size=16)
+
+    want = _run_batcher(params, cfg, None, prompts, **paged)
+    mesh = model_mesh(2)
+    got = _run_batcher(
+        shard_decoder_params(params, mesh), cfg, mesh, prompts, **paged
+    )
+    assert got == want, (got, want)
+
+
+def test_tp_paged_int8kv_batcher_matches_unsharded():
+    """TP x paged x int8 KV pool: quantized pages shard on KvH with
+    their scale pools; tokens equal the single-device int8-KV batcher."""
+    from outline_rag_tpu.models.decoder import (
+        DecoderConfig,
+        init_decoder_params,
+        stack_decoder_params,
+    )
+    from outline_rag_tpu.parallel.tp import model_mesh, shard_decoder_params
+
+    cfg = DecoderConfig.tiny()
+    params = stack_decoder_params(init_decoder_params(jax.random.key(4), cfg))
+    prompts = [[5, 9, 13, 5, 9, 13]]
+    paged = dict(kv_pages=12, page_size=16, kv_int8=True)
+
+    want = _run_batcher(params, cfg, None, prompts, **paged)
+    mesh = model_mesh(2)
+    got = _run_batcher(
+        shard_decoder_params(params, mesh), cfg, mesh, prompts, **paged
+    )
+    assert got == want, (got, want)
+
+
+def test_tp_int8_weights_provider_matches_unsharded():
+    """TP x w8a8 int8 weights: quantized {'q','s'} leaves shard with
+    their own Megatron layouts; greedy decode equals the single-device
+    int8 provider token-for-token."""
+    import asyncio
+
+    from outline_rag_tpu.models.decoder import (
+        DecoderConfig,
+        init_decoder_params,
+    )
+    from outline_rag_tpu.serve.llm import LocalChatProvider
+
+    cfg = DecoderConfig.tiny()
+    params = init_decoder_params(jax.random.key(5), cfg)
+
+    class Tok:
+        eos_token_id = 0
+
+        def encode(self, text):
+            return [1 + (b % 250) for b in text.encode()][:40]
+
+        def decode(self, ids):
+            return " ".join(str(i) for i in ids)
+
+    def complete(prov, text):
+        return asyncio.run(
+            prov.complete(
+                "m", [{"role": "user", "content": text}], temperature=0.0
+            )
+        )
+
+    plain = LocalChatProvider(
+        params, cfg, Tok(), chunk_tokens=4, max_new_tokens=10,
+        int8_weights=True,
+    )
+    tp = LocalChatProvider(
+        params, cfg, Tok(), chunk_tokens=4, max_new_tokens=10,
+        int8_weights=True, tp_devices=2,
+    )
+    assert tp.params["layers"]["wq"]["q"].sharding.is_fully_replicated is False
+    for text in ("hello int8 tensor parallel", "second"):
+        assert complete(tp, text) == complete(plain, text)
