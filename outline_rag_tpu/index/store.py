@@ -131,6 +131,105 @@ class VectorIndex:
         # lazily pinned by colbert_projection_for and persisted in the
         # snapshot so ingest and query provably share one matrix
         self.colbert_proj: np.ndarray | None = None
+        # capacity pre-warming: compile next-capacity mutation (and
+        # registered query) programs OUTSIDE the write lock, so a growth
+        # event swaps buffers under the lock without a 20-70 s remote
+        # compile excluding every reader
+        self._warm_hooks: list = []
+        self._warmed: set[int] = {capacity}
+        self._warm_mutex = threading.Lock()
+        self._warm_thread: threading.Thread | None = None
+
+    # ------------------------------------------------------------------
+    # capacity pre-warming
+    # ------------------------------------------------------------------
+
+    def register_warm_hook(self, fn) -> None:
+        """Register ``fn(capacity, shard, tokens)`` to compile
+        capacity-dependent query programs (e.g. ``FusedEngine.warm``) —
+        ``shard``/``tokens`` are throwaway ``DeviceShard``/``TokenCache``
+        instances at the target capacity whose avals (shapes, dtypes,
+        shardings) exactly match what growth will create. Called outside
+        any lock before a growth swaps in that capacity, and
+        speculatively in the background past ~80% occupancy."""
+        self._warm_hooks.append(fn)
+
+    def _next_capacity(self, needed: int, size: int | None = None) -> int:
+        size = self.size if size is None else size
+        new_cap = self._shard.capacity
+        while new_cap - size < needed or new_cap == self._shard.capacity:
+            new_cap *= 2
+        return new_cap
+
+    def warm_capacity(self, cap: int) -> None:
+        """Synchronously compile every program the index needs at
+        ``cap`` (mutation blocks, token-cache updates, registered query
+        hooks). Idempotent; takes no index lock, so concurrent queries
+        keep running — exactly the point."""
+        with self._warm_mutex:
+            if cap in self._warmed:
+                return
+        shard = DeviceShard.warm(cap, self.dim, self.dtype, self._sharding)
+        tokens = None
+        if self.token_width:
+            tokens = TokenCache.warm(
+                cap, self.token_width, self.token_pad_id, self._sharding,
+                colbert_rank=self.colbert_rank,
+            )
+        for fn in list(self._warm_hooks):
+            try:
+                fn(cap, shard, tokens)
+            except Exception:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "capacity warm hook failed for cap=%d", cap, exc_info=True
+                )
+        with self._warm_mutex:
+            self._warmed.add(cap)
+
+    def _warm_before_growth(self, n_new: int, source_id: str, replace: bool):
+        """Pre-lock growth prediction (single-writer: the sizes cannot
+        shrink under us). A mis-prediction is safe — growth just compiles
+        under the lock as before."""
+        size_est = self.size
+        if replace:
+            size_est -= len(self._by_source.get(source_id, []))
+        if n_new > self._shard.free and size_est + n_new > self._shard.capacity:
+            t = self._warm_thread
+            if t is not None and t.is_alive():
+                t.join()  # a background warm may already be compiling it
+            self.warm_capacity(self._next_capacity(n_new, size_est))
+
+    def _maybe_background_warm(self) -> None:
+        """Past ~80% occupancy, warm 2x capacity on a daemon thread so
+        even the ingest call that finally grows doesn't wait on compiles."""
+        if self._shard.cursor * 5 < self._shard.capacity * 4:
+            return
+        cap = self._shard.capacity * 2
+        with self._warm_mutex:
+            if cap in self._warmed:
+                return
+            t = self._warm_thread
+            if t is not None and t.is_alive():
+                return
+            t = threading.Thread(
+                target=self._bg_warm, args=(cap,), daemon=True,
+                name="index-capacity-warm",
+            )
+            self._warm_thread = t
+        t.start()
+
+    def _bg_warm(self, cap: int) -> None:
+        try:
+            self.warm_capacity(cap)
+        except Exception:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "background capacity warm failed for cap=%d", cap,
+                exc_info=True,
+            )
 
     def colbert_projection_for(self, hc: int) -> np.ndarray:
         """The [hc, colbert_rank] projection shared by ingest and query.
@@ -205,6 +304,10 @@ class VectorIndex:
             vecs = np.asarray(
                 split_f32_bf16x2(jnp.asarray(vecs)).astype(jnp.float32)
             )
+        # growth prediction: compile next-capacity programs BEFORE taking
+        # the write lock (concurrent queries keep running through the
+        # compiles; the locked section below then only swaps buffers)
+        self._warm_before_growth(len(chunk_ids), source_id, replace)
         with self._rw.write():
             if replace:
                 self._delete_source_locked(source_id)
@@ -229,6 +332,9 @@ class VectorIndex:
                 self._by_chunk[cid] = int(row)
             self._by_source.setdefault(source_id, [])
             self._by_source[source_id].extend(chunk_ids)
+        # speculative: once past ~80% occupancy, background-compile the
+        # 2x-capacity programs so the eventual growth stalls nobody
+        self._maybe_background_warm()
 
     def delete_source(self, source_id: str) -> int:
         with self._rw.write():
@@ -251,13 +357,11 @@ class VectorIndex:
             return len(rows)
 
     def _grow(self, needed: int) -> None:
-        """Double capacity (rare; recompiles the mutation programs once per
-        size). Live rows are copied, tombstones dropped -> doubles as
-        compaction."""
-        new_cap = self._shard.capacity
-        while new_cap - self.size < needed or new_cap == self._shard.capacity:
-            new_cap *= 2
-        self._compact_locked(new_capacity=new_cap)
+        """Double capacity. Live rows are copied, tombstones dropped ->
+        doubles as compaction. The programs for the new capacity are
+        normally already compiled (``_warm_before_growth`` runs outside
+        the write lock); a cold growth still works, just slower."""
+        self._compact_locked(new_capacity=self._next_capacity(needed))
 
     def compact(self, new_capacity: int | None = None) -> None:
         """Rewrite the shard keeping only live rows (drops tombstones)."""

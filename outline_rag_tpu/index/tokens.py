@@ -98,6 +98,30 @@ class TokenCache:
                     scales=jax.device_put(self.colbert.scales, sharding),
                 )
 
+    @staticmethod
+    def warm(
+        capacity: int,
+        width: int,
+        pad_id: int = 1,
+        sharding: jax.sharding.Sharding | None = None,
+        colbert_rank: int = 0,
+    ) -> "TokenCache":
+        """Compile the token-cache update programs for ``capacity`` on a
+        throwaway cache (same contract as ``DeviceShard.warm``: the jit
+        caches are shape-keyed, so growth to this capacity then swaps
+        buffers without compiling under the write lock). Returns the
+        throwaway cache for query-warm hooks."""
+        tc = TokenCache(capacity, width, pad_id, sharding, colbert_rank)
+        tc.write(
+            0,
+            np.full((1, width), pad_id, np.int32),
+            np.zeros((1, width), np.int32),
+            np.zeros((1, width), np.float32),
+            np.zeros((1, width, colbert_rank), np.int8) if colbert_rank else None,
+            np.zeros((1, width), np.float32) if colbert_rank else None,
+        )
+        return tc
+
     def write(
         self,
         start: int,

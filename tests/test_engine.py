@@ -143,3 +143,45 @@ def test_batcher_coalesces():
     assert res[2][0].chunk_id == "delta:0"
     # all three arrived within the window -> fewer batches than queries
     assert len(calls) < 3
+
+
+def test_fused_query_warm_covers_post_growth_queries(tiny_models):
+    """The engine registers itself as the index's capacity warm hook:
+    after a growth, queries at already-served batch sizes hit the
+    pre-compiled fused program (no new jit-cache entry inside the
+    post-growth read section)."""
+    from outline_rag_tpu.engine import fused as fused_mod
+    from outline_rag_tpu.engine.fused import FusedEngine
+
+    emb, rr = tiny_models
+    idx = VectorIndex(dim=emb.dim, capacity=1024, token_width=32)
+    texts = [f"document number {i} about subject {i % 5}" for i in range(1000)]
+    tb = emb.tokenizer.batch(texts, 32, buckets=(32,))
+    idx.add_chunks(
+        [f"d{i}" for i in range(1000)],
+        emb.embed(texts),
+        source_id="bulk",
+        token_ids=tb.input_ids,
+        token_mask=tb.attention_mask,
+    )
+    fe = FusedEngine(emb, rr, idx, top_k=4, rerank_k=2)
+    fe.query(["subject 3"])  # records batch size 1
+    assert fe._seen_batches == {1}
+
+    # trigger growth (pre-lock warm runs the fused program at 2048)
+    more = [f"extra document {i}" for i in range(200)]
+    tb2 = emb.tokenizer.batch(more, 32, buckets=(32,))
+    idx.add_chunks(
+        [f"e{i}" for i in range(200)],
+        emb.embed(more),
+        source_id="extra",
+        token_ids=tb2.input_ids,
+        token_mask=tb2.attention_mask,
+    )
+    assert idx._shard.capacity == 2048
+    n = fused_mod.fused_query._cache_size()
+    out = fe.query(["extra document"])
+    assert out and out[0], out
+    assert fused_mod.fused_query._cache_size() == n, (
+        "post-growth query recompiled despite the warm hook"
+    )
