@@ -39,6 +39,38 @@ function esc(s) {
   return s.replace(/&/g, "&amp;").replace(/</g, "&lt;").replace(/>/g, "&gt;");
 }
 
+/* ---------- model/provider icons (reference: per-model brand images,
+ * core.js:80-92 + static/img). First-party equivalent: deterministic
+ * inline-SVG monograms — the provider prefix picks a stable hue and the
+ * initial letter, so every model gets a distinct avatar with zero
+ * binary assets and zero CDN fetches. */
+
+const APP_ICON =
+  '<svg class="app-icon" viewBox="0 0 64 64" aria-hidden="true">' +
+  '<rect x="4" y="4" width="56" height="56" rx="14" fill="var(--accent)"/>' +
+  '<circle cx="28" cy="27" r="11.5" fill="none" stroke="#fff" stroke-width="5"/>' +
+  '<line x1="37" y1="36" x2="47" y2="46" stroke="#fff" stroke-width="6" stroke-linecap="round"/>' +
+  "</svg>";
+
+function modelIcon(modelId) {
+  const provider = ((modelId || "").split(/[\/@]/)[0] || "model").toLowerCase();
+  let h = 0;
+  for (let i = 0; i < provider.length; i++) h = (h * 31 + provider.charCodeAt(i)) >>> 0;
+  const hue = h % 360;
+  const letter = esc(provider[0].toUpperCase());
+  return (
+    `<svg class="model-icon" viewBox="0 0 24 24" aria-hidden="true">` +
+    `<circle cx="12" cy="12" r="11" fill="hsl(${hue} 55% 45%)"/>` +
+    `<text x="12" y="16.4" text-anchor="middle" font-size="12.5" font-weight="700" ` +
+    `fill="#fff" font-family="system-ui,sans-serif">${letter}</text></svg>`
+  );
+}
+
+function syncModelIcon() {
+  const badge = $("#model-icon");
+  if (badge) badge.innerHTML = modelIcon($("#model-picker").value);
+}
+
 /* ---------- in-app dialogs + toasts (reference: Shoelace dialogs,
  * core.js:60-150) — promise-based modal overlay, no native prompt(). */
 
@@ -341,6 +373,7 @@ async function loadMe() {
     opt.textContent = m.label;
     picker.appendChild(opt);
   });
+  syncModelIcon();
 }
 
 async function loadConversations() {
@@ -470,8 +503,16 @@ function appendMessage(role, content, id) {
   div.className = "msg " + role;
   if (id) div.dataset.id = id;
   if (role === "assistant") {
-    div.innerHTML = renderAssistant(content || "");
-    if (content) attachCopy(div, content);
+    /* avatar + bubble (reference renders a model avatar beside each
+     * assistant message); streaming appends into the bubble */
+    const avatar = document.createElement("span");
+    avatar.className = "avatar";
+    avatar.innerHTML = APP_ICON;
+    const bubble = document.createElement("div");
+    bubble.className = "bubble";
+    bubble.innerHTML = renderAssistant(content || "");
+    div.append(avatar, bubble);
+    if (content) attachCopy(bubble, content);
   } else {
     div.innerHTML = renderMarkdownLite(content || "");
     const edit = document.createElement("button");
@@ -512,6 +553,7 @@ async function sendQuestion() {
   appendMessage("user", question);
 
   const assistantDiv = appendMessage("assistant", "");
+  const bubble = assistantDiv.querySelector(".bubble") || assistantDiv;
   assistantDiv.classList.add("streaming");
   state.streaming = true;
   $("#send").hidden = true;
@@ -528,7 +570,7 @@ async function sendQuestion() {
   let thinkEl = null, thinkBody = null;
   const stableEl = document.createElement("div");
   const tailEl = document.createElement("div");
-  assistantDiv.append(stableEl, tailEl);
+  bubble.append(stableEl, tailEl);
   let stableCut = 0;
   const fencesBalanced = (s) => {
     const parts = s.split("```");
@@ -586,6 +628,16 @@ async function sendQuestion() {
         let obj;
         try { obj = JSON.parse(payload); } catch (e) { continue; }
         const delta = obj.choices?.[0]?.delta || {};
+        if (obj.model) {
+          /* model badge on the avatar: which model is answering
+           * (reference shows the model's brand icon per message) */
+          const av = assistantDiv.querySelector(".avatar");
+          if (av && av.dataset.model !== obj.model) {
+            av.dataset.model = obj.model;
+            av.innerHTML = modelIcon(obj.model);
+            av.title = obj.model;
+          }
+        }
         if (delta.thinking) {
           thinking += delta.thinking;
           if (!thinkEl) {
@@ -595,7 +647,7 @@ async function sendQuestion() {
             thinkEl.innerHTML = "<summary>thinking</summary>";
             thinkBody = document.createElement("div");
             thinkEl.appendChild(thinkBody);
-            assistantDiv.insertBefore(thinkEl, stableEl);
+            bubble.insertBefore(thinkEl, stableEl);
           }
           thinkBody.textContent = thinking;
         }
@@ -609,7 +661,7 @@ async function sendQuestion() {
     }
   } catch (e) {
     if (e.name !== "AbortError") {
-      assistantDiv.innerHTML += "<p class='error'>connection lost</p>";
+      bubble.insertAdjacentHTML("beforeend", "<p class='error'>connection lost</p>");
     }
   } finally {
     assistantDiv.classList.remove("streaming");
@@ -744,6 +796,7 @@ window.addEventListener("DOMContentLoaded", async () => {
     loadConversations();
   };
   $("#refresh-kb").onclick = triggerRefresh;
+  $("#model-picker").onchange = syncModelIcon;
   $("#menu-toggle").onclick = () => $("#sidebar").classList.toggle("open");
   $("#theme-toggle").onclick = () => {
     let choice = "dark";
