@@ -349,6 +349,7 @@ def _fused_topk_kernel_qmajor(
     k: int,
     block_n: int,
     compensated: bool = False,
+    unroll_merge: int = 0,
 ):
     """Query-major orientation: the score tile is ``Q @ C_tile^T -> [TB,
     TN]`` so every selection reduction (tile max, argmax, the K insert
@@ -448,9 +449,17 @@ def _fused_topk_kernel_qmajor(
             )
             return i + 1, scores, new_vals, new_idx
 
-        _, _, new_vals, new_idx = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), s, acc_vals[:], acc_idx[:])
-        )
+        state = (jnp.int32(0), s, acc_vals[:], acc_idx[:])
+        # ``unroll_merge`` straight-line extraction passes before the
+        # while_loop: a while iteration pays scalar-core/sync overhead
+        # that dwarfs its vector work, and at small N a merge fires on
+        # nearly every tile with only 1-4 candidates — unrolled passes
+        # (each a natural no-op once candidates are exhausted) pipeline
+        # as pure vector code and the loop only runs for the rare tile
+        # with more than ``unroll_merge`` insertions.
+        for _ in range(min(unroll_merge, k)):
+            state = body(state)
+        _, _, new_vals, new_idx = jax.lax.while_loop(cond, body, state)
         acc_vals[:] = new_vals
         acc_idx[:] = new_idx
 
@@ -461,7 +470,8 @@ def _fused_topk_kernel_qmajor(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "block_n", "interpret", "compensated")
+    jax.jit,
+    static_argnames=("k", "block_n", "interpret", "compensated", "unroll_merge"),
 )
 def _topk_pallas_qmajor_jit(
     queries: jax.Array,
@@ -473,12 +483,14 @@ def _topk_pallas_qmajor_jit(
     block_n: int,
     interpret: bool,
     compensated: bool = False,
+    unroll_merge: int = 0,
 ) -> tuple[jax.Array, jax.Array]:
     b, d = queries.shape
     n = corpus.shape[0]
     grid = (n // block_n,)
     kernel = functools.partial(
-        _fused_topk_kernel_qmajor, k=k, block_n=block_n, compensated=compensated
+        _fused_topk_kernel_qmajor, k=k, block_n=block_n,
+        compensated=compensated, unroll_merge=unroll_merge,
     )
     bytes_per = jnp.dtype(corpus.dtype).itemsize
     out_vals, out_idx = pl.pallas_call(
@@ -589,6 +601,7 @@ def topk_pallas(
     interpret: bool | None = None,
     orientation: str = "auto",  # auto | qmajor | cmajor
     compensated: bool | None = None,  # bf16x2 corpus (split_f32_bf16x2)
+    unroll_merge: int = 0,  # qmajor: unrolled extraction passes before the while_loop
 ) -> tuple[jax.Array, jax.Array]:
     """Fused score+top-K. Requires B % 8 == 0 and N % block_n == 0
     (use :func:`cosine_topk` for automatic padding). For int8 corpora pass
@@ -630,6 +643,7 @@ def topk_pallas(
                 else None,
                 block_b=block_b, block_n=block_n, interpret=interpret,
                 orientation=orientation, compensated=compensated,
+                unroll_merge=unroll_merge,
             )
             out_v.append(sv)
             out_i.append(si)
@@ -644,7 +658,7 @@ def topk_pallas(
             queries, corpus, k, penalty,
             corpus_scales=corpus_scales, query_scales=query_scales,
             block_b=block_b, block_n=block_n, interpret=interpret,
-            orientation=orientation,
+            orientation=orientation, unroll_merge=unroll_merge,
         )
         return vals[:b], idx[:b]
 
@@ -670,6 +684,7 @@ def topk_pallas(
                 interpret=interpret,
                 orientation=orientation,
                 compensated=compensated,
+                unroll_merge=unroll_merge,
             )
             si = si + start
             acc = (sv, si) if acc is None else merge_topk(acc[0], acc[1], sv, si, k)
@@ -689,7 +704,7 @@ def topk_pallas(
         )
         return _topk_pallas_qmajor_jit(
             queries, corpus, pen_r, cscale_r, qscale_r, k, block_n, interpret,
-            compensated,
+            compensated, unroll_merge,
         )
 
     pen2d = penalty.reshape(n, 1).astype(jnp.float32)

@@ -239,3 +239,24 @@ def test_topk_wide_matches_single_stage():
     wv, wi = jax.lax.top_k(s[:, :300], 40)
     gv, gi = topk_wide(s[:, :300], 40, seg=32)
     np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
+
+
+def test_unrolled_merge_matches_oracle(data):
+    """unroll_merge=u replaces the first u while_loop extraction passes
+    with straight-line code (the small-N launch-overhead candidate fix);
+    results must be bit-identical to the oracle for every u, plain and
+    compensated."""
+    from outline_rag_tpu.ops.topk import split_f32_bf16x2
+
+    q, c = data
+    _, oidx = _oracle_topk(q, c, 12)
+    c2 = split_f32_bf16x2(jnp.asarray(c))
+    for u in (1, 2, 4, 12):
+        vals, idx = topk_pallas(
+            jnp.asarray(q), jnp.asarray(c), 12, block_n=128, unroll_merge=u
+        )
+        np.testing.assert_array_equal(np.asarray(idx), oidx)
+        vals2, idx2 = topk_pallas(
+            jnp.asarray(q), c2, 12, block_n=128, unroll_merge=u
+        )
+        np.testing.assert_array_equal(np.asarray(idx2), oidx)

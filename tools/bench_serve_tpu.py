@@ -1,0 +1,201 @@
+"""North-star serving rung: 100 concurrent asks on the REAL chip.
+
+BASELINE.md's final ladder rung is "fused serve at 100 concurrent
+queries". This boots the full app with the real-size models on the
+default backend (the TPU via the axon tunnel on this VM):
+
+- bge-m3-size encoder (24L x 1024H, bf16, random init — no weights in
+  this environment; identical FLOPs/bytes to the real checkpoint),
+- bge-reranker-v2-m3-size cross-encoder,
+- f32x2 VectorIndex at BENCH_N rows (default 100k) with the device
+  token cache, so each ask runs the fused embed -> score+top-12 ->
+  gather -> rerank program through the query micro-batcher,
+- FakeChatProvider behind the provider seam (the reference's chat LLM
+  is a remote API in both systems; its latency is not the rung).
+
+Reports p50/p95 ask completion latency and aggregate asks/s at
+BENCH_CONC concurrency, with the tunnel RTT marker the benchmarking
+protocol requires (docs/BENCHMARKS.md "Measurement caveat").
+
+Usage: python tools/bench_serve_tpu.py
+Env: BENCH_N (100000), BENCH_CONC (100), BENCH_SEQ (10), BENCH_CPU=1
+     (smoke-test the harness on the CPU backend with a tiny encoder).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+async def run() -> None:
+    import jax
+
+    smoke = bool(os.environ.get("BENCH_CPU"))
+    if smoke:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from outline_rag_tpu.config import load_settings
+    from outline_rag_tpu.engine.embedder import EncoderEmbedder
+    from outline_rag_tpu.engine.rerank import CrossEncoderReranker
+    from outline_rag_tpu.index import VectorIndex
+    from outline_rag_tpu.models.encoder import (
+        EncoderConfig,
+        init_encoder_params,
+    )
+    from outline_rag_tpu.models.reranker import init_reranker_params
+    from outline_rag_tpu.models.tokenizer import HashTokenizer
+    from outline_rag_tpu.serve.app import build_app
+    from outline_rag_tpu.serve.http import TestClient
+    from outline_rag_tpu.serve.llm import FakeChatProvider
+
+    n = int(os.environ.get("BENCH_N", 2048 if smoke else 100_000))
+    conc = int(os.environ.get("BENCH_CONC", 8 if smoke else 100))
+    n_seq = int(os.environ.get("BENCH_SEQ", 3 if smoke else 10))
+    tok_w = 64
+
+    # tunnel health marker FIRST (memory/tpu-tunnel-degradation)
+    x = jnp.ones((256, 256))
+    (x @ x).block_until_ready()
+    t0 = time.perf_counter()
+    float(jnp.sum(x @ x))
+    rtt = time.perf_counter() - t0
+    print(f"# backend={jax.default_backend()} tunnel rtt {rtt:.3f}s",
+          file=sys.stderr)
+
+    cfg = EncoderConfig.tiny() if smoke else EncoderConfig.bge_m3()
+    enc_params = init_encoder_params(jax.random.key(0), cfg)
+    rr_params = init_reranker_params(jax.random.key(1), cfg)
+    tok = HashTokenizer(vocab_size=cfg.vocab_size)
+    emb = EncoderEmbedder(
+        enc_params, cfg, tok, max_tokens=tok_w, seq_buckets=(tok_w,),
+        name="bench-bge-m3",
+    )
+    rr = CrossEncoderReranker(rr_params, cfg, tok, max_tokens=2 * tok_w)
+
+    cap = 1024
+    while cap < n:
+        cap *= 2
+    index = VectorIndex(
+        dim=cfg.hidden, capacity=cap, dtype="f32x2", token_width=tok_w
+    )
+
+    # synthesize the corpus directly through the real ingest mutation
+    # path (normalize + f32x2 split + token-cache write); encoding 100k
+    # chunks through the encoder is the *build* rung, measured separately
+    # (BENCH_SCENARIO=encode)
+    rng = np.random.default_rng(0)
+    t_build = time.perf_counter()
+    batch = 4096
+    for start in range(0, n, batch):
+        m = min(batch, n - start)
+        vecs = rng.standard_normal((m, cfg.hidden)).astype(np.float32)
+        ids = rng.integers(3, cfg.vocab_size, size=(m, tok_w)).astype(np.int32)
+        index.add_chunks(
+            [f"c{start + i}" for i in range(m)],
+            vecs,
+            source_id=f"s{start // batch}",
+            replace=False,
+            token_ids=ids,
+            token_mask=np.ones((m, tok_w), np.int32),
+        )
+    print(
+        f"# index build: {n} rows in {time.perf_counter() - t_build:.1f}s",
+        file=sys.stderr,
+    )
+
+    settings = load_settings(
+        {
+            "SECRET_KEY": "bench",
+            "VECTOR_DIM": str(cfg.hidden),
+            "DATA_DIR": "",
+            "TOKEN_WIDTH": str(tok_w),
+            "MESH_DATA_AXIS": "1",
+        }
+    )
+    app = build_app(
+        settings,
+        provider=FakeChatProvider(),
+        embedder=emb,
+        reranker=rr,
+        index=index,
+        start_workers=False,
+    )
+    # chunk-text lookup: the meta store is empty (vectors are synthetic);
+    # the ask path degrades to context-less answers, which exercises the
+    # same retrieval+rerank device program — the rung under test
+    client = TestClient(app)
+    await client.post(
+        "/chat/login",
+        body=b"name=bench",
+        headers={"content-type": "application/x-www-form-urlencoded"},
+    )
+    conv = json.loads(
+        (await client.post("/chat/api/conversations", json_body={"title": "b"})).body
+    )
+
+    async def ask(q: str) -> float:
+        t0 = time.perf_counter()
+        events = await client.sse(
+            "POST",
+            "/chat/api/ask",
+            json_body={"conversation_id": conv["id"], "question": q},
+        )
+        assert events, "no SSE frames"
+        return time.perf_counter() - t0
+
+    await ask("warmup alpha wolves in the forest")  # compile B=1..batch shapes
+
+    lat = []
+    for i in range(n_seq):
+        lat.append(await ask(f"sequential question {i} about topic {i % 7}"))
+    lat.sort()
+    p50_seq = lat[len(lat) // 2] * 1e3
+
+    # the 100-way burst: all asks issued at once; the query micro-batcher
+    # coalesces them into device batches of <= query_batch_max
+    t0 = time.perf_counter()
+    conc_lat = await asyncio.gather(
+        *[ask(f"concurrent question {i} topic {i % 11}") for i in range(conc)]
+    )
+    wall = time.perf_counter() - t0
+    conc_lat = sorted(conc_lat)
+    p50 = conc_lat[len(conc_lat) // 2] * 1e3
+    p95 = conc_lat[int(len(conc_lat) * 0.95) - 1] * 1e3
+
+    t0 = time.perf_counter()
+    float(jnp.sum(x @ x))
+    rtt_after = time.perf_counter() - t0
+
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"north-star serve: {conc} concurrent asks, "
+                    f"{'tiny-smoke' if smoke else 'bge-m3-size'} encoder+reranker, "
+                    f"{n}x{cfg.hidden} f32x2 fused index, "
+                    f"backend={jax.default_backend()}"
+                ),
+                "seq_p50_ms": round(p50_seq, 1),
+                "conc_p50_ms": round(p50, 1),
+                "conc_p95_ms": round(p95, 1),
+                "asks_per_s": round(conc / wall, 2),
+                "tunnel_rtt_s": round(rtt, 3),
+                "tunnel_rtt_after_s": round(rtt_after, 3),
+                "window": "healthy" if max(rtt, rtt_after) < 0.5 or smoke
+                else "degraded",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    asyncio.run(run())

@@ -134,6 +134,16 @@ if DT == jnp.float32:
     VARIANTS["f32x2_xla"] = lambda q, c: topk_xla_compensated(
         q.astype(jnp.float32), corpus_x2, 12
     )
+    # unrolled-merge A/B (VERDICT r2 #3): straight-line extraction
+    # passes replace while_loop iterations — the candidate fix for the
+    # kernel's launch-overhead-bound small-N regime
+    for u in (2, 4, 8):
+        VARIANTS[f"f32x2_u{u}"] = (
+            lambda q, c, u=u: topk_pallas(
+                q.astype(jnp.float32), corpus_x2, 12, block_n=BLOCK_N,
+                interpret=False, unroll_merge=u,
+            )
+        )
 if B <= 128:  # the stripped diagnostics don't chunk B and OOM VMEM past it
     VARIANTS["matmul"] = lambda q, c: run_variant(q, c, "matmul")
     VARIANTS["nomerge"] = lambda q, c: run_variant(q, c, "nomerge")
