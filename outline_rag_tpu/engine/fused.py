@@ -396,7 +396,37 @@ class FusedEngine:
     def query(self, texts: list[str]):
         tok = self.embedder.tokenizer
         tb = tok.batch(texts, self.q_width, buckets=(self.q_width,))
-        self._seen_batches.add(tb.input_ids.shape[0])
+        n_real = tb.input_ids.shape[0]
+        # Pad the batch to a power-of-two bucket: under concurrent
+        # serving the micro-batcher produces many distinct batch sizes,
+        # and each would compile its own fused program (20-70 s through
+        # the remote compiler — a compile storm on the first busy
+        # burst). Buckets bound the variant count at log2(max_batch);
+        # the padded rows' scoring is nearly free (the corpus sweep is
+        # HBM-bound and shared across queries) and their outputs are
+        # sliced off below.
+        bucket = 1
+        while bucket < n_real:
+            bucket *= 2
+        if bucket != n_real:
+            import numpy as _np
+
+            pad = bucket - n_real
+            pad_ids = _np.full(
+                (pad, tb.input_ids.shape[1]),
+                getattr(tok, "pad_id", 1),
+                tb.input_ids.dtype,
+            )
+            pad_ids[:, 0] = tb.input_ids[0, 0]  # keep one real token:
+            # an all-masked row must not NaN the pooled embedding
+            pad_mask = _np.zeros((pad, tb.attention_mask.shape[1]),
+                                 tb.attention_mask.dtype)
+            pad_mask[:, 0] = 1
+            tb = type(tb)(
+                input_ids=_np.concatenate([tb.input_ids, pad_ids]),
+                attention_mask=_np.concatenate([tb.attention_mask, pad_mask]),
+            )
+        self._seen_batches.add(bucket)
         with self.index.read_section():
             # snapshot inside the read section: mutations donate device
             # buffers only after in-flight readers drain, and queries run
@@ -406,9 +436,9 @@ class FusedEngine:
             r_rows, r_vals, retr_vals, idx, vals = self._dispatch(
                 tb, state, self.index.tokens.state, self.index.tokens.colbert
             )
-            r_rows = np.asarray(r_rows)
-            r_vals = np.asarray(r_vals)
-            retr_vals = np.asarray(retr_vals)
+            r_rows = np.asarray(r_rows)[:n_real]
+            r_vals = np.asarray(r_vals)[:n_real]
+            retr_vals = np.asarray(retr_vals)[:n_real]
             results = []
             for b in range(r_rows.shape[0]):
                 row = []

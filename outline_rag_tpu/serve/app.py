@@ -283,13 +283,25 @@ def build_app(
 
     async def _warmup():
         # compile the query program before the first user request (cold
-        # XLA compiles take tens of seconds)
+        # XLA compiles take tens of seconds). The fused engine pads
+        # batches to power-of-two buckets; warm the solo bucket and the
+        # largest one the micro-batcher can emit, so both a lone first
+        # ask and the first busy burst hit compiled programs (middle
+        # buckets compile lazily, one brief stall each at most).
         import asyncio as _aio
 
         async def go():
             try:
                 await _aio.to_thread(retrieval.retrieve_batch, ["warmup"])
-                log.info("query program warmed")
+                top = 1
+                while top < settings.query_batch_max:
+                    top *= 2
+                if top > 1:
+                    await _aio.to_thread(
+                        retrieval.retrieve_batch,
+                        [f"warmup {i}" for i in range(top)],
+                    )
+                log.info("query programs warmed (buckets 1, %d)", top)
             except Exception:
                 log.exception("warmup failed (non-fatal)")
 

@@ -185,3 +185,30 @@ def test_fused_query_warm_covers_post_growth_queries(tiny_models):
     assert fused_mod.fused_query._cache_size() == n, (
         "post-growth query recompiled despite the warm hook"
     )
+
+
+def test_fused_query_pads_to_power_of_two_buckets(tiny_models):
+    """Concurrent serving produces many distinct batch sizes; the fused
+    engine pads each to a power-of-two bucket so the program-variant
+    count stays log2(max_batch) (a compile through the remote tunnel is
+    20-70 s — an unbucketed busy burst is a compile storm). Results for
+    the real rows must be unaffected."""
+    from outline_rag_tpu.engine.fused import FusedEngine
+
+    emb, rr = tiny_models
+    idx = VectorIndex(dim=emb.dim, capacity=2048, token_width=32)
+    for name, text in DOCS.items():
+        tb = emb.tokenizer.batch([text], 32, buckets=(32,))
+        idx.add_chunks(
+            [f"{name}:0"], emb.embed([text]), source_id=name,
+            token_ids=tb.input_ids, token_mask=tb.attention_mask,
+        )
+    fe = FusedEngine(emb, rr, idx, top_k=4, rerank_k=2)
+    out3 = fe.query(["alpha wolf pack", "geiger radiation", "river delta"])
+    assert len(out3) == 3 and all(row for row in out3)
+    assert fe._seen_batches == {4}
+    out1 = fe.query(["alpha wolf pack"])
+    assert len(out1) == 1
+    assert fe._seen_batches == {1, 4}
+    # the padded batch returns the same ids as the exact-size batch
+    assert [c for c, *_ in out3[0]] == [c for c, *_ in out1[0]]

@@ -152,7 +152,12 @@ async def run() -> None:
         assert events, "no SSE frames"
         return time.perf_counter() - t0
 
-    await ask("warmup alpha wolves in the forest")  # compile B=1..batch shapes
+    # compile every power-of-two batch bucket the micro-batcher can emit
+    # before measuring (production pays these once at startup)
+    await ask("warmup alpha wolves in the forest")
+    await asyncio.gather(
+        *[ask(f"warm burst {i}") for i in range(min(conc, 64))]
+    )
 
     lat = []
     for i in range(n_seq):
