@@ -322,8 +322,13 @@ class FusedEngine:
                 index.colbert_projection_for(hc)
             )
         # batch sizes served so far: a capacity warm recompiles exactly
-        # these variants at the new capacity (index.register_warm_hook)
+        # these variants at the new capacity (index.register_warm_hook).
+        # Guarded by a lock: query() adds from serving threads while the
+        # index's background warm thread iterates.
+        import threading
+
         self._seen_batches: set[int] = set()
+        self._seen_lock = threading.Lock()
         index.register_warm_hook(self.warm)
 
     def _dispatch(self, tb, state, tok_state, colbert):
@@ -388,12 +393,16 @@ class FusedEngine:
                 self.index._sharding, colbert_rank=self.index.colbert_rank,
             )
         tok = self.embedder.tokenizer
-        for b in sorted(self._seen_batches or {1}):
+        with self._seen_lock:
+            buckets = sorted(self._seen_batches) or [1]
+        for b in buckets:
             tb = tok.batch(["warm"] * b, self.q_width, buckets=(self.q_width,))
             out = self._dispatch(tb, shard.state, tokens.state, tokens.colbert)
             jax.block_until_ready(out)
 
     def query(self, texts: list[str]):
+        if not texts:
+            return []
         tok = self.embedder.tokenizer
         tb = tok.batch(texts, self.q_width, buckets=(self.q_width,))
         n_real = tb.input_ids.shape[0]
@@ -426,7 +435,8 @@ class FusedEngine:
                 input_ids=_np.concatenate([tb.input_ids, pad_ids]),
                 attention_mask=_np.concatenate([tb.attention_mask, pad_mask]),
             )
-        self._seen_batches.add(bucket)
+        with self._seen_lock:
+            self._seen_batches.add(bucket)
         with self.index.read_section():
             # snapshot inside the read section: mutations donate device
             # buffers only after in-flight readers drain, and queries run

@@ -151,8 +151,21 @@ class VectorIndex:
         instances at the target capacity whose avals (shapes, dtypes,
         shardings) exactly match what growth will create. Called outside
         any lock before a growth swaps in that capacity, and
-        speculatively in the background past ~80% occupancy."""
-        self._warm_hooks.append(fn)
+        speculatively in the background past ~80% occupancy.
+
+        Bound methods are held WEAKLY: a FusedEngine registers itself,
+        and a long-lived index must neither pin replaced engines (and
+        their full param trees) alive nor spend 20-70 s remote compiles
+        warming programs nothing will ever call. Dead hooks are pruned
+        at warm time. Plain functions/lambdas are kept strongly (a
+        weakref to a fresh lambda would die immediately).
+        """
+        import weakref
+
+        if hasattr(fn, "__self__"):
+            self._warm_hooks.append(weakref.WeakMethod(fn))
+        else:
+            self._warm_hooks.append(lambda _fn=fn: _fn)
 
     def _next_capacity(self, needed: int, size: int | None = None) -> int:
         size = self.size if size is None else size
@@ -176,7 +189,14 @@ class VectorIndex:
                 cap, self.token_width, self.token_pad_id, self._sharding,
                 colbert_rank=self.colbert_rank,
             )
-        for fn in list(self._warm_hooks):
+        for ref in list(self._warm_hooks):
+            fn = ref()
+            if fn is None:  # engine was replaced and collected: prune
+                try:
+                    self._warm_hooks.remove(ref)
+                except ValueError:
+                    pass
+                continue
             try:
                 fn(cap, shard, tokens)
             except Exception:
@@ -245,11 +265,17 @@ class VectorIndex:
         if self.colbert_rank <= 0:
             raise ValueError("index has no ColBERT cache (colbert_rank=0)")
         if self.colbert_proj is None:
-            from outline_rag_tpu.models.encoder import colbert_projection
+            legacy = getattr(self, "_legacy_colbert_proj", None)
+            if legacy is not None:
+                # loaded from a pre-persistence snapshot: its cached codes
+                # used the un-normalized fixed-seed matrix (see load())
+                self.colbert_proj = legacy(hc)
+            else:
+                from outline_rag_tpu.models.encoder import colbert_projection
 
-            self.colbert_proj = np.asarray(
-                colbert_projection(hc, self.colbert_rank), np.float32
-            )
+                self.colbert_proj = np.asarray(
+                    colbert_projection(hc, self.colbert_rank), np.float32
+                )
         if self.colbert_proj.shape != (hc, self.colbert_rank):
             raise ValueError(
                 f"ColBERT projection shape {self.colbert_proj.shape} does not "
@@ -553,6 +579,41 @@ class VectorIndex:
         )
         if "colbert_proj" in arrays:
             idx.colbert_proj = np.asarray(arrays["colbert_proj"], np.float32)
+        elif "colbert_codes" in arrays and meta.get("colbert_rank", 0):
+            # legacy snapshot (pre projection-persistence): its codes were
+            # projected with the UN-normalized fixed-seed QR matrix. Pin
+            # that exact legacy matrix so cached scores stay consistent —
+            # the new sign-normalized colbert_projection would silently
+            # flip ~half the rank columns relative to the stored codes.
+            # (Caveat: QR rounding/signs are backend-dependent, so this
+            # reproduces the ingest matrix exactly only when loading on
+            # the same backend family that ingested — the condition every
+            # legacy snapshot already required.)
+            import logging
+
+            import jax as _jax
+            import jax.numpy as _jnp
+
+            rank = meta["colbert_rank"]
+            # legacy formula: dim is unknown from the snapshot (codes are
+            # [*, rank] post-projection); defer until the encoder's head
+            # dim is known, marking the index as legacy
+            def _legacy(hc_: int, rank_: int = rank) -> np.ndarray:
+                g = _jax.random.normal(
+                    _jax.random.key(0x0C01BE47), (hc_, rank_), _jnp.float32
+                )
+                q, _ = _jnp.linalg.qr(g)
+                return np.asarray(
+                    q * _jnp.sqrt(_jnp.float32(hc_) / _jnp.float32(rank_)),
+                    np.float32,
+                )
+
+            idx._legacy_colbert_proj = _legacy
+            logging.getLogger(__name__).warning(
+                "snapshot %s predates ColBERT projection persistence: "
+                "pinning the legacy (un-normalized) fixed-seed matrix; "
+                "re-ingest to migrate", path,
+            )
         cursor = meta["cursor"]
         row_ids = meta["row_ids"]
         penalty = arrays["penalty"]

@@ -382,8 +382,8 @@ class DecodeBatcher:
         mutating ``_adm``/``_held``/``active`` (or double-putting DONE)
         under it corrupts the slot accounting. Join until the thread is
         actually dead; if it is wedged far past any plausible compile,
-        leave the state to it (callers still unblock: the worker drains
-        to DONE itself once it observes ``_stop``).
+        leave the state to it — callers still unblock because the worker
+        runs ``_drain_done`` when its loop exits on ``_stop``.
         """
         self._stop = True
         self._wake.set()
@@ -794,6 +794,36 @@ class DecodeBatcher:
             except Exception as e:  # device/runtime failure: fail every
                 self._die(e)  # waiter, mark dead so submit() fails fast
                 return
+        # normal stop: the worker owns the final drain (see _drain_done)
+        self._drain_done()
+
+    def _drain_done(self) -> None:
+        """Worker-side final drain: every staged/held/active/pending
+        request gets DONE and the state is cleared. Runs when the worker
+        loop exits on ``_stop`` — so even if ``close()`` gave up joining
+        a wedged worker (blocked minutes in a remote compile/fetch) and
+        skipped its own teardown, the streams still terminate the moment
+        the worker comes back and observes the stop flag."""
+        if self._adm is not None:
+            self._retire(self._adm["req"])
+            self._adm["req"].out.put(DONE)
+            self._adm = None
+        if self._held is not None:
+            self._retire(self._held)
+            self._held.out.put(DONE)
+            self._held = None
+        for row, req in enumerate(self.active):
+            if req is not None:
+                self.active[row] = None
+                self._retire(req)
+                req.out.put(DONE)
+        while True:
+            try:
+                req = self.pending.get_nowait()
+            except queue.Empty:
+                break
+            self._retire(req)
+            req.out.put(DONE)
 
     def _die(self, exc: Exception) -> None:
         self.dead = exc

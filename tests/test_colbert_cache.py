@@ -233,3 +233,30 @@ def test_colbert_cache_defaults_on_with_colbert_weight():
     assert s.colbert_cache_rank == 64
     s = load_settings({})
     assert s.colbert_cache_rank == 0
+
+
+def test_legacy_snapshot_without_proj_pins_unnormalized_matrix(tmp_path, setup):
+    """Snapshots saved before projection persistence carry codes made
+    with the UN-normalized fixed-seed QR matrix; load must pin that
+    legacy matrix (not the new sign-normalized one) or cached scores
+    silently flip sign on ~half the rank columns."""
+    import jax.numpy as jnp
+
+    cfg, params, tok, emb, rr = setup
+    idx = _build_index(cfg, tok, emb, 8, TEXTS)
+    path = str(tmp_path / "legacy.npz")
+    idx.save(path)
+    # strip the persisted projection to simulate a pre-persistence file
+    arrays = dict(np.load(path))
+    del arrays["colbert_proj"]
+    np.savez(path, **arrays)
+
+    loaded = VectorIndex.load(path)
+    assert loaded.colbert_proj is None
+    got = loaded.colbert_projection_for(cfg.hidden)
+    g = jax.random.normal(
+        jax.random.key(0x0C01BE47), (cfg.hidden, 8), jnp.float32
+    )
+    q, _ = jnp.linalg.qr(g)
+    legacy = np.asarray(q * jnp.sqrt(jnp.float32(cfg.hidden) / 8.0))
+    np.testing.assert_array_equal(got, legacy)

@@ -212,3 +212,42 @@ def test_fused_query_pads_to_power_of_two_buckets(tiny_models):
     assert fe._seen_batches == {1, 4}
     # the padded batch returns the same ids as the exact-size batch
     assert [c for c, *_ in out3[0]] == [c for c, *_ in out1[0]]
+
+
+def test_fused_query_empty_batch(tiny_models):
+    from outline_rag_tpu.engine.fused import FusedEngine
+
+    emb, rr = tiny_models
+    idx = VectorIndex(dim=emb.dim, capacity=2048, token_width=32)
+    tb = emb.tokenizer.batch(["doc"], 32, buckets=(32,))
+    idx.add_chunks(
+        ["d:0"], emb.embed(["doc"]), source_id="d",
+        token_ids=tb.input_ids, token_mask=tb.attention_mask,
+    )
+    fe = FusedEngine(emb, rr, idx, top_k=4, rerank_k=2)
+    assert fe.query([]) == []
+
+
+def test_replaced_engine_hook_is_pruned(tiny_models):
+    """The index holds engine warm hooks weakly: rebuilding the engine
+    over a long-lived index must not pin the old engine (and its param
+    trees) or run its warm compiles forever."""
+    import gc
+
+    from outline_rag_tpu.engine.fused import FusedEngine
+
+    emb, rr = tiny_models
+    idx = VectorIndex(dim=emb.dim, capacity=2048, token_width=32)
+    tb = emb.tokenizer.batch(["doc"], 32, buckets=(32,))
+    idx.add_chunks(
+        ["d:0"], emb.embed(["doc"]), source_id="d",
+        token_ids=tb.input_ids, token_mask=tb.attention_mask,
+    )
+    fe1 = FusedEngine(emb, rr, idx, top_k=4, rerank_k=2)
+    fe2 = FusedEngine(emb, rr, idx, top_k=4, rerank_k=2)
+    assert len(idx._warm_hooks) == 2
+    del fe1
+    gc.collect()
+    idx.warm_capacity(4096)  # prunes the dead hook, warms via fe2
+    assert len(idx._warm_hooks) == 1
+    assert idx._warm_hooks[0]() is not None and fe2 is not None
