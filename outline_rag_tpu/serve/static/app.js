@@ -649,7 +649,13 @@ async function sendQuestion() {
             thinkEl.appendChild(thinkBody);
             bubble.insertBefore(thinkEl, stableEl);
           }
-          thinkBody.textContent = thinking;
+          /* append only the delta as a fading span (reference
+           * appendFadeInChunk): O(total) work and the streaming
+           * fade-in effect, instead of re-setting the whole text */
+          const chunk = document.createElement("span");
+          chunk.className = "fade-chunk";
+          chunk.textContent = delta.thinking;
+          thinkBody.appendChild(chunk);
         }
         if (delta.content) {
           content += delta.content;
