@@ -306,3 +306,26 @@ def test_tp_int8_weights_provider_matches_unsharded():
     assert tp.params["layers"]["wq"]["q"].sharding.is_fully_replicated is False
     for text in ("hello int8 tensor parallel", "second"):
         assert complete(tp, text) == complete(plain, text)
+
+
+def test_tp_spec_paged_batcher_matches_unsharded():
+    """The full composition: TP x paged KV x speculative decoding.
+    Greedy tokens must equal the single-device spec+paged batcher."""
+    from outline_rag_tpu.models.decoder import (
+        DecoderConfig,
+        init_decoder_params,
+        stack_decoder_params,
+    )
+    from outline_rag_tpu.parallel.tp import model_mesh, shard_decoder_params
+
+    cfg = DecoderConfig.tiny()
+    params = stack_decoder_params(init_decoder_params(jax.random.key(6), cfg))
+    prompts = [[5, 9, 13, 5, 9, 13, 5, 9]]
+    kw = dict(kv_pages=12, page_size=16, spec_k=2, spec_gram=2)
+
+    want = _run_batcher(params, cfg, None, prompts, **kw)
+    mesh = model_mesh(2)
+    got = _run_batcher(
+        shard_decoder_params(params, mesh), cfg, mesh, prompts, **kw
+    )
+    assert got == want, (got, want)
