@@ -763,14 +763,46 @@ class TestClient:
     async def delete(self, path, **kw):
         return await self.request("DELETE", path, **kw)
 
-    async def sse(
-        self, method: str, path: str, json_body: Any = None, max_events: int = 1000
-    ) -> list[dict | str]:
-        """POST and parse the SSE stream into a list of ``data:`` payloads
-        (JSON-decoded when possible); pings appear as ``"ping"``."""
-        resp = await self.request(method, path, json_body=json_body)
+    async def sse_timed(
+        self, method: str, path: str, json_body: Any = None
+    ) -> tuple[list[dict | str], float, float]:
+        """Like :meth:`sse` but measures streaming latencies: returns
+        ``(events, ttfr_s, total_s)`` where ``ttfr_s`` is time to the
+        first real ``data:`` frame (for the ask path: classifier +
+        rewrite + retrieval complete, generation starting) and
+        ``total_s`` the time to stream end. Benchmark instrumentation
+        (the north-star rung reports p50/p95 TTFR)."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        h = self._headers(None)
+        body = b""
+        if json_body is not None:
+            body = json.dumps(json_body).encode()
+            h["content-type"] = "application/json"
+        h["content-length"] = str(len(body))
+        req = Request(method, path, h, body)
+        resp = await self.app.handle(req)
+        self._absorb_cookies(resp)
+        t_first = None
+        if resp.stream is not None:
+            chunks = []
+            async for chunk in resp.stream:
+                if t_first is None and b"data:" in chunk:
+                    t_first = _time.perf_counter() - t0
+            # (chunk retained below; appended after the timing check so
+            # the first-frame timestamp excludes list bookkeeping)
+                chunks.append(chunk)
+            resp.body = b"".join(chunks)
+        total = _time.perf_counter() - t0
+        if t_first is None:
+            t_first = total
+        return self._parse_sse(resp.body), t_first, total
+
+    @staticmethod
+    def _parse_sse(body: bytes, max_events: int = 1000) -> list[dict | str]:
         events: list[dict | str] = []
-        for frame in resp.body.decode().split("\n\n"):
+        for frame in body.decode().split("\n\n"):
             frame = frame.strip()
             if not frame:
                 continue
@@ -790,3 +822,11 @@ class TestClient:
             if len(events) >= max_events:
                 break
         return events
+
+    async def sse(
+        self, method: str, path: str, json_body: Any = None, max_events: int = 1000
+    ) -> list[dict | str]:
+        """POST and parse the SSE stream into a list of ``data:`` payloads
+        (JSON-decoded when possible); pings appear as ``"ping"``."""
+        resp = await self.request(method, path, json_body=json_body)
+        return self._parse_sse(resp.body, max_events)

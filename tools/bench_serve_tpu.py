@@ -142,15 +142,16 @@ async def run() -> None:
         (await client.post("/chat/api/conversations", json_body={"title": "b"})).body
     )
 
-    async def ask(q: str) -> float:
-        t0 = time.perf_counter()
-        events = await client.sse(
+    async def ask(q: str) -> tuple[float, float]:
+        """Returns (ttfr_s, total_s): TTFR = first data frame, i.e.
+        classifier + rewrite + retrieval done, generation starting."""
+        events, ttfr, total = await client.sse_timed(
             "POST",
             "/chat/api/ask",
             json_body={"conversation_id": conv["id"], "question": q},
         )
         assert events, "no SSE frames"
-        return time.perf_counter() - t0
+        return ttfr, total
 
     # compile every power-of-two batch bucket the micro-batcher can emit
     # before measuring (production pays these once at startup)
@@ -162,19 +163,27 @@ async def run() -> None:
     lat = []
     for i in range(n_seq):
         lat.append(await ask(f"sequential question {i} about topic {i % 7}"))
-    lat.sort()
-    p50_seq = lat[len(lat) // 2] * 1e3
+    seq_total = sorted(t for _, t in lat)
+    seq_ttfr = sorted(f for f, _ in lat)
+    p50_seq = seq_total[len(seq_total) // 2] * 1e3
+    p50_seq_ttfr = seq_ttfr[len(seq_ttfr) // 2] * 1e3
 
     # the 100-way burst: all asks issued at once; the query micro-batcher
     # coalesces them into device batches of <= query_batch_max
     t0 = time.perf_counter()
-    conc_lat = await asyncio.gather(
+    pairs = await asyncio.gather(
         *[ask(f"concurrent question {i} topic {i % 11}") for i in range(conc)]
     )
     wall = time.perf_counter() - t0
-    conc_lat = sorted(conc_lat)
-    p50 = conc_lat[len(conc_lat) // 2] * 1e3
-    p95 = conc_lat[int(len(conc_lat) * 0.95) - 1] * 1e3
+
+    def pct(xs, q):
+        xs = sorted(xs)
+        return xs[min(len(xs) - 1, int(round(q * (len(xs) - 1))))] * 1e3
+
+    ttfrs = [f for f, _ in pairs]
+    totals = [t for _, t in pairs]
+    p50_ttfr, p95_ttfr = pct(ttfrs, 0.5), pct(ttfrs, 0.95)
+    p50, p95 = pct(totals, 0.5), pct(totals, 0.95)
 
     t0 = time.perf_counter()
     float(jnp.sum(x @ x))
@@ -190,6 +199,9 @@ async def run() -> None:
                     f"backend={jax.default_backend()}"
                 ),
                 "seq_p50_ms": round(p50_seq, 1),
+                "seq_p50_ttfr_ms": round(p50_seq_ttfr, 1),
+                "conc_p50_ttfr_ms": round(p50_ttfr, 1),
+                "conc_p95_ttfr_ms": round(p95_ttfr, 1),
                 "conc_p50_ms": round(p50, 1),
                 "conc_p95_ms": round(p95, 1),
                 "asks_per_s": round(conc / wall, 2),
