@@ -167,6 +167,9 @@ class ModelSpec:
     top_p: float = 0.9
     supports_thinking: bool = False
     beta: bool = False
+    # optional icon URL for the catalog entry (reference `modelConf.icon`
+    # override, core.js:86); empty -> the frontend's generated monogram
+    icon: str = ""
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "ModelSpec":
@@ -178,6 +181,7 @@ class ModelSpec:
             top_p=float(d.get("top_p", 0.9)),
             supports_thinking=bool(d.get("supports_thinking", False)),
             beta=bool(d.get("beta", False)),
+            icon=str(d.get("icon", "")),
         )
 
 

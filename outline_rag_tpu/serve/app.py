@@ -387,6 +387,7 @@ def build_app(
                 "temperature": m.temperature,
                 "top_p": m.top_p,
                 "supports_thinking": m.supports_thinking,
+                "icon": m.icon,
             }
             for m in settings.visible_models(user["id"])
         ]

@@ -790,8 +790,6 @@ class TestClient:
             async for chunk in resp.stream:
                 if t_first is None and b"data:" in chunk:
                     t_first = _time.perf_counter() - t0
-            # (chunk retained below; appended after the timing check so
-            # the first-frame timestamp excludes list bookkeeping)
                 chunks.append(chunk)
             resp.body = b"".join(chunks)
         total = _time.perf_counter() - t0

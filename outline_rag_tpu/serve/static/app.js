@@ -53,6 +53,12 @@ const APP_ICON =
   "</svg>";
 
 function modelIcon(modelId) {
+  /* operator-supplied icon URL in the catalog wins (reference
+   * modelConf.icon, core.js:86); otherwise a generated monogram */
+  const conf = state.models.find((m) => m.id === modelId);
+  if (conf && conf.icon) {
+    return `<img class="model-icon" src="${safeHref(conf.icon)}" alt=""/>`;
+  }
   const provider = ((modelId || "").split(/[\/@]/)[0] || "model").toLowerCase();
   let h = 0;
   for (let i = 0; i < provider.length; i++) h = (h * 31 + provider.charCodeAt(i)) >>> 0;

@@ -257,3 +257,43 @@ def test_background_warm_kicks_in_past_80_percent():
     assert t is not None, "no background warm started past 80% occupancy"
     t.join(timeout=120)
     assert 2048 in idx._warmed
+
+
+def test_growth_prewarm_on_sharded_index():
+    """Growth of a row-sharded index: the warm path builds its throwaway
+    shard with the same sharding, so the locked section stays compile-free
+    on the mesh too (the dryrun/serving configuration)."""
+    import contextlib
+
+    import jax
+
+    from outline_rag_tpu.index import shard as shard_mod
+    from outline_rag_tpu.parallel.mesh import data_mesh, row_sharding
+
+    sharding = row_sharding(data_mesh(len(jax.devices())))
+    idx = VectorIndex(dim=8, capacity=1024, sharding=sharding)
+    rng = np.random.default_rng(2)
+
+    def add(n, src):
+        idx.add_chunks(
+            [f"{src}-{i}" for i in range(n)],
+            rng.standard_normal((n, 8)).astype(np.float32),
+            source_id=src,
+        )
+
+    add(1000, "a")
+    deltas = []
+    orig_write = idx._rw.write
+
+    @contextlib.contextmanager
+    def spying_write():
+        a0 = shard_mod._append_block._cache_size()
+        with orig_write():
+            yield
+        deltas.append(shard_mod._append_block._cache_size() - a0)
+
+    idx._rw.write = spying_write
+    add(200, "b")
+    assert idx._shard.capacity == 2048
+    assert idx.mesh is not None
+    assert deltas and all(d == 0 for d in deltas), deltas
