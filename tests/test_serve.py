@@ -458,3 +458,32 @@ def test_ask_with_f32x2_index():
         assert "[SourcesMap]:" in text
 
     asyncio.run(run())
+
+
+def test_sse_timed_reports_ttfr():
+    """sse_timed returns (events, ttfr, total) with ttfr <= total and
+    the same parsed frames as sse() — the bench instrumentation for the
+    north-star rung's p50/p95 TTFR."""
+    app, _ = make_app()
+    client = TestClient(app)
+
+    async def run():
+        await login(client)
+        conv = json.loads(
+            (await client.post(
+                "/chat/api/conversations", json_body={"title": "t"}
+            )).body
+        )
+        events, ttfr, total = await client.sse_timed(
+            "POST",
+            "/chat/api/ask",
+            json_body={
+                "question": "wolves in the tundra",
+                "conversation_id": conv["id"],
+            },
+        )
+        assert "[DONE]" in events
+        assert 0 < ttfr <= total
+        assert any(isinstance(e, dict) and e.get("choices") for e in events)
+
+    asyncio.run(run())
