@@ -242,6 +242,12 @@ class Settings:
     # MXU speed, same bytes as f32 — the recommended exact mode) |
     # bfloat16 | int8
     index_dtype: str = "float32"
+    # snapshot restore/persist: at startup the app adopts
+    # {data_dir}/index_snapshot(.npz) when present (instant restart —
+    # the delta-sync protocol reconciles any staleness on the next
+    # refresh); >0 autosaves the snapshot every N seconds when the
+    # index generation changed (plus once at graceful shutdown)
+    index_autosave_s: float = 0.0
     shard_capacity: int = 1 << 17  # rows per device shard (power of two)
     mesh_data_axis: int = 0  # 0 -> use all local devices
     encoder_model: str = "bge-m3"
@@ -387,6 +393,7 @@ def load_settings(env: dict[str, str] | None = None) -> Settings:
         webhook_debounce_s=_env_float("WEBHOOK_DEBOUNCE_S", 60.0),
         sse_ping_interval_s=_env_float("SSE_PING_INTERVAL_S", 20.0),
         index_dtype=_env("INDEX_DTYPE", "float32"),
+        index_autosave_s=_env_float("INDEX_AUTOSAVE_S", 0.0),
         shard_capacity=_env_int("SHARD_CAPACITY", 1 << 17),
         mesh_data_axis=_env_int("MESH_DATA_AXIS", 0),
         encoder_model=_env("ENCODER_MODEL", "bge-m3"),

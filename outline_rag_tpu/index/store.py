@@ -561,6 +561,36 @@ class VectorIndex:
             with open(path + ".meta.json", "w") as f:
                 json.dump(meta, f)
 
+    def adopt(self, other: "VectorIndex") -> None:
+        """Take over ``other``'s contents (shard, token cache, id maps)
+        under the write lock — the snapshot-restore path for a live,
+        already-wired index: the app constructs the index first (the
+        engine/services hold the reference), then adopts a loaded
+        snapshot, so readers keep their handle and simply see the new
+        generation. ``other`` must match dim/dtype/token config."""
+        if (other.dim, other.dtype, other.token_width, other.colbert_rank) != (
+            self.dim, self.dtype, self.token_width, self.colbert_rank
+        ):
+            raise ValueError(
+                "snapshot config mismatch: "
+                f"snapshot (dim={other.dim}, dtype={other.dtype}, "
+                f"token_width={other.token_width}, rank={other.colbert_rank}) "
+                f"vs index (dim={self.dim}, dtype={self.dtype}, "
+                f"token_width={self.token_width}, rank={self.colbert_rank})"
+            )
+        with self._rw.write():
+            self._shard = other._shard
+            self.tokens = other.tokens
+            self._by_chunk = other._by_chunk
+            self._by_source = other._by_source
+            self.colbert_proj = other.colbert_proj
+            if getattr(other, "_legacy_colbert_proj", None) is not None:
+                self._legacy_colbert_proj = other._legacy_colbert_proj
+        with self._warm_mutex:
+            # load() already compiled the mutation programs at the
+            # adopted capacity
+            self._warmed.add(self._shard.capacity)
+
     @classmethod
     def load(
         cls, path: str, sharding: jax.sharding.Sharding | None = None

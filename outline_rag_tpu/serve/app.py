@@ -268,6 +268,31 @@ def build_app(
 
         app.on_startup.append(_start)
 
+    snapshot_path = os.path.join(settings.data_dir or ".", "index_snapshot")
+
+    async def _restore_snapshot():
+        # instant restart: adopt the on-disk snapshot when present (the
+        # updatedAt delta-sync reconciles any staleness on the next
+        # refresh — same consistency model as the reference's re-diff)
+        import asyncio as _aio
+
+        if index.size == 0 and os.path.exists(snapshot_path + ".npz"):
+            try:
+                loaded = await _aio.to_thread(
+                    VectorIndex.load, snapshot_path, index._sharding
+                )
+                index.adopt(loaded)
+                log.info(
+                    "restored index snapshot: %d rows from %s",
+                    index.size, snapshot_path,
+                )
+            except Exception:
+                log.exception(
+                    "snapshot restore failed (continuing to rebuild)"
+                )
+
+    app.on_startup.append(_restore_snapshot)
+
     if ingestor is not None:
 
         async def _rebuild():
@@ -280,6 +305,45 @@ def build_app(
                 log.info("rebuilt index from store: %d documents", n)
 
         app.on_startup.append(_rebuild)
+
+    if settings.index_autosave_s > 0:
+        _last_saved_gen = [-1]
+
+        def _save_if_changed():
+            gen = index._shard.generation
+            if gen != _last_saved_gen[0] and index.size > 0:
+                index.save(snapshot_path)
+                _last_saved_gen[0] = gen
+                log.info(
+                    "index snapshot saved (gen %d, %d rows)", gen, index.size
+                )
+
+        async def _autosave_loop():
+            import asyncio as _aio
+
+            async def loop():
+                while True:
+                    await _aio.sleep(settings.index_autosave_s)
+                    try:
+                        await _aio.to_thread(_save_if_changed)
+                    except _aio.CancelledError:
+                        raise
+                    except Exception:
+                        log.exception("index autosave failed (non-fatal)")
+
+            app.spawn(loop())
+
+        app.on_startup.append(_autosave_loop)
+
+        async def _save_on_shutdown():
+            import asyncio as _aio
+
+            try:
+                await _aio.to_thread(_save_if_changed)
+            except Exception:
+                log.exception("shutdown snapshot save failed")
+
+        app.on_shutdown.append(_save_on_shutdown)
 
     async def _warmup():
         # compile the query program before the first user request (cold

@@ -487,3 +487,82 @@ def test_sse_timed_reports_ttfr():
         assert any(isinstance(e, dict) and e.get("choices") for e in events)
 
     asyncio.run(run())
+
+
+def test_snapshot_restore_and_autosave(tmp_path):
+    """Restart path: a saved index snapshot is adopted at startup
+    (instant restart, no re-embedding); INDEX_AUTOSAVE_S>0 writes the
+    snapshot when the generation changes. The delta-sync protocol
+    reconciles staleness on the next refresh (same model as the
+    reference's updatedAt re-diff)."""
+    import os
+
+    data_dir = str(tmp_path)
+    # first life: ingest the fixture wiki, autosave on (tiny interval)
+    app, _ = make_app(DATA_DIR=data_dir, INDEX_AUTOSAVE_S="0.2")
+    client = TestClient(app)
+
+    async def first_life():
+        await app.startup()
+        await login(client)
+        await client.post("/chat/update/all")
+        await drain_tasks(app)
+        assert app.state["index"].size > 0
+        # autosave loop fires within a few intervals
+        for _ in range(40):
+            await asyncio.sleep(0.1)
+            if os.path.exists(os.path.join(data_dir, "index_snapshot.npz")):
+                break
+        assert os.path.exists(os.path.join(data_dir, "index_snapshot.npz"))
+        await app.shutdown()
+
+    asyncio.run(first_life())
+
+    # second life: fresh app + EMPTY meta store (no rebuild source) —
+    # only the snapshot can populate the index
+    app2, _ = make_app(DATA_DIR=data_dir)
+    client2 = TestClient(app2)
+
+    async def second_life():
+        await app2.startup()
+        idx = app2.state["index"]
+        assert idx.size > 0, "snapshot was not adopted at startup"
+        await login(client2)
+        conv = json.loads(
+            (await client2.post(
+                "/chat/api/conversations", json_body={"title": "t"}
+            )).body
+        )
+        events = await client2.sse(
+            "POST",
+            "/chat/api/ask",
+            json_body={
+                "question": "wolves in the tundra",
+                "conversation_id": conv["id"],
+            },
+        )
+        assert "[DONE]" in events
+
+    asyncio.run(second_life())
+
+
+def test_snapshot_config_mismatch_falls_through(tmp_path):
+    """A snapshot with a different dim must not be adopted (the restore
+    hook logs and continues to the rebuild path)."""
+    from outline_rag_tpu.index import VectorIndex
+
+    other = VectorIndex(dim=64, capacity=1024)
+    import numpy as np
+
+    other.add_chunks(
+        ["c0"], np.ones((1, 64), np.float32), source_id="s"
+    )
+    other.save(str(tmp_path / "index_snapshot"))
+
+    app, _ = make_app(DATA_DIR=str(tmp_path))  # DIM=128 != 64
+
+    async def run():
+        await app.startup()
+        assert app.state["index"].size == 0  # mismatch skipped, no crash
+
+    asyncio.run(run())
