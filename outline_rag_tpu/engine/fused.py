@@ -317,10 +317,13 @@ class FusedEngine:
         ):
             hc = embedder.params["colbert"]["w"].shape[1]
             # index-pinned matrix (persisted in snapshots): provably the
-            # same matrix the cached codes were projected with
-            self._colbert_proj = jnp.asarray(
-                index.colbert_projection_for(hc)
-            )
+            # same matrix the cached codes were projected with. The
+            # source np array is kept for an identity check per dispatch:
+            # a snapshot adopt() at startup can replace the index's
+            # matrix AFTER engine construction, and scoring with the
+            # stale one would silently corrupt cached ColBERT scores.
+            self._colbert_proj_src = index.colbert_projection_for(hc)
+            self._colbert_proj = jnp.asarray(self._colbert_proj_src)
         # batch sizes served so far: a capacity warm recompiles exactly
         # these variants at the new capacity (index.register_warm_hook).
         # Guarded by a lock: query() adds from serving threads while the
@@ -353,6 +356,16 @@ class FusedEngine:
             fused_query_mesh, mesh=mesh
         )
         use_cb = colbert is not None and self._colbert_proj is not None
+        if use_cb and self.index.colbert_proj is not self._colbert_proj_src:
+            # the index adopted a snapshot with its own (possibly
+            # legacy) matrix after this engine was built: re-pin
+            hc = self._colbert_proj.shape[0]
+            self._colbert_proj_src = (
+                self.index.colbert_proj
+                if self.index.colbert_proj is not None
+                else self.index.colbert_projection_for(hc)
+            )
+            self._colbert_proj = jnp.asarray(self._colbert_proj_src)
         return fn(
             self.embedder.params,
             self.reranker.params,

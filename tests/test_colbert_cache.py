@@ -260,3 +260,31 @@ def test_legacy_snapshot_without_proj_pins_unnormalized_matrix(tmp_path, setup):
     q, _ = jnp.linalg.qr(g)
     legacy = np.asarray(q * jnp.sqrt(jnp.float32(cfg.hidden) / 8.0))
     np.testing.assert_array_equal(got, legacy)
+
+
+def test_engine_repins_projection_after_snapshot_adopt(tmp_path, setup):
+    """serve startup order: engine built on an empty index, THEN the
+    snapshot is adopted. The engine must score with the adopted
+    (ingest-time) matrix, not its construction-time one."""
+    from outline_rag_tpu.engine.fused import FusedEngine
+
+    cfg, params, tok, emb, rr = setup
+    src = _build_index(cfg, tok, emb, 8, TEXTS)
+    path = str(tmp_path / "snap.npz")
+    # perturb the source's pinned matrix so adopt provably differs from
+    # what a fresh engine would pin (simulates a legacy/foreign snapshot)
+    src.colbert_proj = src.colbert_proj * np.float32(1.0)  # distinct object
+    src.save(path)
+
+    empty = VectorIndex(
+        dim=cfg.hidden, capacity=2048, token_width=32, colbert_rank=8
+    )
+    eng = FusedEngine(emb, rr, empty, top_k=4, rerank_k=4,
+                      q_width=32, colbert_weight=1.0)
+    pinned_at_init = eng._colbert_proj_src
+    empty.adopt(VectorIndex.load(path))
+    out = eng.query(["wolves hunt in the forest"])
+    assert out and out[0]
+    assert eng._colbert_proj_src is empty.colbert_proj
+    assert eng._colbert_proj_src is not pinned_at_init
+    np.testing.assert_array_equal(eng._colbert_proj_src, src.colbert_proj)
