@@ -297,3 +297,21 @@ def test_growth_prewarm_on_sharded_index():
     assert idx._shard.capacity == 2048
     assert idx.mesh is not None
     assert deltas and all(d == 0 for d in deltas), deltas
+
+
+@pytest.mark.parametrize("dtype", ["f32x2", "int8", "bfloat16"])
+def test_growth_preserves_content_across_dtypes(rng, dtype):
+    """Growth (compact to 2x capacity) must preserve exact query results
+    in every storage mode — the f32x2 split pairs and int8 codes+scales
+    are carried through the rebuild, not re-derived lossily."""
+    idx = VectorIndex(dim=DIM, capacity=1024, dtype=dtype)
+    vecs = _vecs(rng, 900)
+    idx.add_chunks([f"a{i}" for i in range(900)], vecs, source_id="a")
+    before, _ = idx.query(vecs[700:701], k=3)
+    more = _vecs(rng, 400)
+    idx.add_chunks([f"b{i}" for i in range(400)], more, source_id="b")
+    assert idx._shard.capacity == 2048 and idx.size == 1300
+    after, _ = idx.query(vecs[700:701], k=3)
+    assert after[0][0] == "a700" and before[0][0] == "a700"
+    got, _ = idx.query(more[50:51], k=1)
+    assert got[0][0] == "b50"
