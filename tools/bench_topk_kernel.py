@@ -72,6 +72,46 @@ def _mk_kernel(mode):
     return kernel
 
 
+def _mk_kernel_x2_nomerge():
+    """qmajor 3-pass compensated dot + tile-max only (no K-select): the
+    f32x2 floor. full(f32x2) - this = the merge cost the unroll_merge
+    variants try to shrink at small N."""
+    from outline_rag_tpu.ops.topk import _dot_compensated
+
+    def kernel(q_ref, c_ref, out_ref, acc):
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _():
+            acc[:] = jnp.full_like(acc, -1e30)
+
+        s = _dot_compensated(q_ref[:], c_ref[:])  # [B, TN]
+        acc[:] = jnp.maximum(acc[:], jnp.max(s, axis=1, keepdims=True))
+
+        @pl.when(j == pl.num_programs(0) - 1)
+        def _():
+            out_ref[:] = acc[:]
+
+    return kernel
+
+
+@jax.jit
+def run_x2_nomerge(q2, c2):
+    return pl.pallas_call(
+        _mk_kernel_x2_nomerge(),
+        grid=(N // BLOCK_N,),
+        in_specs=[
+            pl.BlockSpec((B, 2 * D), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (BLOCK_N, 2 * D), lambda j: (j, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec((B, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((B, 1), jnp.float32)],
+    )(q2, c2)
+
+
 @functools.partial(jax.jit, static_argnames=("mode",))
 def run_variant(q, c, mode):
     return pl.pallas_call(
@@ -144,6 +184,12 @@ if DT == jnp.float32:
                 interpret=False, unroll_merge=u,
             )
         )
+    queries_x2 = jax.block_until_ready(
+        split_f32_bf16x2(queries.astype(jnp.float32))
+    )
+    VARIANTS["f32x2_nomerge"] = lambda q, c: run_x2_nomerge(
+        queries_x2 + (jnp.sum(q) * 0).astype(jnp.bfloat16), corpus_x2
+    )
 if B <= 128:  # the stripped diagnostics don't chunk B and OOM VMEM past it
     VARIANTS["matmul"] = lambda q, c: run_variant(q, c, "matmul")
     VARIANTS["nomerge"] = lambda q, c: run_variant(q, c, "nomerge")
