@@ -219,7 +219,44 @@ class VectorIndex:
             t = self._warm_thread
             if t is not None and t.is_alive():
                 t.join()  # a background warm may already be compiling it
-            self.warm_capacity(self._next_capacity(n_new, size_est))
+            try:
+                self.warm_capacity(self._next_capacity(n_new, size_est))
+            except Exception:
+                # e.g. the throwaway allocation OOMed: let the actual
+                # growth (which allocates the same) raise the real error
+                # from inside the normal path instead
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "pre-growth warm failed; growth will compile cold",
+                    exc_info=True,
+                )
+
+    def _warm_would_fit(self, cap: int) -> bool:
+        """Best-effort HBM check before a *speculative* warm: the
+        throwaway shard at ``cap`` plus the live one must fit with room
+        to spare, or the warm could OOM concurrent queries on a chip
+        whose corpus already dominates HBM. Backends without memory
+        stats (CPU) always pass."""
+        try:
+            dev = self._shard.state.vectors.devices().pop()
+            stats = dev.memory_stats()
+            if not stats:
+                return True
+            limit = stats.get("bytes_limit")
+            used = stats.get("bytes_in_use")
+            if not limit:
+                return True
+            width = self._shard.state.vectors.shape[1]
+            item = self._shard.state.vectors.dtype.itemsize
+            need = cap * width * item + cap * 8  # vectors + scales/penalty
+            if self.tokens is not None:
+                need += cap * self.token_width * 12  # ids/mask/weights
+                if self.colbert_rank:
+                    need += cap * self.token_width * (self.colbert_rank + 4)
+            return used + need <= 0.85 * limit
+        except Exception:
+            return True
 
     def _maybe_background_warm(self) -> None:
         """Past ~80% occupancy, warm 2x capacity on a daemon thread so
@@ -227,6 +264,8 @@ class VectorIndex:
         if self._shard.cursor * 5 < self._shard.capacity * 4:
             return
         cap = self._shard.capacity * 2
+        if not self._warm_would_fit(cap):
+            return  # speculative only: never risk OOMing live queries
         with self._warm_mutex:
             if cap in self._warmed:
                 return
