@@ -329,3 +329,75 @@ def test_tp_spec_paged_batcher_matches_unsharded():
         shard_decoder_params(params, mesh), cfg, mesh, prompts, **kw
     )
     assert got == want, (got, want)
+
+
+def test_ask_sse_with_tp_paged_int8_provider():
+    """The whole serve path over the fully-composed decoder: TP x paged
+    KV x w8a8 int8 through the continuous batcher behind /chat/api/ask.
+    Streams SSE frames and persists, on the 8-device CPU mesh."""
+    import asyncio
+    import json
+
+    from outline_rag_tpu.config import load_settings
+    from outline_rag_tpu.models.decoder import (
+        DecoderConfig,
+        init_decoder_params,
+    )
+    from outline_rag_tpu.models.hash_embedder import HashEmbedder
+    from outline_rag_tpu.serve.app import build_app
+    from outline_rag_tpu.serve.http import TestClient
+    from outline_rag_tpu.serve.llm import LocalChatProvider
+    from outline_rag_tpu.storage import SqliteMetaStore
+
+    class Tok:
+        eos_token_id = 0
+
+        def encode(self, text):
+            return [1 + (b % 250) for b in text.encode()][:40]
+
+        def decode(self, ids):
+            return " ".join(str(i) for i in ids)
+
+    cfg = DecoderConfig.tiny()
+    params = init_decoder_params(jax.random.key(8), cfg)
+    provider = LocalChatProvider(
+        params, cfg, Tok(), chunk_tokens=4, max_new_tokens=8,
+        tp_devices=2, batch_slots=2, int8_weights=True,
+        kv_pages=12, page_size=16,
+    )
+    settings = load_settings(
+        {"SECRET_KEY": "k", "VECTOR_DIM": "64", "DATA_DIR": ""}
+    )
+    app = build_app(
+        settings,
+        provider=provider,
+        embedder=HashEmbedder(dim=64),
+        meta=SqliteMetaStore(":memory:"),
+        start_workers=False,
+    )
+
+    async def run():
+        client = TestClient(app)
+        await client.post(
+            "/chat/login", body=b"name=tp",
+            headers={"content-type": "application/x-www-form-urlencoded"},
+        )
+        conv = json.loads((await client.post(
+            "/chat/api/conversations", json_body={"title": "tp"}
+        )).body)
+        events = await client.sse(
+            "POST", "/chat/api/ask",
+            json_body={"conversation_id": conv["id"], "question": "compose"},
+        )
+        assert "[DONE]" in events
+        msgs = json.loads((await client.get(
+            f"/chat/api/conversations/{conv['id']}/messages"
+        )).body)["messages"]
+        assert [m["role"] for m in msgs] == ["user", "assistant"]
+        assert msgs[1]["content"]
+
+    try:
+        asyncio.run(run())
+    finally:
+        if provider._batcher is not None:
+            provider._batcher.close()
