@@ -251,3 +251,58 @@ def test_replaced_engine_hook_is_pruned(tiny_models):
     idx.warm_capacity(4096)  # prunes the dead hook, warms via fe2
     assert len(idx._warm_hooks) == 1
     assert idx._warm_hooks[0]() is not None and fe2 is not None
+
+
+def test_query_batcher_pipelines_batches():
+    """Two batches may execute concurrently (queries are concurrent
+    index readers): while one batch is on device, the next dispatches
+    instead of idling behind it — bounded by max_in_flight."""
+    import threading
+    import time as _time
+
+    peak = [0]
+    live = [0]
+    lock = threading.Lock()
+
+    def slow_retrieve(queries):
+        with lock:
+            live[0] += 1
+            peak[0] = max(peak[0], live[0])
+        _time.sleep(0.15)
+        with lock:
+            live[0] -= 1
+        return [[("c", 1.0, 1.0)] for _ in queries]
+
+    async def run():
+        qb = QueryBatcher(
+            slow_retrieve, window_ms=1.0, max_batch=4, max_in_flight=2
+        )
+        t0 = _time.perf_counter()
+        out = await asyncio.gather(*[qb.retrieve(f"q{i}") for i in range(16)])
+        dt = _time.perf_counter() - t0
+        await qb.stop()
+        return out, dt
+
+    out, dt = asyncio.run(run())
+    assert len(out) == 16 and all(out)
+    assert peak[0] == 2, f"expected 2 concurrent batches, saw {peak[0]}"
+    # 16 queries / batches of 4 = 4 batches; serial would be >= 0.6s
+    assert dt < 0.55, dt
+
+
+def test_query_batcher_stop_completes_inflight():
+    import time as _time
+
+    def slow_retrieve(queries):
+        _time.sleep(0.1)
+        return [[("c", 1.0, 1.0)] for _ in queries]
+
+    async def run():
+        qb = QueryBatcher(slow_retrieve, window_ms=1.0, max_batch=2)
+        futs = [asyncio.create_task(qb.retrieve(f"q{i}")) for i in range(2)]
+        await asyncio.sleep(0.03)  # batch dispatched, in flight
+        await qb.stop()
+        return await asyncio.gather(*futs)
+
+    out = asyncio.run(run())
+    assert len(out) == 2 and all(out)
