@@ -753,8 +753,10 @@ def cosine_topk(
         if compensated:
             # same-run interleaved measurements (tools/bench_topk_kernel,
             # v5e): the fused kernel wins at 500k x 1024 B=32 and above
-            # (3.13 vs 4.00 ms); the XLA three-pass fallback wins at 100k
-            # (1.2-1.8 vs 3.6-4.1 ms) where per-launch overhead dominates.
+            # (best healthy-window 1M timing: unroll_merge=2 at 5.25 ms,
+            # ~780 GB/s ~ 95% of v5e HBM roofline); the XLA three-pass
+            # fallback wins at 100k (1.2-2.6 ms across windows vs the
+            # kernel's 3.6+ ms) where per-launch overhead dominates.
             # Crossover expressed in score bytes (B-aware like the fp32
             # policy below): 500k B=32 -> 61 MB, 100k B=32 -> 12.7 MB.
             score_bytes = b * n * 4
@@ -786,8 +788,14 @@ def cosine_topk(
     pad_b = _round_up(max(b, 8), 8) - b
     if pad_b:
         queries = jnp.pad(queries, ((0, pad_b), (0, 0)))
+    # unroll_merge=2 for the compensated kernel: two straight-line
+    # extraction passes before the while_loop roughly halve the merge
+    # cost at 1M in every same-run A/B (6.6 vs 12.4 ms, 5.25 vs ~14 ms
+    # across windows — bench_topk_kernel) and are within noise at 100k,
+    # where the XLA fallback serves anyway.
     vals, idx = topk_pallas(
-        queries, corpus, k, penalty, block_b=block_b, block_n=block_n
+        queries, corpus, k, penalty, block_b=block_b, block_n=block_n,
+        unroll_merge=2 if compensated else 0,
     )
     if pad_b:
         vals, idx = vals[:b], idx[:b]
