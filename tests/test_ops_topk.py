@@ -260,3 +260,43 @@ def test_unrolled_merge_matches_oracle(data):
             jnp.asarray(q), c2, 12, block_n=128, unroll_merge=u
         )
         np.testing.assert_array_equal(np.asarray(idx2), oidx)
+
+
+def test_split_keeps_optimization_barrier():
+    """The TPU compiler simplifies the in-jit convert chain
+    bf16(x - f32(bf16(x))) to zero, silently dropping the lo compensation
+    plane and degrading f32x2 scoring to plain bf16 (measured 2.4e-4 vs
+    4.5e-8 score error on-chip).  split_f32_bf16x2 blocks that rewrite
+    with an optimization_barrier on hi; this canary pins the barrier in
+    the traced program so a refactor can't silently remove it (the CPU
+    backend doesn't perform the fold, so a pure numerical CPU test would
+    not catch the regression)."""
+    import jax
+
+    from outline_rag_tpu.ops.topk import split_f32_bf16x2
+
+    jaxpr = jax.make_jaxpr(split_f32_bf16x2)(jnp.ones((4, 128), jnp.float32))
+    prims = {eqn.primitive.name for eqn in jaxpr.jaxpr.eqns}
+    assert "optimization_barrier" in prims
+
+
+def test_split_lo_plane_nonzero_under_jit():
+    """The lo plane of a jitted split must carry the true rounding
+    residual (not folded to zero); exact on every backend, and on TPU this
+    is the direct numerical regression check for the convert-chain fold."""
+    import jax
+
+    from outline_rag_tpu.ops.topk import split_f32_bf16x2
+
+    rng = np.random.default_rng(11)
+    x = _normalize(rng.standard_normal((16, 128), dtype=np.float32))
+    out = np.asarray(jax.jit(split_f32_bf16x2)(jnp.asarray(x)), dtype=np.float32)
+    hi, lo = out[:, :128], out[:, 128:]
+    true_lo = (x - hi).astype(np.float32)
+    assert np.abs(lo).max() > 0
+    # lo is the bf16 rounding of the true residual (residual ~1e-3, bf16
+    # relative step 2^-9 -> ~1e-6 rounding); a folded-to-zero lo would be
+    # off by the residual itself (~1e-3)
+    np.testing.assert_allclose(lo, true_lo, atol=2e-6)
+    # reconstruction is fp32-class accurate, not bf16-class (~1e-3)
+    np.testing.assert_allclose(hi + lo, x, atol=2e-6)
