@@ -467,7 +467,12 @@ def _fused_topk_kernel_qmajor(
         # with more than ``unroll_merge`` insertions.
         for _ in range(min(unroll_merge, k)):
             state = body(state)
-        _, _, new_vals, new_idx = jax.lax.while_loop(cond, body, state)
+        if unroll_merge >= k:
+            # fully static merge: k passes cover every possible insertion,
+            # so the while_loop (and even its one cond evaluation) is dead
+            _, _, new_vals, new_idx = state
+        else:
+            _, _, new_vals, new_idx = jax.lax.while_loop(cond, body, state)
         acc_vals[:] = new_vals
         acc_idx[:] = new_idx
 

@@ -177,7 +177,9 @@ if DT == jnp.float32:
     # unrolled-merge A/B (VERDICT r2 #3): straight-line extraction
     # passes replace while_loop iterations — the candidate fix for the
     # kernel's launch-overhead-bound small-N regime
-    for u in (2, 4, 8):
+    # u12 == k: fully static merge — the while_loop body never runs
+    # (cond evaluates once, false), so a merge is pure vector code
+    for u in (2, 4, 8, 12):
         VARIANTS[f"f32x2_u{u}"] = (
             lambda q, c, u=u: topk_pallas(
                 q.astype(jnp.float32), corpus_x2, 12, block_n=BLOCK_N,
