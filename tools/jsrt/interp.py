@@ -984,7 +984,9 @@ class Interpreter:
         if op == "delete":
             if target[0] == "member":
                 base = yield from self.eval_expr(target[1], env)
-                if isinstance(base, JSObject):
+                if hasattr(base, "js_delete"):
+                    base.js_delete(target[2], self)
+                elif isinstance(base, JSObject):
                     base.props.pop(target[2], None)
                 return True
             if target[0] == "index":
