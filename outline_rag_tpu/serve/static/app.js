@@ -601,7 +601,7 @@ async function sendQuestion() {
     tailEl.innerHTML = renderMarkdownLite(content.slice(stableCut));
   };
 
-  let content = "", thinking = "";
+  let content = "", thinking = "", failed = false;
   try {
     const resp = await fetch(API + "/ask", {
       method: "POST",
@@ -673,6 +673,7 @@ async function sendQuestion() {
     }
   } catch (e) {
     if (e.name !== "AbortError") {
+      failed = true;
       bubble.insertAdjacentHTML("beforeend", "<p class='error'>connection lost</p>");
     }
   } finally {
@@ -681,7 +682,10 @@ async function sendQuestion() {
     state.abort = null;
     $("#send").hidden = false;
     $("#stop").hidden = true;
-    loadMessages(); // pick up persisted ids + sources map
+    /* on failure, keep the partial answer + error indicator on screen —
+     * an immediate repaint from persistence would wipe them (and the
+     * fetch would likely fail on a dead connection anyway) */
+    if (!failed) loadMessages(); // pick up persisted ids + sources map
   }
 }
 

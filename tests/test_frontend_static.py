@@ -1,9 +1,10 @@
 """Static-integrity harness for the frontend (app.js / tex.js / html).
 
-No JS engine exists in this environment (no node/deno/quickjs, no
-embeddable interpreter, no browser — documented in README roadmap), so
-the frontend cannot execute in CI. These tests are the strongest checks
-that remain possible:
+These string-level checks complement the execution harness: the shipped
+frontend now actually RUNS in CI under tools/jsrt (a first-party JS
+interpreter + DOM stub; see test_frontend_dom.py / test_jsrt.py). What
+remains here are the cross-file contracts that are cheaper to pin
+statically:
 
 - a structural lint (``tools/jslint.py``): ES-aware lexing of strings /
   template literals / regexes / comments, then bracket balance — the
