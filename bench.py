@@ -105,10 +105,14 @@ def main() -> None:
     k = 12
     block_n = 1024
     n = (n // block_n) * block_n
-    # default f32x2: compensated bf16 pairs — fp32-exact top-K parity at
-    # bf16 MXU speed; the config where the fused Pallas kernel beats the
-    # XLA fallback at every batch size (docs/BENCHMARKS.md round 2)
-    dtype_name = os.environ.get("BENCH_DTYPE", "f32x2")
+    # default float32 (round 3): plain f32 storage + Precision.HIGHEST
+    # scoring — fp32-exact by construction. Same-run interleaved A/Bs
+    # post-compiler-fold-fix (tools/bench_fused_gap.py, 500k B=32 and
+    # B=128, and the 1M dissection) show plain f32 beating the f32x2
+    # compensated layout 1.4-2x at equal bytes; the f32x2 round-2 wins
+    # were measured against the folded (silently bf16) program. f32x2
+    # remains supported (BENCH_DTYPE=f32x2).
+    dtype_name = os.environ.get("BENCH_DTYPE", "float32")
     int8_mode = dtype_name == "int8"
     f32x2_mode = dtype_name == "f32x2"
     dtype = {
