@@ -138,9 +138,11 @@ class FakeChatProvider:
     the rewriter echoes, the answer streams a canned summary of its context
     word by word (with a thinking prelude for thinking-capable models)."""
 
-    def __init__(self, thinking: bool = False, answer_words: int = 24):
+    def __init__(self, thinking: bool = False, answer_words: int = 24,
+                 cite: bool = False):
         self.thinking = thinking
         self.answer_words = answer_words
+        self.cite = cite  # end the answer with "[source 1]" when context has one
         self.calls: list[dict] = []
 
     async def complete(
@@ -180,6 +182,8 @@ class FakeChatProvider:
         words = (f"Answer based on: {ctx[:160]}" or "I have no context").split()
         for w in words[: self.answer_words]:
             yield {"content": w + " ", "thinking": None, "model": model}
+        if self.cite and "[source 1]" in ctx:
+            yield {"content": "[source 1]", "thinking": None, "model": model}
 
 
 class LocalChatProvider:

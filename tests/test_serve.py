@@ -18,7 +18,7 @@ from tests.fake_outline import FakeOutline
 DIM = 128
 
 
-def make_app(thinking=False, **env):
+def make_app(thinking=False, cite=False, **env):
     base_env = {
         "SECRET_KEY": "test-secret",
         "VECTOR_DIM": str(DIM),
@@ -38,7 +38,7 @@ def make_app(thinking=False, **env):
 
     app = build_app(
         settings,
-        provider=FakeChatProvider(thinking=thinking),
+        provider=FakeChatProvider(thinking=thinking, cite=cite),
         embedder=HashEmbedder(dim=DIM),
         meta=SqliteMetaStore(":memory:"),
         outline_transport=fake.transport(),

@@ -235,7 +235,9 @@ class Element(HostObject, Node):
             return
         if name == "innerHTML":
             s = js_to_string(value)
-            self.children = [Raw(s)] if s else []
+            self.children = []
+            for n in _parse_fragment(self.browser, s):
+                self.adopt(n)
             return
         if name == "className":
             self.attrs["class"] = js_to_string(value)
@@ -401,17 +403,23 @@ def _el_queryselectorall(el, interp, args):
 @_method("insertAdjacentHTML")
 def _el_insertadjacent(el, interp, args):
     pos = js_to_string(args[0]).lower()
-    html_str = js_to_string(args[1])
+    nodes = _parse_fragment(el.browser, js_to_string(args[1]))
     if pos == "beforeend":
-        el.children.append(Raw(html_str))
+        for n in nodes:
+            el.adopt(n)
     elif pos == "afterbegin":
-        el.children.insert(0, Raw(html_str))
+        anchor = el.children[0] if el.children else None
+        for n in nodes:
+            el.adopt(n, before=anchor)
     elif pos == "beforebegin" and el.parent is not None:
-        el.parent.adopt(Raw(html_str), before=el)
+        for n in nodes:
+            el.parent.adopt(n, before=el)
     elif pos == "afterend" and el.parent is not None:
         idx = next(
             (i for i, c in enumerate(el.parent.children) if c is el), -1)
-        el.parent.children.insert(idx + 1, Raw(html_str))
+        for off, n in enumerate(nodes):
+            el.parent.children.insert(idx + 1 + off, n)
+            n.parent = el.parent
     return UNDEF
 
 
@@ -589,13 +597,22 @@ class FakeResponse:
         if self._browser is not None:
             self._browser.pump()
 
+    def fail(self, name="NetworkError"):
+        """Reject the in-flight read (mid-stream connection loss)."""
+        self._error_name = name
+        self._aborted = True
+        self._wake_reader()
+        if self._browser is not None:
+            self._browser.pump()
+
     def _wake_reader(self):
         p, self._pending_read = self._pending_read, None
         if p is None:
             return
         interp = self._browser.interp
         if self._aborted:
-            p.reject(interp.make_error("AbortError", "aborted"))
+            p.reject(interp.make_error(
+                getattr(self, "_error_name", "AbortError"), "aborted"))
         elif self.chunks:
             chunk = self.chunks.pop(0)
             p.resolve(JSObject({"done": False, "value": chunk}))
@@ -620,7 +637,9 @@ class FakeResponse:
                                         p = JSPromise(interp)
                                         if resp._aborted:
                                             p.reject(interp.make_error(
-                                                "AbortError", "aborted"))
+                                                getattr(resp, "_error_name",
+                                                        "AbortError"),
+                                                "aborted"))
                                         elif resp.chunks:
                                             chunk = resp.chunks.pop(0)
                                             p.resolve(JSObject({
@@ -701,6 +720,18 @@ class _TreeBuilder(HTMLParser):
     def handle_data(self, data):
         if data:
             self.stack[-1].adopt(Text(data))
+
+
+def _parse_fragment(browser, s: str):
+    """Parse an HTML fragment into real nodes so queries/listeners see
+    innerHTML-built markup (a real browser parses too; Raw strings were
+    invisible to querySelector)."""
+    if not s:
+        return []
+    tb = _TreeBuilder(browser)
+    tb.feed(s)
+    tb.close()
+    return list(tb.root.children)
 
 
 # ---------------------------------------------------------------------------

@@ -437,6 +437,7 @@ class Interpreter:
         self.time_ms = 0.0
         self.unhandled = []  # (promise, value) rejections nobody caught
         from . import builtins as _b
+        self._b = _b  # cached: avoids per-access import (and shutdown noise)
         _b.install(self)
 
     # ---- public API ------------------------------------------------------
@@ -1207,7 +1208,7 @@ class Interpreter:
         yield  # pragma: no cover — makes this a generator
 
     def get_member(self, base, name):
-        from . import builtins as _b
+        _b = self._b
         if base is None or base is UNDEF:
             self.throw_type(
                 f"cannot read property {name!r} of {js_to_string(base)}")
@@ -1222,7 +1223,7 @@ class Interpreter:
         return _b.primitive_member(self, base, name)
 
     def set_member(self, base, name, value):
-        from . import builtins as _b
+        _b = self._b
         if base is None or base is UNDEF:
             self.throw_type(f"cannot set property {name!r} of "
                             f"{js_to_string(base)}")
