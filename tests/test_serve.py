@@ -508,8 +508,9 @@ def test_snapshot_restore_and_autosave(tmp_path):
         await client.post("/chat/update/all")
         await drain_tasks(app)
         assert app.state["index"].size > 0
-        # autosave loop fires within a few intervals
-        for _ in range(40):
+        # autosave loop fires within a few intervals (generous budget:
+        # the suite runs on one CPU core and the loop competes with it)
+        for _ in range(300):
             await asyncio.sleep(0.1)
             if os.path.exists(os.path.join(data_dir, "index_snapshot.npz")):
                 break
