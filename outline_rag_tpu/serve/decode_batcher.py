@@ -749,8 +749,12 @@ class DecodeBatcher:
                             jnp.asarray(~active_mask),
                         )
                     )
-                    toks_np = np.asarray(emitted)  # [slots, steps*(K+1)]
-                    counts = np.asarray(cnt)
+                    # one device_get tree-fetch: a single host<->device
+                    # round trip for all step outputs (4 sequential
+                    # np.asarray fetches each pay the full tunnel RTT)
+                    toks_np, counts, tok_np, pos_np = jax.device_get(
+                        (emitted, cnt, tok_dev, pos_dev)
+                    )  # toks_np: [slots, steps*(K+1)]
                 else:
                     toks, self.cache, tok_dev, pos_dev = self._step_chunk(
                         self.params,
@@ -762,11 +766,13 @@ class DecodeBatcher:
                         jnp.asarray(self.tp),
                         jnp.asarray(active_mask),
                     )
-                    toks_np = np.asarray(toks)  # [slots, chunk]
-                # np.array copies: np.asarray of a jax array is read-only and
-                # the admit path writes rows in place
-                self.tok = np.array(tok_dev, np.int32)
-                self.pos = np.array(pos_dev, np.int32)
+                    toks_np, tok_np, pos_np = jax.device_get(
+                        (toks, tok_dev, pos_dev)
+                    )  # toks_np: [slots, chunk]
+                # np.array copies: device_get can return read-only
+                # zero-copy views and the admit path writes rows in place
+                self.tok = np.array(tok_np, np.int32)
+                self.pos = np.array(pos_np, np.int32)
                 for row, req in enumerate(self.active):
                     if req is None:
                         continue

@@ -432,7 +432,19 @@ class LocalChatProvider:
         piece = flush()
         if piece:
             yield piece
-        while len(out_ids) < max_new:
+
+        # Pipelined chunk loop (one chunk of lookahead): the next chunk
+        # is dispatched BEFORE this chunk's tokens are fetched, so the
+        # host<->device round-trip of the fetch overlaps the next
+        # chunk's compute instead of serializing with it (through the
+        # remote tunnel the fetch IS the decode bottleneck). Only the
+        # dispatch order changes — the device-side chain (cache/tok/key
+        # futures) is identical, so streams stay bit-exact with the
+        # serial loop. A stop (eos / budget) discards one speculative
+        # in-flight chunk: its tokens are never emitted and its cache
+        # writes are dropped with the buffers.
+        def dispatch():
+            nonlocal key, pos, cache, tok
             key, sub = jax.random.split(key)
             toks, cache, tok, _ = self._chunk(
                 self.params, cache, tok,
@@ -440,7 +452,25 @@ class LocalChatProvider:
                 temperature=temp, top_p=tp,
             )
             pos += self.chunk_tokens
-            chunk = [int(x) for x in np.asarray(toks)[0]]
+            return toks
+
+        # Gate each dispatch on the serial loop's `len(out_ids) <
+        # max_new` as of the tokens already planned: every non-stop
+        # chunk comes back with exactly chunk_tokens tokens, so
+        # len(out_ids) + pending*chunk_tokens is what len(out_ids)
+        # will be when the in-flight work lands.
+        pending = 0
+        inflight = None
+        if len(out_ids) < max_new:
+            inflight = dispatch()
+            pending = 1
+        while inflight is not None:
+            nxt = None
+            if len(out_ids) + pending * self.chunk_tokens < max_new:
+                nxt = dispatch()
+                pending += 1
+            chunk = [int(x) for x in np.asarray(inflight)[0]]
+            pending -= 1
             stop = self.eos_id in chunk
             if stop:
                 chunk = chunk[: chunk.index(self.eos_id)]
@@ -452,8 +482,7 @@ class LocalChatProvider:
             piece = flush()
             if piece:
                 yield piece
-            if stop:
-                break
+            inflight = None if stop else nxt
 
     def _batched_blocking(self, messages, temperature, top_p, max_new):
         """Text-piece generator over the continuous batcher."""
@@ -507,6 +536,7 @@ class LocalChatProvider:
         step. Positional sampler keys make the emitted text
         distribution-identical to plain positional-key decoding
         (``models/decoder.py::generate_chunk_spec``)."""
+        import jax
         import jax.numpy as jnp
         import numpy as np
 
@@ -537,15 +567,40 @@ class LocalChatProvider:
         if piece:
             yield piece
         pos = jnp.full((1,), t, jnp.int32)
-        while len(out_ids) < max_new:
+
+        # Pipelined with one chunk of lookahead — same scheme as the
+        # plain loop (see _generate_blocking). The spec stream is a pure
+        # function of (seed, prompt) by the positional-key contract, so
+        # chunk boundaries — and therefore the occasional extra
+        # dispatched-then-discarded chunk — cannot change emitted text.
+        # Each dispatch advances >= chunk_tokens tokens (one per verify
+        # step) unless the capacity guard froze the row, so gating on
+        # that guaranteed minimum keeps the lookahead bounded.
+        def dispatch():
+            nonlocal cache, tok_buf, tok, pos
             chunk_out, cnt, cache, tok_buf, tok, pos = self._chunk_spec(
                 self.params, cache, tok_buf, tok, pos, key,
                 temperature=temp, top_p=tp,
             )
-            n = int(cnt[0])
+            return chunk_out, cnt
+
+        pending = 0
+        inflight = None
+        if len(out_ids) < max_new:
+            inflight = dispatch()
+            pending = 1
+        while inflight is not None:
+            nxt = None
+            if len(out_ids) + pending * self.chunk_tokens < max_new:
+                nxt = dispatch()
+                pending += 1
+            chunk_out, cnt = inflight
+            pending -= 1
+            chunk_np, cnt_np = jax.device_get((chunk_out, cnt))
+            n = int(cnt_np[0])
             if n == 0:  # KV ring full (capacity guard froze the row)
                 break
-            chunk = [int(x) for x in np.asarray(chunk_out)[0, :n]]
+            chunk = [int(x) for x in chunk_np[0, :n]]
             stop = self.eos_id in chunk
             if stop:
                 chunk = chunk[: chunk.index(self.eos_id)]
@@ -557,8 +612,7 @@ class LocalChatProvider:
             piece = flush()
             if piece:
                 yield piece
-            if stop:
-                break
+            inflight = None if stop else nxt
 
     def _pieces(self, messages, temperature, top_p, max_new):
         if self._batcher is not None:

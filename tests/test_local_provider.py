@@ -221,3 +221,154 @@ def test_spec_sampling_params_do_not_recompile():
     asyncio.run(once(0.87, 0.55))
     asyncio.run(once(0.0, 1.0))
     assert prov._chunk_spec._cache_size() == n == 1
+
+
+# -- pipelined chunk loop: bit-exactness vs the serial oracle -----------
+
+
+def _serial_plain_text(prov, messages, temperature, top_p):
+    """The pre-pipelining serial chunk loop as an oracle: fetch each
+    chunk's tokens before dispatching the next. The lookahead loop in
+    ``_generate_blocking`` changes only dispatch order, so it must
+    produce the identical token stream."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from outline_rag_tpu.models.decoder import sample_token
+
+    ids = prov._encode_prompt(prov._render(messages))
+    t = len(ids)
+    max_new = min(prov.max_new_tokens, prov.cfg.max_cache - t - 1)
+    bucket = next(
+        (b for b in prov.prompt_buckets if b >= t), prov.prompt_buckets[-1]
+    )
+    padded = ids + [0] * (bucket - t)
+    cache = prov._init_cache()
+    logits, cache = prov._prefill(
+        prov.params, jnp.asarray([padded], jnp.int32), cache,
+        jnp.zeros((1,), jnp.int32),
+    )
+    temp = jnp.float32(temperature or 0.0)
+    tp = jnp.float32(top_p if top_p is not None else 1.0)
+    key = jax.random.key(abs(hash(tuple(ids))) % (2**31))
+    tok = sample_token(logits[:, t - 1, :], key, temp, tp)
+    if int(tok[0]) == prov.eos_id:
+        return ""
+    out_ids = [int(tok[0])]
+    pos = t
+    while len(out_ids) < max_new:
+        key, sub = jax.random.split(key)
+        toks, cache, tok, _ = prov._chunk(
+            prov.params, cache, tok, jnp.full((1,), pos, jnp.int32), sub,
+            temperature=temp, top_p=tp,
+        )
+        pos += prov.chunk_tokens
+        chunk = [int(x) for x in np.asarray(toks)[0]]
+        stop = prov.eos_id in chunk
+        if stop:
+            chunk = chunk[: chunk.index(prov.eos_id)]
+        room = max_new - len(out_ids)
+        if len(chunk) >= room:
+            chunk = chunk[:room]
+            stop = True
+        out_ids.extend(chunk)
+        if stop:
+            break
+    return prov.tokenizer.decode(out_ids)
+
+
+def _serial_spec_text(prov, messages, temperature, top_p):
+    """Serial oracle for the speculative loop (``_generate_spec``)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    import jax
+    from outline_rag_tpu.models.decoder import _sample_one, key_at
+
+    ids = prov._encode_prompt(prov._render(messages))
+    t = len(ids)
+    max_new = min(prov.max_new_tokens, prov.cfg.max_cache - t - 1)
+    bucket = next(
+        (b for b in prov.prompt_buckets if b >= t), prov.prompt_buckets[-1]
+    )
+    padded = ids + [0] * (bucket - t)
+    cache = prov._init_cache()
+    logits, cache = prov._prefill(
+        prov.params, jnp.asarray([padded], jnp.int32), cache,
+        jnp.zeros((1,), jnp.int32),
+    )
+    temp = jnp.float32(temperature or 0.0)
+    tp = jnp.float32(top_p if top_p is not None else 1.0)
+    key = jax.random.key(abs(hash(tuple(ids))) % (2**31))
+    tok_buf = np.zeros((1, prov.cfg.max_cache), np.int32)
+    tok_buf[0, :t] = ids
+    tok_buf = jnp.asarray(tok_buf)
+    tok = _sample_one(
+        logits[0, t - 1].astype(jnp.float32), key_at(key, t), temp, tp
+    )[None]
+    if int(tok[0]) == prov.eos_id:
+        return ""
+    out_ids = [int(tok[0])]
+    pos = jnp.full((1,), t, jnp.int32)
+    while len(out_ids) < max_new:
+        chunk_out, cnt, cache, tok_buf, tok, pos = prov._chunk_spec(
+            prov.params, cache, tok_buf, tok, pos, key,
+            temperature=temp, top_p=tp,
+        )
+        n = int(cnt[0])
+        if n == 0:
+            break
+        chunk = [int(x) for x in np.asarray(chunk_out)[0, :n]]
+        stop = prov.eos_id in chunk
+        if stop:
+            chunk = chunk[: chunk.index(prov.eos_id)]
+        room = max_new - len(out_ids)
+        if len(chunk) >= room:
+            chunk = chunk[:room]
+            stop = True
+        out_ids.extend(chunk)
+        if stop:
+            break
+    return prov.tokenizer.decode(out_ids)
+
+
+def _stream_text(prov, messages, temperature, top_p):
+    async def run():
+        out = []
+        async for d in prov.stream(
+            "local", messages, temperature=temperature, top_p=top_p
+        ):
+            out.append(d["content"] or "")
+        return "".join(out)
+
+    return asyncio.run(run())
+
+
+def test_pipelined_plain_loop_matches_serial_oracle():
+    """Lookahead dispatch must not change emitted text — greedy and
+    sampled, across a max_new that is not a chunk multiple (the room
+    trim discards the speculative in-flight chunk)."""
+    cfg = DecoderConfig.tiny()
+    params = init_decoder_params(jax.random.key(7), cfg)
+    prov = LocalChatProvider(
+        params, cfg, StubTok(), chunk_tokens=4, max_new_tokens=10
+    )
+    for temp, tp in [(0.0, 1.0), (0.9, 0.8)]:
+        for prompt in ["compare me", "a much longer prompt " * 6]:
+            msgs = [{"role": "user", "content": prompt}]
+            assert _stream_text(prov, msgs, temp, tp) == \
+                _serial_plain_text(prov, msgs, temp, tp)
+
+
+def test_pipelined_spec_loop_matches_serial_oracle():
+    cfg = DecoderConfig.tiny()
+    params = init_decoder_params(jax.random.key(7), cfg)
+    prov = LocalChatProvider(
+        params, cfg, StubTok(), chunk_tokens=3, max_new_tokens=11,
+        spec_k=2, spec_gram=2,
+    )
+    for temp, tp in [(0.0, 1.0), (0.7, 0.9)]:
+        msgs = [{"role": "user", "content": "repeat repeat repeat again"}]
+        assert _stream_text(prov, msgs, temp, tp) == \
+            _serial_spec_text(prov, msgs, temp, tp)
