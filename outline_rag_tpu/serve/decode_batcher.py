@@ -669,44 +669,57 @@ class DecodeBatcher:
         if req is not None:
             req.out.put(DONE)
 
+    def _stage_admissions(self) -> None:
+        """Admit pending requests into free slots (in order; a request
+        the paged pool cannot serve yet is held, blocking later ones,
+        until a finishing request frees pages). Paged mode stages at
+        most one admission at a time; ring mode admits fully inline."""
+        while not (self.kv_pages > 0 and self._adm is not None):
+            row = self._free_slot()
+            if row is None:
+                break
+            if self._held is not None:
+                req, self._held = self._held, None
+            else:
+                try:
+                    req = self.pending.get_nowait()
+                except queue.Empty:
+                    break
+            if req.token in self._cancelled:
+                self._retire(req)
+                req.out.put(DONE)
+                continue
+            try:
+                if not self._admit(req, row):
+                    self._held = req
+                    break
+            except Exception as e:  # surface failures to the caller
+                self._retire(req)
+                req.out.put(e)
+                req.out.put(DONE)
+
     def _run(self) -> None:
         jnp = self._jnp
         jax = self._jax
 
         while not self._stop:
-            # admit pending requests into free slots (in order; a request
-            # the paged pool cannot serve yet is held, blocking later
-            # ones, until a finishing request frees pages). Paged mode
-            # stages at most one admission at a time and advances its
-            # prefill one chunk per loop iteration below.
-            while not (self.kv_pages > 0 and self._adm is not None):
-                row = self._free_slot()
-                if row is None:
-                    break
-                if self._held is not None:
-                    req, self._held = self._held, None
-                else:
-                    try:
-                        req = self.pending.get_nowait()
-                    except queue.Empty:
-                        break
-                if req.token in self._cancelled:
-                    self._retire(req)
-                    req.out.put(DONE)
-                    continue
-                try:
-                    if not self._admit(req, row):
-                        self._held = req
-                        break
-                except Exception as e:  # surface failures to the caller
-                    self._retire(req)
-                    req.out.put(e)
-                    req.out.put(DONE)
-
+            self._stage_admissions()
             if self._cancelled:
                 # cancel() raced a completion: drop tokens no longer live
                 self._cancelled &= self._live
-            if self._adm is not None:
+            # Advance the staged paged admission. At full load: one
+            # prefill chunk per decode step (latency fairness for the
+            # active streams). With idle slots: burn through idle
+            # capacity — up to min(8, idle) chunks, staging follow-up
+            # admissions as each completes. Without this, a burst of
+            # arrivals ramps at one admission per ~prompt_len/chunk
+            # decode steps and steady-state concurrency stalls near 2
+            # active rows while every step pays full-slot-count compute
+            # (the measured slot-scaling inversion: 233 tok/s at 8
+            # slots falling to 118 at 32).
+            idle = sum(1 for r in self.active if r is None)
+            budget = min(8, max(1, idle))
+            while budget > 0 and self._adm is not None:
                 adm_req = self._adm["req"]
                 try:
                     self._advance_admission()
@@ -720,6 +733,9 @@ class DecodeBatcher:
                     adm_req.out.put(DONE)
                     self._die(e)
                     return
+                budget -= 1
+                if self._adm is None:
+                    self._stage_admissions()
 
             if self._adm is None and not any(
                 r is not None for r in self.active

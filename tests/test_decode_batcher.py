@@ -755,3 +755,44 @@ def test_concurrent_submit_cancel_fuzz(setup):
         assert not b._live and not b._cancelled
     finally:
         b.close()
+
+
+def test_burst_admissions_ramp_to_full_concurrency(setup):
+    """A burst of paged arrivals must reach high decode concurrency
+    fast: the worker burns idle-slot capacity on staged prefills (up to
+    min(8, idle) chunks per iteration) instead of one chunk per decode
+    step. With one-chunk-per-step ramp, 8 burst arrivals with 4-chunk
+    prompts never overlap more than ~3 active rows while every step
+    pays 8-row compute (the measured slot-scaling inversion)."""
+    cfg, params = setup
+    from outline_rag_tpu.models.decoder import (
+        cast_decoder_params,
+        stack_decoder_params,
+    )
+
+    stacked = stack_decoder_params(cast_decoder_params(params, cfg.dtype))
+    b = DecodeBatcher(
+        stacked, cfg, slots=8, chunk_tokens=1, eos_id=-1,
+        kv_pages=48, page_size=8, prefill_chunk=8,
+    )
+    peak = [0]
+    orig = b._step_chunk
+
+    def counting_step(*a, **k):
+        peak[0] = max(peak[0], sum(r is not None for r in b.active))
+        return orig(*a, **k)
+
+    b._step_chunk = counting_step
+    try:
+        qs = [
+            b.submit(
+                [(5 * i + 13 * j) % 190 + 1 for i in range(32)],
+                0.0, 1.0, 8, seed=j + 1,
+            )
+            for j in range(8)
+        ]
+        outs = [collect(q) for q in qs]
+    finally:
+        b.close()
+    assert all(len(o) == 8 for o in outs)
+    assert peak[0] >= 6, f"burst only reached {peak[0]} concurrent rows"
