@@ -262,6 +262,7 @@ class Settings:
     decoder_max_new_tokens: int = 512
     decoder_batch_slots: int = 0  # >1 -> continuous batching across chats
     decoder_int8: bool = False  # int8 decoder weights (fused VMEM dequant)
+    decoder_int4: bool = False  # int4 w4a16 group-quantized decoder weights
     # >0 -> prompt-lookup speculative decoding with this many draft
     # tokens per verify step (output is distribution-identical; RAG
     # answers quote retrieved context, so acceptance is high)
@@ -405,6 +406,7 @@ def load_settings(env: dict[str, str] | None = None) -> Settings:
         decoder_max_new_tokens=_env_int("DECODER_MAX_NEW_TOKENS", 512),
         decoder_batch_slots=_env_int("DECODER_BATCH_SLOTS", 0),
         decoder_int8=_env_bool("DECODER_INT8", False),
+        decoder_int4=_env_bool("DECODER_INT4", False),
         decoder_spec_k=_env_int("DECODER_SPEC_K", 0),
         decoder_spec_gram=_env_int("DECODER_SPEC_GRAM", 3),
         decoder_kv_pages=_env_int("DECODER_KV_PAGES", 0),

@@ -162,6 +162,55 @@ def quantize_decoder_params(params: Params) -> Params:
     return out
 
 
+def quantize_decoder_params_int4(
+    params: Params, group_size: int = 128
+) -> Params:
+    """int4-quantize the decode-bandwidth-dominant weights (w4a16).
+
+    Every projection matrix becomes ``{"q4": [N, K] int4, "s4":
+    [N, K//gsz] f32}`` with symmetric group-wise scales along the
+    contraction dim (GPTQ/AWQ-style groups, default 128). Decode is
+    weight-HBM-bound, so streaming int4 halves the bytes of the int8
+    path again; the forward upcasts groups to the activation dtype in
+    registers and runs a group-batched MXU dot (``_mm``). Per-channel
+    int8 scales can't survive 4-bit rounding — group-wise keeps each
+    128-wide block's dynamic range local, which is what makes w4
+    usable. Same application order as :func:`quantize_decoder_params`
+    (after stack/cast/fuse; never cast again)."""
+    params = stack_decoder_params(params)
+
+    def quant_one(w):  # [K, N] -> ({"q4": [N, K]}, {"s4": [N, G]})
+        k = w.shape[0]
+        gsz = group_size if k % group_size == 0 else k
+        wt = jnp.asarray(w, jnp.float32).T  # [N, K]
+        n = wt.shape[0]
+        wg = wt.reshape(n, k // gsz, gsz)
+        amax = jnp.max(jnp.abs(wg), axis=2, keepdims=True)
+        scale = jnp.maximum(amax / 7.0, 1e-12)
+        q = jnp.clip(jnp.round(wg / scale), -8, 7)
+        return (
+            q.reshape(n, k).astype(jnp.int4),
+            scale[:, :, 0].astype(jnp.float32),
+        )
+
+    def quant(w):
+        if w.ndim == 3:
+            q, s = jax.vmap(quant_one)(w)
+        else:
+            q, s = quant_one(w)
+        return {"q4": q, "s4": s}
+
+    out = dict(params)
+    if "lm_head" in params:
+        out["lm_head"] = quant(params["lm_head"])
+    layers = dict(params["layers"])
+    for name in _INT8_WEIGHT_NAMES + ("wqkv", "wgu"):
+        if name in layers:
+            layers[name] = quant(layers[name])
+    out["layers"] = layers
+    return out
+
+
 def _pick_block_n(n: int) -> int | None:
     for b in (512, 256, 128, 64, 32, 16, 8):
         if n % b == 0:
@@ -180,6 +229,43 @@ import os as _os
 _INT8_MODE = _os.environ.get("DECODER_INT8_MODE", "w8a8")
 
 
+def _mm_int4(x: jax.Array, q4: jax.Array, s4: jax.Array, dt) -> jax.Array:
+    """x @ dequant(q4) with group-wise scales (w4a16).
+
+    q4: [N, K] int4 (transposed, like the int8 layout); s4: [N, G] f32,
+    G groups along K. Decode-size calls (small M) contract each group
+    separately — a G-batched MXU dot on register-upcast bf16 weights —
+    then apply the per-(N, group) scale on the [G, M, N] partials, so
+    the only HBM read of the weight is the packed int4 stream. Prefill
+    (large M) amortizes one full dequant instead."""
+    n, k = q4.shape
+    g = s4.shape[-1]
+    gsz = k // g
+    lead = x.shape[:-1]
+    m = 1
+    for d in lead:
+        m *= d
+    x2 = x.reshape(m, k)
+    if m <= 256:
+        # operands in the model dtype: bf16 MXU in production, f32 when
+        # the model runs f32 (keeps this path equal to the prefill-path
+        # dequant); int4 values are exact in either
+        lhs = x2.reshape(m, g, gsz).astype(dt)
+        rhs = q4.reshape(n, g, gsz).astype(dt)
+        # [G, M, N] partial products, one batch entry per scale group
+        raw = jax.lax.dot_general(
+            lhs, rhs,
+            dimension_numbers=(((2,), (2,)), ((1,), (1,))),
+            preferred_element_type=jnp.float32,
+        )
+        out = jnp.sum(raw * s4.T[:, None, :], axis=0)
+        return out.reshape(*lead, n).astype(dt)
+    wd = (
+        q4.reshape(n, g, gsz).astype(dt) * s4.astype(dt)[:, :, None]
+    ).reshape(n, k)
+    return x @ wd.T
+
+
 def _mm(x: jax.Array, w, dt) -> jax.Array:
     """x @ w for dense weights ([K, N]) or int8 ``{"q": [N,K], "s": [N]}``.
 
@@ -189,6 +275,8 @@ def _mm(x: jax.Array, w, dt) -> jax.Array:
     """
     if not isinstance(w, dict):
         return x @ w.astype(dt)
+    if "q4" in w:
+        return _mm_int4(x, w["q4"], w["s4"], dt)
     q, s = w["q"], w["s"]
     lead = x.shape[:-1]
     k = x.shape[-1]

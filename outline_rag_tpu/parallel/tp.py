@@ -65,6 +65,25 @@ _LAYER_QSPECS = {
     "wd": {"q": P(None, None, MODEL_AXIS), "s": P()},
 }
 
+# int4 leaves ({"q4": [L, N, K] int4, "s4": [L, N, G] f32} — group-wise
+# scales along the contraction dim K, models/decoder.py::
+# quantize_decoder_params_int4): column-parallel weights shard the
+# output dim N of q4 and s4; row-parallel weights shard the contraction
+# K of q4 while the scales replicate — the grouped dot keeps its [G]
+# batch dim aligned with the K sharding, GSPMD slices the replicated
+# scales to the local groups and inserts the psum over G (when G is not
+# divisible by the mesh it all-gathers instead: correct, just slower —
+# real shapes have K/devices a multiple of the 128-group).
+_LAYER_Q4SPECS = {
+    "wq": {"q4": P(None, MODEL_AXIS, None), "s4": P(None, MODEL_AXIS, None)},
+    "wk": {"q4": P(None, MODEL_AXIS, None), "s4": P(None, MODEL_AXIS, None)},
+    "wv": {"q4": P(None, MODEL_AXIS, None), "s4": P(None, MODEL_AXIS, None)},
+    "wg": {"q4": P(None, MODEL_AXIS, None), "s4": P(None, MODEL_AXIS, None)},
+    "wu": {"q4": P(None, MODEL_AXIS, None), "s4": P(None, MODEL_AXIS, None)},
+    "wo": {"q4": P(None, None, MODEL_AXIS), "s4": P()},
+    "wd": {"q4": P(None, None, MODEL_AXIS), "s4": P()},
+}
+
 
 def model_mesh(n_devices: int | None = None) -> Mesh:
     devs = jax.devices()
@@ -94,6 +113,10 @@ def decoder_param_shardings(params, mesh: Mesh):
             parent = key(path[-2])
             if parent in _LAYER_QSPECS:
                 return NamedSharding(mesh, _LAYER_QSPECS[parent][name])
+        if name in ("q4", "s4") and len(path) >= 2:
+            parent = key(path[-2])
+            if parent in _LAYER_Q4SPECS:
+                return NamedSharding(mesh, _LAYER_Q4SPECS[parent][name])
         return NamedSharding(mesh, P())  # embed / norms / lm_head / biases
 
     return jax.tree_util.tree_map_with_path(spec_for, params)

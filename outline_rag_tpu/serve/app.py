@@ -193,6 +193,7 @@ def build_app(
                     max_new_tokens=settings.decoder_max_new_tokens,
                     batch_slots=settings.decoder_batch_slots,
                     int8_weights=settings.decoder_int8,
+                    int4_weights=settings.decoder_int4,
                     spec_k=settings.decoder_spec_k,
                     spec_gram=settings.decoder_spec_gram,
                     kv_pages=settings.decoder_kv_pages,

@@ -211,6 +211,7 @@ class LocalChatProvider:
         prompt_buckets: tuple = (64, 128, 256, 512, 1024, 2048),
         batch_slots: int = 0,  # >1 -> continuous batching across requests
         int8_weights: bool = False,  # halve decode HBM traffic (DECODER_INT8)
+        int4_weights: bool = False,  # halve it again: w4a16 grouped (DECODER_INT4)
         spec_k: int = 0,  # >0 -> prompt-lookup speculative decoding
         spec_gram: int = 3,
         kv_pages: int = 0,  # >0 -> paged KV pool for the batcher
@@ -231,10 +232,16 @@ class LocalChatProvider:
             generate_chunk_spec,
             init_cache,
             quantize_decoder_params,
+            quantize_decoder_params_int4,
             stack_decoder_params,
         )
 
         self.cfg = cfg
+        if int8_weights and int4_weights:
+            raise ValueError(
+                "DECODER_INT8 and DECODER_INT4 are mutually exclusive "
+                "(pick one weight quantization)"
+            )
         # tensor parallelism (parallel/tp.py): pure GSPMD — params are
         # sharded Megatron-style and every already-jitted program below
         # partitions automatically (XLA inserts the two per-layer
@@ -266,6 +273,8 @@ class LocalChatProvider:
             p = stack_decoder_params(cast_decoder_params(params, cfg.dtype))
             if int8_weights:
                 p = quantize_decoder_params(p)  # unfused names keep TP layouts
+            elif int4_weights:
+                p = quantize_decoder_params_int4(p)
             self.params = shard_decoder_params(p, self.mesh)
         else:
             self.params = fuse_decoder_params(
@@ -273,6 +282,8 @@ class LocalChatProvider:
             )
             if int8_weights:
                 self.params = quantize_decoder_params(self.params)
+            elif int4_weights:
+                self.params = quantize_decoder_params_int4(self.params)
         self.tokenizer = tokenizer
         self.eos_id = eos_id if eos_id is not None else getattr(
             tokenizer, "eos_token_id", 2

@@ -1,0 +1,225 @@
+"""int4 (w4a16, group-quantized) decoder weights.
+
+Decode reads every weight once per step, so int4 halves the int8 path's
+HBM traffic again. Group-wise scales along the contraction dim (default
+128) keep 4-bit rounding local to a block — per-channel scales are too
+coarse at 4 bits. Reference seam: the reference serves its chat LLM via
+an external API (app/llm_services.py); the on-TPU quantized ladder
+(bf16 -> int8 -> int4) is this framework's extension of that component.
+"""
+
+import asyncio
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from outline_rag_tpu.models.decoder import (
+    DecoderConfig,
+    cast_decoder_params,
+    decoder_forward,
+    fuse_decoder_params,
+    init_cache,
+    init_decoder_params,
+    quantize_decoder_params_int4,
+    stack_decoder_params,
+)
+
+
+@pytest.fixture(scope="module")
+def grouped():
+    """A config big enough that the 128-wide scale groups are real
+    (hidden 256 -> 2 groups per hidden-contraction). Params are raw
+    (unfused/unstacked) — the provider does its own fuse; direct
+    decoder_forward tests fuse via fused()."""
+    cfg = DecoderConfig(
+        vocab_size=512, hidden=256, layers=2, heads=4, kv_heads=2,
+        intermediate=512, max_cache=64,
+    )
+    return cfg, init_decoder_params(jax.random.key(3), cfg)
+
+
+def fused(cfg, params):
+    return fuse_decoder_params(
+        stack_decoder_params(cast_decoder_params(params, cfg.dtype))
+    )
+
+
+class StubTok:
+    eos_token_id = 0
+
+    def encode(self, text):
+        return [1 + (b % 250) for b in text.encode()][:40]
+
+    def decode(self, ids):
+        return " ".join(str(i) for i in ids)
+
+
+def test_int4_quantize_structure(grouped):
+    cfg, params = grouped
+    q = quantize_decoder_params_int4(fused(cfg, params))
+    lm = q["lm_head"]
+    assert lm["q4"].dtype == jnp.int4
+    n, k = lm["q4"].shape
+    assert (n, k) == (cfg.vocab_size, cfg.hidden)
+    assert lm["s4"].shape == (n, k // 128)
+    wqkv = q["layers"]["wqkv"]
+    assert wqkv["q4"].ndim == 3 and wqkv["q4"].dtype == jnp.int4
+    assert wqkv["s4"].shape[-1] == wqkv["q4"].shape[-1] // 128
+    # values are true 4-bit
+    assert int(jnp.max(wqkv["q4"].astype(jnp.int32))) <= 7
+    assert int(jnp.min(wqkv["q4"].astype(jnp.int32))) >= -8
+
+
+def test_int4_logit_parity(grouped):
+    """Group-quantized int4 must track the float forward closely enough
+    that greedy ranking survives."""
+    cfg, raw = grouped
+    params = fused(cfg, raw)
+    qparams = quantize_decoder_params_int4(params)
+    b, t = 2, 9
+    toks = jax.random.randint(jax.random.key(5), (b, t), 0, cfg.vocab_size)
+    want, _ = decoder_forward(
+        params, toks, init_cache(cfg, b), jnp.zeros((b,), jnp.int32), cfg
+    )
+    got, _ = decoder_forward(
+        qparams, toks, init_cache(cfg, b), jnp.zeros((b,), jnp.int32), cfg
+    )
+    w = np.asarray(want, np.float32)
+    g = np.asarray(got, np.float32)
+    cos = (w * g).sum(-1) / (
+        np.linalg.norm(w, axis=-1) * np.linalg.norm(g, axis=-1)
+    )
+    # random-init weights are the WORST case for round-to-nearest int4
+    # (no structure for the groups to exploit; measured ~0.95-0.97 here
+    # across group sizes 32-128) — the pin is a floor, not the expected
+    # quality on trained checkpoints
+    assert cos.min() > 0.94, cos.min()
+    agree = (w.argmax(-1) == g.argmax(-1)).mean()
+    assert agree >= 0.5, agree
+
+
+def test_int4_decode_and_prefill_paths_agree():
+    """_mm routes small-M (decode) through the grouped dot and large-M
+    (prefill) through one-shot dequant — both must compute the same
+    function (same q4/s4, different schedules). Pinned on an f32 model
+    so the only slack is f32 reassociation (a bf16 model adds ~1e-2 of
+    summation-order noise between the schedules, which is dtype noise,
+    not a schedule bug)."""
+    cfg = DecoderConfig(
+        vocab_size=512, hidden=256, layers=2, heads=4, kv_heads=2,
+        intermediate=512, max_cache=64, dtype=jnp.float32,
+    )
+    params = fuse_decoder_params(
+        stack_decoder_params(
+            cast_decoder_params(
+                init_decoder_params(jax.random.key(3), cfg), cfg.dtype
+            )
+        )
+    )
+    qparams = quantize_decoder_params_int4(params)
+    t = 12
+    toks = jax.random.randint(jax.random.key(9), (1, t), 0, cfg.vocab_size)
+    # prefill path: whole prompt at once (M = t*? still small — force the
+    # large-M branch by batching rows past the 256 threshold)
+    big = jnp.tile(toks, (32, 1))  # M = 32*12 = 384 > 256
+    lo_big, _ = decoder_forward(
+        qparams, big, init_cache(cfg, 32), jnp.zeros((32,), jnp.int32), cfg
+    )
+    lo_small, _ = decoder_forward(
+        qparams, toks, init_cache(cfg, 1), jnp.zeros((1,), jnp.int32), cfg
+    )
+    np.testing.assert_allclose(
+        np.asarray(lo_big[0], np.float32),
+        np.asarray(lo_small[0], np.float32),
+        rtol=2e-4, atol=2e-4,
+    )
+
+
+def test_int4_provider_stream_and_exclusivity(grouped):
+    from outline_rag_tpu.serve.llm import LocalChatProvider
+
+    cfg, params = grouped
+    prov = LocalChatProvider(
+        params, cfg, StubTok(), chunk_tokens=4, max_new_tokens=8,
+        int4_weights=True,
+    )
+    assert prov.params["layers"]["wqkv"]["q4"].dtype == jnp.int4
+
+    async def run():
+        out = []
+        async for d in prov.stream(
+            "local", [{"role": "user", "content": "hello int4"}],
+            temperature=0.0,
+        ):
+            out.append(d["content"] or "")
+        return "".join(out)
+
+    a = asyncio.run(run())
+    assert isinstance(a, str) and a == asyncio.run(run())
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        LocalChatProvider(
+            params, cfg, StubTok(), int8_weights=True, int4_weights=True
+        )
+
+
+def test_int4_batcher_streams(grouped):
+    """Continuous batcher over int4 weights (paged pool): concurrent
+    greedy streams complete and equal the single-stream provider."""
+    from outline_rag_tpu.serve.llm import LocalChatProvider
+
+    cfg, params = grouped
+
+    def complete(prov, text):
+        return asyncio.run(
+            prov.complete(
+                "m", [{"role": "user", "content": text}], temperature=0.0
+            )
+        )
+
+    solo = LocalChatProvider(
+        params, cfg, StubTok(), chunk_tokens=4, max_new_tokens=8,
+        int4_weights=True,
+    )
+    batched = LocalChatProvider(
+        params, cfg, StubTok(), chunk_tokens=4, max_new_tokens=8,
+        int4_weights=True, batch_slots=2, kv_pages=12, page_size=16,
+    )
+    try:
+        for text in ("int4 batch one", "and two"):
+            assert complete(batched, text) == complete(solo, text)
+    finally:
+        batched._batcher.close()
+
+
+def test_tp_int4_weights_provider_matches_unsharded():
+    """TP x int4: {'q4','s4'} leaves shard with their Megatron layouts;
+    greedy decode equals the single-device int4 provider."""
+    from outline_rag_tpu.serve.llm import LocalChatProvider
+
+    cfg = DecoderConfig(
+        vocab_size=512, hidden=256, layers=2, heads=4, kv_heads=2,
+        intermediate=512, max_cache=64,
+    )
+    params = init_decoder_params(jax.random.key(5), cfg)
+
+    def complete(prov, text):
+        return asyncio.run(
+            prov.complete(
+                "m", [{"role": "user", "content": text}], temperature=0.0
+            )
+        )
+
+    plain = LocalChatProvider(
+        params, cfg, StubTok(), chunk_tokens=4, max_new_tokens=10,
+        int4_weights=True,
+    )
+    tp = LocalChatProvider(
+        params, cfg, StubTok(), chunk_tokens=4, max_new_tokens=10,
+        int4_weights=True, tp_devices=2,
+    )
+    q4 = tp.params["layers"]["wq"]["q4"]
+    assert q4.sharding.is_fully_replicated is False
+    for text in ("hello int4 tensor parallel", "second"):
+        assert complete(tp, text) == complete(plain, text)

@@ -1,4 +1,4 @@
-"""Decode throughput benchmark: bf16 vs int8 decoder weights.
+"""Decode throughput benchmark: bf16 vs int8 vs int4 decoder weights.
 
 Measures end-to-end tok/s through LocalChatProvider (the only honest way
 to time decode through this VM's lazy remote-compile tunnel — chained
@@ -33,7 +33,7 @@ class StubTok:
         return " ".join(str(i) for i in ids)
 
 
-def build_provider(int8: bool, cfg, params, chunk_tokens, max_new, slots=0):
+def build_provider(mode: str, cfg, params, chunk_tokens, max_new, slots=0):
     from outline_rag_tpu.serve.llm import LocalChatProvider
 
     return LocalChatProvider(
@@ -43,7 +43,8 @@ def build_provider(int8: bool, cfg, params, chunk_tokens, max_new, slots=0):
         eos_id=StubTok.eos_token_id,
         chunk_tokens=chunk_tokens,
         max_new_tokens=max_new,
-        int8_weights=int8,
+        int8_weights=mode == "int8",
+        int4_weights=mode == "int4",
         batch_slots=slots,
     )
 
@@ -70,6 +71,9 @@ def time_stream(prov, max_new, tag: str) -> tuple[float, int]:
 
 def main() -> None:
     import jax
+
+    if os.environ.get("BENCH_CPU"):  # smoke-test the harness off-tunnel
+        jax.config.update("jax_platforms", "cpu")
 
     from outline_rag_tpu.models.decoder import (
         DecoderConfig,
@@ -104,9 +108,9 @@ def main() -> None:
     )
     params = init_decoder_params(jax.random.key(0), cfg)
 
+    modes = os.environ.get("BENCH_MODES", "bf16,int8,int4").split(",")
     provs = {
-        "bf16": build_provider(False, cfg, params, 16, new_tokens),
-        "int8": build_provider(True, cfg, params, 16, new_tokens),
+        m: build_provider(m, cfg, params, 16, new_tokens) for m in modes
     }
 
     # warm both (compile prefill + chunk programs)
@@ -130,8 +134,8 @@ def main() -> None:
         import asyncio
 
         provs.clear()  # free single-stream weights before the batched pass
-        for name, int8 in (("bf16", False), ("int8", True)):
-            p = build_provider(int8, cfg, params, 16, new_tokens, slots=slots)
+        for name in modes:
+            p = build_provider(name, cfg, params, 16, new_tokens, slots=slots)
 
             async def one(i):
                 text = []
@@ -155,15 +159,15 @@ def main() -> None:
             p._batcher.close()
             print(f"# aggregate {name} x{slots}: {agg[name]:.1f} tok/s", file=sys.stderr)
 
-    out = {
-        "metric": f"decode tok/s ({n_params / 1e9:.2f}B)",
-        "bf16": round(best["bf16"], 1),
-        "int8": round(best["int8"], 1),
-        "speedup": round(best["int8"] / best["bf16"], 2),
-    }
-    if agg:
-        out["bf16_aggregate"] = round(agg["bf16"], 1)
-        out["int8_aggregate"] = round(agg["int8"], 1)
+    out = {"metric": f"decode tok/s ({n_params / 1e9:.2f}B)"}
+    for name in modes:
+        out[name] = round(best[name], 1)
+    if "bf16" in best:
+        for name in modes:
+            if name != "bf16":
+                out[f"{name}_speedup"] = round(best[name] / best["bf16"], 2)
+    for name, v in agg.items():
+        out[f"{name}_aggregate"] = round(v, 1)
     print(json.dumps(out))
 
 

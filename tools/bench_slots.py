@@ -18,7 +18,8 @@ are free; if kv GB/s dominates, context length is the budget.
 
 Usage: python tools/bench_slots.py [new_tokens] [rounds]
 Env: BENCH_SLOTS_LIST="4,8,16,32", BENCH_PROMPT (512), BENCH_KV_INT8,
-     BENCH_INT8 (w8a8 weights), BENCH_* shape overrides (bench_paged.py).
+     BENCH_INT8 (w8a8 weights), BENCH_INT4 (w4a16 grouped weights),
+     BENCH_* shape overrides (bench_paged.py).
 """
 
 from __future__ import annotations
@@ -64,6 +65,7 @@ def main() -> None:
         fuse_decoder_params,
         init_decoder_params,
         quantize_decoder_params,
+        quantize_decoder_params_int4,
         stack_decoder_params,
     )
     from outline_rag_tpu.serve.decode_batcher import DecodeBatcher
@@ -77,6 +79,7 @@ def main() -> None:
     prompt_len = int(os.environ.get("BENCH_PROMPT", 512))
     kv_int8 = bool(os.environ.get("BENCH_KV_INT8"))
     w_int8 = bool(os.environ.get("BENCH_INT8"))
+    w_int4 = bool(os.environ.get("BENCH_INT4"))
     cfg = DecoderConfig(
         vocab_size=int(os.environ.get("BENCH_VOCAB", 32000)),
         hidden=int(os.environ.get("BENCH_HIDDEN", 2048)),
@@ -93,6 +96,8 @@ def main() -> None:
     )
     if w_int8:
         params = quantize_decoder_params(params)
+    elif w_int4:
+        params = quantize_decoder_params_int4(params)
     pbytes = tree_bytes(params)
     page = int(os.environ.get("BENCH_PAGE", 128))
     maxp = cfg.max_cache // page
@@ -159,7 +164,7 @@ def main() -> None:
 
     print(json.dumps({
         "metric": (
-            f"decode slot scaling ({'int8' if w_int8 else 'bf16'} weights, "
+            f"decode slot scaling ({'int8' if w_int8 else 'int4' if w_int4 else 'bf16'} weights, "
             f"{'int8' if kv_int8 else 'bf16'} paged KV, prompt {prompt_len}, "
             f"+{new_tokens} tokens)"
         ),
