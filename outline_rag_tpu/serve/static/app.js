@@ -438,7 +438,10 @@ async function loadMessages() {
   const box = $("#messages");
   box.innerHTML = "";
   if (!data.messages.length) { showGreeting(); return; }
-  data.messages.forEach((m) => appendMessage(m.role, m.content, m.id));
+  data.messages.forEach((m) =>
+    appendMessage(m.role, m.content, m.id,
+                  { model: m.model, created_at: m.created_at })
+  );
   box.scrollTop = box.scrollHeight;
 }
 
@@ -504,7 +507,7 @@ function attachCopy(div, content) {
   div.appendChild(btn);
 }
 
-function appendMessage(role, content, id) {
+function appendMessage(role, content, id, meta) {
   const div = document.createElement("div");
   div.className = "msg " + role;
   if (id) div.dataset.id = id;
@@ -513,26 +516,67 @@ function appendMessage(role, content, id) {
      * assistant message); streaming appends into the bubble */
     const avatar = document.createElement("span");
     avatar.className = "avatar";
-    avatar.innerHTML = APP_ICON;
+    avatar.innerHTML = meta && meta.model ? modelIcon(meta.model) : APP_ICON;
     const bubble = document.createElement("div");
     bubble.className = "bubble";
     bubble.innerHTML = renderAssistant(content || "");
-    div.append(avatar, bubble);
+    const col = document.createElement("div");
+    col.className = "bubble-col";
+    col.appendChild(bubble);
+    /* meta line under the bubble: which model answered and when
+     * (reference app.js msg-meta: model · params · timestamp) */
+    if (meta && (meta.model || meta.created_at)) {
+      const m = document.createElement("div");
+      m.className = "msg-meta";
+      const name = meta.model
+        ? (state.models?.find((x) => x.id === meta.model)?.name || meta.model)
+        : "";
+      const when = meta.created_at ? fmtTime(meta.created_at) : "";
+      m.textContent = [name, when].filter(Boolean).join(" · ");
+      col.appendChild(m);
+    }
+    div.append(avatar, col);
     if (content) attachCopy(bubble, content);
   } else {
     div.innerHTML = renderMarkdownLite(content || "");
     const edit = document.createElement("button");
     edit.className = "edit";
     edit.textContent = "✎";
-    edit.onclick = () => {
-      $("#input").value = content;
-      $("#input").dataset.editId = id || "";
-      $("#input").focus();
-    };
+    edit.onclick = () => startEdit(id, content);
     div.appendChild(edit);
   }
   $("#messages").appendChild(div);
   return div;
+}
+
+/* timestamps come back as sqlite UTC "YYYY-MM-DD HH:MM:SS" or ISO */
+function fmtTime(ts) {
+  const d = new Date(String(ts).includes("T") ? ts : ts + "Z");
+  if (isNaN(d.getTime())) return "";
+  return d.toLocaleString([], {
+    month: "short", day: "numeric", hour: "2-digit", minute: "2-digit",
+  });
+}
+
+/* edit-resubmit: visible editing state on the composer with an
+ * explicit escape hatch (reference chat.css is-editing ring +
+ * cancel-edit-btn) */
+function startEdit(id, content) {
+  const input = $("#input");
+  input.value = content;
+  input.dataset.editId = id || "";
+  $("#composer").classList.add("editing");
+  $("#cancel-edit").hidden = false;
+  input.focus();
+}
+
+function cancelEdit() {
+  const input = $("#input");
+  if (!input.dataset.editId) return;
+  delete input.dataset.editId;
+  input.value = "";
+  $("#composer").classList.remove("editing");
+  $("#cancel-edit").hidden = true;
 }
 
 // ---------- ask / SSE ----------
@@ -553,6 +597,8 @@ async function sendQuestion() {
   const editId = input.dataset.editId || null;
   input.value = "";
   delete input.dataset.editId;
+  $("#composer").classList.remove("editing");
+  $("#cancel-edit").hidden = true;
   if (editId) await loadMessages();
   const greet = document.querySelector("#messages .greeting");
   if (greet) greet.remove();
@@ -801,8 +847,11 @@ window.addEventListener("DOMContentLoaded", async () => {
     if (e.key === "Enter" && !e.shiftKey) {
       e.preventDefault();
       sendQuestion();
+    } else if (e.key === "Escape") {
+      cancelEdit();
     }
   });
+  $("#cancel-edit").onclick = cancelEdit;
   input.addEventListener("input", () => autoresize(input));
   $("#new-conv").onclick = async () => {
     state.current = null;

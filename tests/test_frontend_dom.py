@@ -447,3 +447,45 @@ def test_deep_link_boot_selects_conversation(routes):
     assert "linked" in b.q("#messages").text()
     # no extra pushState for the initial deep link (push: false)
     assert ("pushState", f"/chat/{CONV_ID}") not in b.navigations
+
+
+def test_message_meta_line_renders_model_and_time(browser, routes):
+    """Persisted assistant messages show the msg-meta line (model
+    display name + local time) under the bubble; user messages don't."""
+    routes.messages = {"messages": [
+        {"id": 1, "role": "user", "content": "q",
+         "model": None, "created_at": "2026-08-17 10:30:00"},
+        {"id": 2, "role": "assistant", "content": "a",
+         "model": "deepseek-v3", "created_at": "2026-08-17 10:30:05"},
+    ]}
+    browser.click("#conv-list li span")
+    meta = browser.q("#messages .msg.assistant .msg-meta")
+    text = meta.text()
+    assert "Aug 17" in text and "·" in text
+    # catalog display name preferred over the raw id when available
+    assert ("DeepSeek" in text) or ("deepseek-v3" in text)
+    assert browser.maybe("#messages .msg.user .msg-meta") is None
+
+
+def test_edit_state_shows_cancel_and_escape_backs_out(browser, routes):
+    routes.messages = {"messages": [
+        {"id": 7, "role": "user", "content": "original question"},
+        {"id": 8, "role": "assistant", "content": "answer"},
+    ]}
+    browser.click("#conv-list li span")
+    browser.click("#messages .msg.user button.edit")
+    composer = browser.q("#composer")
+    assert "editing" in (composer.attrs.get("class") or "")
+    assert browser.q("#cancel-edit").props.get("hidden") is not True
+    # Esc backs out: editId cleared, input emptied, pill hidden
+    browser.press("#input", "Escape")
+    assert "editing" not in (composer.attrs.get("class") or "")
+    assert browser.q("#cancel-edit").props.get("hidden") is True
+    assert not browser.q("#input").props.get("value")
+    # a subsequent plain send must NOT carry edit_message_id
+    browser.q("#input").props["value"] = "fresh question"
+    routes.ask_response = FakeResponse.stream()
+    browser.press("#input", "Enter")
+    body = json.loads(routes.calls("/ask")[0][2]["body"])
+    assert "edit_message_id" not in body or body["edit_message_id"] is None
+    routes.ask_response.finish()

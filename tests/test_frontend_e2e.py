@@ -140,6 +140,11 @@ def test_full_ask_flow_against_real_app(stack):
     # the user message also persisted and re-rendered with an edit button
     assert browser.maybe("#messages .msg.user button.edit") is not None
 
+    # the persisted assistant message re-rendered with its meta line
+    # (model id from the real messages API + sqlite created_at)
+    meta = browser.maybe("#messages .msg.assistant .msg-meta")
+    assert meta is not None and "·" in meta.text()
+
     # conversation list refreshed with the real persisted conversation
     assert "do wolves hunt in packs?"[:20] in browser.text("#conv-list")
 

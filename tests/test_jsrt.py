@@ -351,3 +351,28 @@ def test_undefined_vs_null_distinct(interp):
     assert interp.run("null") is None
     assert interp.run("undefined") is UNDEF
     assert run(interp, "'x'.match(/y/) === null") is True
+
+
+def test_date_subset_is_deterministic(interp):
+    """Date: string/epoch parsing, accessors, fixed-instant now()
+    (CI determinism policy, like Math.random)."""
+    out = run(
+        interp,
+        "JSON.stringify(["
+        "  new Date('2026-08-17 10:30:05Z').getTime(),"
+        "  new Date('2026-08-17T10:30:05Z').getTime(),"
+        "  new Date(0).getFullYear(),"
+        "  isNaN(new Date('not a date').getTime()),"
+        "  new Date('2026-08-17T10:30:05Z').toLocaleString([],"
+        "    {month:'short',day:'numeric',hour:'2-digit',minute:'2-digit'}),"
+        "  Date.now() === new Date().getTime(),"
+        "])"
+    )
+    import json as _json
+
+    vals = _json.loads(out)
+    assert vals[0] == vals[1] == 1786962605000
+    assert vals[2] == 1970
+    assert vals[3] is True
+    assert vals[4] == "Aug 17, 10:30"
+    assert vals[5] is True

@@ -832,6 +832,110 @@ def install(interp: Interpreter):
         "E": float(_pymath.e),
     }))
 
+    # -- Date (deterministic subset) ---------------------------------------
+    # Parses epoch-ms numbers, ISO 8601, and sqlite's "YYYY-MM-DD HH:MM:SS"
+    # (UTC when no offset). Argless construction / Date.now() return a
+    # FIXED instant — jsrt runs in CI, where nondeterminism is a bug, not
+    # a feature (same policy as Math.random above).
+    _DATE_EPOCH_FIXED = 1767225600000.0  # 2026-01-01T00:00:00Z
+
+    def _date_parse_ms(s):
+        import datetime as _dt
+
+        s = s.strip()
+        m = _pyre.match(
+            r"(\d{4})-(\d{2})-(\d{2})(?:[T ](\d{2}):(\d{2})(?::(\d{2}))?"
+            r"(?:\.(\d+))?(Z|[+-]\d{2}:?\d{2})?)?$",
+            s,
+        )
+        if not m:
+            return NAN
+        tz = _dt.timezone.utc
+        off = m.group(8)
+        if off and off != "Z":
+            sign = 1 if off[0] == "+" else -1
+            hh, mm = int(off[1:3]), int(off[-2:])
+            tz = _dt.timezone(sign * _dt.timedelta(hours=hh, minutes=mm))
+        frac = float("0." + m.group(7)) if m.group(7) else 0.0
+        try:
+            d = _dt.datetime(
+                int(m.group(1)), int(m.group(2)), int(m.group(3)),
+                int(m.group(4) or 0), int(m.group(5) or 0),
+                int(m.group(6) or 0), int(frac * 1e6), tzinfo=tz,
+            )
+        except ValueError:
+            return NAN
+        return d.timestamp() * 1000.0
+
+    _MONTH_ABBR = ("Jan", "Feb", "Mar", "Apr", "May", "Jun",
+                   "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
+
+    def _date_obj(ms):
+        import datetime as _dt
+
+        valid = not (isinstance(ms, float) and _pymath.isnan(ms))
+        d = (_dt.datetime.fromtimestamp(ms / 1000.0, _dt.timezone.utc)
+             if valid else None)
+
+        def fmt_locale(i, t, a):
+            if not valid:
+                return "Invalid Date"
+            # honors the shape the app uses ({month:short, day, 2-digit
+            # hour/minute}); good enough for any locale-ish caller
+            return (f"{_MONTH_ABBR[d.month - 1]} {d.day}, "
+                    f"{d.hour:02d}:{d.minute:02d}")
+
+        def iso(i, t, a):
+            if not valid:
+                i.throw_type("Invalid time value")
+            return d.strftime("%Y-%m-%dT%H:%M:%S.") + \
+                f"{d.microsecond // 1000:03d}Z"
+
+        return JSObject({
+            "getTime": JSHost("getTime", lambda i, t, a: ms),
+            "valueOf": JSHost("valueOf", lambda i, t, a: ms),
+            "getFullYear": JSHost(
+                "getFullYear",
+                lambda i, t, a: float(d.year) if valid else NAN),
+            "getMonth": JSHost(
+                "getMonth",
+                lambda i, t, a: float(d.month - 1) if valid else NAN),
+            "getDate": JSHost(
+                "getDate", lambda i, t, a: float(d.day) if valid else NAN),
+            "getHours": JSHost(
+                "getHours", lambda i, t, a: float(d.hour) if valid else NAN),
+            "getMinutes": JSHost(
+                "getMinutes",
+                lambda i, t, a: float(d.minute) if valid else NAN),
+            "getSeconds": JSHost(
+                "getSeconds",
+                lambda i, t, a: float(d.second) if valid else NAN),
+            "toLocaleString": JSHost("toLocaleString", fmt_locale),
+            "toLocaleDateString": JSHost("toLocaleDateString", fmt_locale),
+            "toLocaleTimeString": JSHost(
+                "toLocaleTimeString",
+                lambda i, t, a: f"{d.hour:02d}:{d.minute:02d}"
+                if valid else "Invalid Date"),
+            "toISOString": JSHost("toISOString", iso),
+        })
+
+    def _date_ctor(i, t, a):
+        if t == "__instanceof__":
+            return isinstance(a[0], JSObject) and "getTime" in a[0].props \
+                and "toISOString" in a[0].props
+        if not a or a[0] is UNDEF:
+            return _date_obj(_DATE_EPOCH_FIXED)
+        v = a[0]
+        if isinstance(v, str):
+            return _date_obj(_date_parse_ms(v))
+        return _date_obj(js_to_number(v))
+
+    g.declare("Date", JSHost("Date", _date_ctor, props={
+        "now": JSHost("now", lambda i, t, a: _DATE_EPOCH_FIXED),
+        "parse": JSHost("parse", lambda i, t, a: _date_parse_ms(
+            js_to_string(a[0] if a else UNDEF))),
+    }))
+
     # -- numbers -----------------------------------------------------------
     def _parse_int(i, t, a):
         s = js_to_string(a[0] if a else UNDEF).strip()
