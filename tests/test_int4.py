@@ -223,3 +223,57 @@ def test_tp_int4_weights_provider_matches_unsharded():
     assert q4.sharding.is_fully_replicated is False
     for text in ("hello int4 tensor parallel", "second"):
         assert complete(tp, text) == complete(plain, text)
+
+
+def test_int4_composes_with_spec_paged_int8kv():
+    """The full quantized serving stack in one batcher: int4 weights x
+    speculative decode x paged pool x int8 KV x prefix cache —
+    reproducible per (seed, prompt) and warm == cold."""
+    from outline_rag_tpu.serve.decode_batcher import (
+        DONE,
+        DecodeBatcher,
+    )
+
+    cfg = DecoderConfig(
+        vocab_size=512, hidden=256, layers=2, heads=4, kv_heads=2,
+        intermediate=512, max_cache=64,
+    )
+    params = quantize_decoder_params_int4(
+        stack_decoder_params(
+            cast_decoder_params(
+                init_decoder_params(jax.random.key(3), cfg), cfg.dtype
+            )
+        )
+    )
+
+    def collect(q):
+        out = []
+        while True:
+            item = q.get(timeout=600)
+            if item is DONE:
+                return out
+            if isinstance(item, Exception):
+                raise item
+            out.extend(item)
+
+    p = [(7 * i) % 200 + 1 for i in range(20)]
+
+    def run():
+        b = DecodeBatcher(
+            params, cfg, slots=2, chunk_tokens=4, eos_id=0,
+            spec_k=2, spec_gram=2, kv_pages=16, page_size=16,
+            kv_int8=True, prefill_chunk=16,
+        )
+        try:
+            a = collect(b.submit(p, 0.8, 0.95, 10, seed=7))
+            c = collect(b.submit(p, 0.8, 0.95, 10, seed=7))  # warm
+            assert b.prefix_hits >= 1
+            return a, c
+        finally:
+            b.close()
+
+    a1, c1 = run()
+    assert a1 == c1  # prefix-cache warm == cold under int4 weights
+    a2, _ = run()
+    assert a1 == a2
+    assert 0 < len(a1) <= 10
