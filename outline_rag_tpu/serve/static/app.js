@@ -529,7 +529,7 @@ function appendMessage(role, content, id, meta) {
       const m = document.createElement("div");
       m.className = "msg-meta";
       const name = meta.model
-        ? (state.models?.find((x) => x.id === meta.model)?.name || meta.model)
+        ? (state.models?.find((x) => x.id === meta.model)?.label || meta.model)
         : "";
       const when = meta.created_at ? fmtTime(meta.created_at) : "";
       m.textContent = [name, when].filter(Boolean).join(" · ");
@@ -564,18 +564,23 @@ function fmtTime(ts) {
 function startEdit(id, content) {
   const input = $("#input");
   input.value = content;
-  input.dataset.editId = id || "";
-  $("#composer").classList.add("editing");
-  $("#cancel-edit").hidden = false;
+  if (id) {
+    /* only persisted messages can edit-resubmit; a live-appended
+     * (id-less) message just prefills the composer */
+    input.dataset.editId = id;
+    $("#composer").classList.add("editing");
+    $("#cancel-edit").hidden = false;
+  }
   input.focus();
 }
 
 function cancelEdit() {
+  const composer = $("#composer");
+  if (!composer.classList.contains("editing")) return;
   const input = $("#input");
-  if (!input.dataset.editId) return;
   delete input.dataset.editId;
   input.value = "";
-  $("#composer").classList.remove("editing");
+  composer.classList.remove("editing");
   $("#cancel-edit").hidden = true;
 }
 

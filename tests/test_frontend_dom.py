@@ -456,14 +456,17 @@ def test_message_meta_line_renders_model_and_time(browser, routes):
         {"id": 1, "role": "user", "content": "q",
          "model": None, "created_at": "2026-08-17 10:30:00"},
         {"id": 2, "role": "assistant", "content": "a",
-         "model": "deepseek-v3", "created_at": "2026-08-17 10:30:05"},
+         "model": "openai/gpt-4", "created_at": "2026-08-17 10:30:05"},
+        {"id": 3, "role": "assistant", "content": "b",
+         "model": "gone/model", "created_at": "2026-08-17 10:31:00"},
     ]}
     browser.click("#conv-list li span")
-    meta = browser.q("#messages .msg.assistant .msg-meta")
-    text = meta.text()
-    assert "Aug 17" in text and "·" in text
-    # catalog display name preferred over the raw id when available
-    assert ("DeepSeek" in text) or ("deepseek-v3" in text)
+    metas = browser.q("#messages").query_all(".msg-meta")
+    assert len(metas) == 2
+    # catalog display label resolves (the /me payload field is `label`)
+    assert "GPT-4" in metas[0].text() and "Aug 17" in metas[0].text()
+    # a model no longer in the catalog falls back to its raw id
+    assert "gone/model" in metas[1].text()
     assert browser.maybe("#messages .msg.user .msg-meta") is None
 
 
@@ -489,3 +492,21 @@ def test_edit_state_shows_cancel_and_escape_backs_out(browser, routes):
     body = json.loads(routes.calls("/ask")[0][2]["body"])
     assert "edit_message_id" not in body or body["edit_message_id"] is None
     routes.ask_response.finish()
+
+
+def test_idless_message_edit_prefills_without_edit_state(browser, routes):
+    """A user message without an id (e.g. live-appended before
+    persistence) prefills the composer from its edit button but must NOT
+    enter the editing state (nothing to edit-resubmit server-side); Esc
+    outside the editing state is a no-op that leaves typed text alone."""
+    routes.messages = {"messages": [
+        {"id": None, "role": "user", "content": "draft question"},
+    ]}
+    browser.click("#conv-list li span")
+    browser.click("#messages .msg.user button.edit")
+    assert browser.q("#input").props.get("value") == "draft question"
+    assert "editing" not in (browser.q("#composer").attrs.get("class") or "")
+    # pill never shown: hidden untouched (None = HTML attr) or re-hidden
+    assert browser.q("#cancel-edit").props.get("hidden") is not False
+    browser.press("#input", "Escape")  # no-op: prefill survives
+    assert browser.q("#input").props.get("value") == "draft question"

@@ -376,3 +376,11 @@ def test_date_subset_is_deterministic(interp):
     assert vals[3] is True
     assert vals[4] == "Aug 17, 10:30"
     assert vals[5] is True
+
+
+def test_date_out_of_range_is_invalid_not_crash(interp):
+    """JS clips |ms| > 8.64e15 to Invalid Date; Python range errors must
+    not escape as host crashes."""
+    assert run(interp, "isNaN(new Date(1e18).getTime())") is True
+    assert run(interp, "isNaN(new Date(-1e15).getTime())") is True
+    assert run(interp, "new Date(1e18).toLocaleString()") == "Invalid Date"

@@ -108,7 +108,14 @@ def main() -> None:
     )
     params = init_decoder_params(jax.random.key(0), cfg)
 
-    modes = os.environ.get("BENCH_MODES", "bf16,int8,int4").split(",")
+    modes = [
+        m.strip()
+        for m in os.environ.get("BENCH_MODES", "bf16,int8,int4").split(",")
+        if m.strip()
+    ]
+    bad = [m for m in modes if m not in ("bf16", "int8", "int4")]
+    if bad:
+        raise SystemExit(f"BENCH_MODES: unknown mode(s) {bad}")
     provs = {
         m: build_provider(m, cfg, params, 16, new_tokens) for m in modes
     }

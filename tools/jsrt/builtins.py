@@ -873,9 +873,16 @@ def install(interp: Interpreter):
     def _date_obj(ms):
         import datetime as _dt
 
-        valid = not (isinstance(ms, float) and _pymath.isnan(ms))
-        d = (_dt.datetime.fromtimestamp(ms / 1000.0, _dt.timezone.utc)
-             if valid else None)
+        # JS clips |ms| > 8.64e15 to an Invalid Date (NaN time value)
+        valid = not (isinstance(ms, float) and _pymath.isnan(ms)) \
+            and abs(ms) <= 8.64e15
+        if not valid:
+            ms = NAN
+        try:
+            d = (_dt.datetime.fromtimestamp(ms / 1000.0, _dt.timezone.utc)
+                 if valid else None)
+        except (ValueError, OverflowError, OSError):
+            valid, ms, d = False, NAN, None
 
         def fmt_locale(i, t, a):
             if not valid:
