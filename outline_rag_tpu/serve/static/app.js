@@ -584,6 +584,20 @@ function cancelEdit() {
   $("#cancel-edit").hidden = true;
 }
 
+/* Follow the stream only while the reader is pinned to the bottom:
+ * scrolling up to re-read must not be yanked back down by every SSE
+ * frame (reference behavior; 48px of slack keeps the pin sticky
+ * through sub-line growth). A DOM without layout (the CI stub) has no
+ * clientHeight — treat it as pinned. */
+function autoscroll(box) {
+  const ch = box.clientHeight;
+  if (ch !== undefined &&
+      box.scrollHeight - box.scrollTop - ch >= 48) {
+    return;
+  }
+  box.scrollTop = box.scrollHeight;
+}
+
 // ---------- ask / SSE ----------
 
 async function sendQuestion() {
@@ -719,7 +733,7 @@ async function sendQuestion() {
           if (thinkEl) thinkEl.open = false; // answer started: fold it
           renderTick(content);
         }
-        $("#messages").scrollTop = $("#messages").scrollHeight;
+        autoscroll($("#messages"));
       }
     }
   } catch (e) {

@@ -510,3 +510,21 @@ def test_idless_message_edit_prefills_without_edit_state(browser, routes):
     assert browser.q("#cancel-edit").props.get("hidden") is not False
     browser.press("#input", "Escape")  # no-op: prefill survives
     assert browser.q("#input").props.get("value") == "draft question"
+
+
+def test_streaming_respects_reader_scroll_position(browser, routes):
+    """Autoscroll only while pinned to the bottom: a reader who scrolled
+    up to re-read must not be yanked down by each SSE frame."""
+    stream = ask(browser, routes, "long answer please")
+    box = browser.q("#messages")
+    # give the stub layout: viewport 200 tall, content 1000, reader at top
+    box.props["clientHeight"] = 200.0
+    box.props["scrollHeight"] = 1000.0
+    box.props["scrollTop"] = 0.0
+    stream.push('data: {"choices":[{"delta":{"content":"more text"}}]}\n\n')
+    assert box.props["scrollTop"] == 0.0  # not yanked
+    # reader returns to the bottom: frames follow again
+    box.props["scrollTop"] = 790.0  # 1000 - 200 - 10 < 48 slack
+    stream.push('data: {"choices":[{"delta":{"content":" and more"}}]}\n\n')
+    assert box.props["scrollTop"] == 1000.0
+    stream.finish()
