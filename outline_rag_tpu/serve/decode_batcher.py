@@ -115,6 +115,11 @@ class DecodeBatcher:
         self._adm: dict | None = None  # staged paged admission in flight
         self.prefix_hits = 0  # prompt pages served from cache (stats)
         self.prefix_lookups = 0
+        # speculative acceptance (stats): tokens emitted per verify step
+        # across active rows — 1.0 means drafts never help, K+1 is the
+        # all-accepted ceiling
+        self.spec_emitted = 0
+        self.spec_steps = 0
         if kv_int8 and self.kv_pages <= 0:
             raise ValueError(
                 "kv_int8 requires the paged pool (set kv_pages > 0 / "
@@ -347,6 +352,11 @@ class DecodeBatcher:
             "admitting": self._adm is not None,
             "mode": "paged" if self.kv_pages > 0 else "ring",
         }
+        if self.spec_k > 0:
+            out["spec_tokens_per_step"] = (
+                round(self.spec_emitted / self.spec_steps, 3)
+                if self.spec_steps else None
+            )
         if self.kv_pages > 0:
             out.update(
                 pages_total=self.kv_pages - 1,  # page 0 is scratch
@@ -771,6 +781,10 @@ class DecodeBatcher:
                     toks_np, counts, tok_np, pos_np = jax.device_get(
                         (emitted, cnt, tok_dev, pos_dev)
                     )  # toks_np: [slots, steps*(K+1)]
+                    self.spec_emitted += int(counts[active_mask].sum())
+                    self.spec_steps += (
+                        int(active_mask.sum()) * self.chunk_tokens
+                    )
                 else:
                     toks, self.cache, tok_dev, pos_dev = self._step_chunk(
                         self.params,

@@ -224,6 +224,11 @@ def test_spec_batcher_greedy_matches_solo(setup):
     for p, g in zip(prompts, got):
         want = solo_greedy(cfg, params, p, 12)
         assert g == want, (p, g, want)
+    # acceptance observability: tokens emitted per verify step across
+    # the run (1.0 = drafts never accepted; spec_k+1 = ceiling)
+    st = batcher.stats()
+    assert st["spec_tokens_per_step"] is not None
+    assert 0 < st["spec_tokens_per_step"] <= 3 + 1
     batcher.close()
 
 
