@@ -98,9 +98,13 @@ def _rescore_and_rerank(
         tc_ = cand_ids.shape[2]
         q_cb = colbert_vectors_from_hidden(enc_params, q_hidden, q_mask)
         if cand_cvecs is not None:
-            q_cb = (q_cb @ colbert_proj.astype(q_cb.dtype)).astype(
-                jnp.float32
-            )
+            # f32 score-path matmul: HIGHEST or the MXU truncates the
+            # projected query vectors to bf16 and near-tie rankings
+            # drift off the oracle (repo precision rule)
+            q_cb = jnp.matmul(
+                q_cb, colbert_proj.astype(q_cb.dtype),
+                precision=jax.lax.Precision.HIGHEST,
+            ).astype(jnp.float32)
             c_cb = cand_cvecs.astype(jnp.float32) * cand_cscale[..., None]
         else:
             flat_ids = cand_ids.reshape(b * k_, tc_)

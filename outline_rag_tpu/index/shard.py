@@ -80,13 +80,18 @@ def _append_block(
     state: ShardState,
     rows: jax.Array,  # [UPDATE_BLOCK, dim] in state dtype
     scales: jax.Array,  # [UPDATE_BLOCK]
-    valid: jax.Array,  # [UPDATE_BLOCK] f32: 0 live / NEG padding
-    start: jax.Array,  # scalar int32 row offset
+    idx: jax.Array,  # [UPDATE_BLOCK] int32 target rows; padding entries
+    #                  carry an out-of-range index and are dropped
 ) -> ShardState:
+    # Scatter, NOT dynamic_update_slice: a fixed-size block written at
+    # start would CLAMP when it crosses the capacity edge (an unaligned
+    # tail append), silently relocating the new rows and tombstoning
+    # live ones with its padding. Drop-mode scatter writes exactly the
+    # real rows wherever they land and discards the padding.
     return ShardState(
-        vectors=jax.lax.dynamic_update_slice(state.vectors, rows, (start, 0)),
-        scales=jax.lax.dynamic_update_slice(state.scales, scales, (start,)),
-        penalty=jax.lax.dynamic_update_slice(state.penalty, valid, (start,)),
+        vectors=state.vectors.at[idx].set(rows, mode="drop"),
+        scales=state.scales.at[idx].set(scales, mode="drop"),
+        penalty=state.penalty.at[idx].set(0.0, mode="drop"),
     )
 
 
@@ -171,19 +176,21 @@ class DeviceShard:
             blk = vectors[off : off + UPDATE_BLOCK]
             sc = scales[off : off + UPDATE_BLOCK]
             m = blk.shape[0]
-            pad = UPDATE_BLOCK - m
             blk_p = np.zeros((UPDATE_BLOCK, self.state.dim), np.float32)
             blk_p[:m] = blk
             sc_p = np.ones(UPDATE_BLOCK, np.float32)
             sc_p[:m] = sc
-            valid = np.full(UPDATE_BLOCK, NEG, np.float32)
-            valid[:m] = 0.0
+            # padding rows carry an out-of-range index -> dropped by the
+            # scatter (never clamped back onto live rows)
+            idx = np.full(UPDATE_BLOCK, self.capacity + 1, np.int32)
+            idx[:m] = np.arange(
+                self.cursor + off, self.cursor + off + m, dtype=np.int32
+            )
             self.state = _append_block(
                 self.state,
                 jnp.asarray(blk_p, jdtype),
                 jnp.asarray(sc_p),
-                jnp.asarray(valid),
-                jnp.int32(self.cursor + off),
+                jnp.asarray(idx),
             )
         self.row_ids[self.cursor : self.cursor + n] = chunk_ids
         self.cursor += n

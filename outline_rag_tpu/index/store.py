@@ -450,7 +450,12 @@ class VectorIndex:
                 cb_codes = np.asarray(self.tokens.colbert.codes)[live_rows]
                 cb_scales = np.asarray(self.tokens.colbert.scales)[live_rows]
         cap = new_capacity or self._shard.capacity
+        old_gen = self._shard.generation
         self._shard = DeviceShard(cap, self.dim, self.dtype, self._sharding)
+        # generation stays monotonic across rebuilds: change detectors
+        # (autosave's last-saved-generation check) must never see a
+        # rebuilt shard re-walk generation numbers they already saved
+        self._shard.generation = old_gen + 1
         if self.tokens is not None:
             self.tokens = TokenCache(
                 cap, self.token_width, self.token_pad_id, self._sharding,
@@ -567,9 +572,12 @@ class VectorIndex:
         of restart-path latency for embedding matrices that barely
         compress anyway.
         """
+        # Only the device->host fetches need the read section (the same
+        # rule CLAUDE.md applies to ingest prep): holding the lock across
+        # the multi-GB disk write would let one concurrent ingest —
+        # writer-preferring lock — freeze every query for the whole save.
         with self._rw.read():
             state, row_ids, gen = self._shard.snapshot()
-            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
             arrays = {
                 "vectors": np.asarray(state.vectors, np.float32),
                 "scales": np.asarray(state.scales),
@@ -584,7 +592,6 @@ class VectorIndex:
                     arrays["colbert_scales"] = np.asarray(self.tokens.colbert.scales)
                     if self.colbert_proj is not None:
                         arrays["colbert_proj"] = self.colbert_proj
-            (np.savez_compressed if compress else np.savez)(path, **arrays)
             meta = {
                 "dim": self.dim,
                 "dtype": self.dtype,
@@ -592,13 +599,25 @@ class VectorIndex:
                 "cursor": self._shard.cursor,
                 "generation": gen,
                 "row_ids": ["" if not r else str(r) for r in row_ids],
-                "by_source": self._by_source,
+                "by_source": dict(self._by_source),
                 "token_width": self.token_width,
                 "token_pad_id": self.token_pad_id,
                 "colbert_rank": self.colbert_rank,
             }
-            with open(path + ".meta.json", "w") as f:
-                json.dump(meta, f)
+        # Crash-atomic: write both files to temp names and os.replace —
+        # npz first, meta last, so a loadable meta always pairs with the
+        # npz of its own generation (a kill mid-save leaves the previous
+        # snapshot intact, never a truncated or mispaired one).
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        npz_path = path if path.endswith(".npz") else path + ".npz"
+        tmp_npz = npz_path + ".tmp"
+        with open(tmp_npz, "wb") as f:
+            (np.savez_compressed if compress else np.savez)(f, **arrays)
+        os.replace(tmp_npz, npz_path)
+        tmp_meta = path + ".meta.json.tmp"
+        with open(tmp_meta, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp_meta, path + ".meta.json")
 
     def adopt(self, other: "VectorIndex") -> None:
         """Take over ``other``'s contents (shard, token cache, id maps)

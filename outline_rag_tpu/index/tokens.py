@@ -43,21 +43,25 @@ class ColbertCacheState:
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
-def _update_block(state: TokenCacheState, ids, mask, weights, start) -> TokenCacheState:
+def _update_block(state: TokenCacheState, ids, mask, weights, idx) -> TokenCacheState:
+    # drop-mode scatter, not dynamic_update_slice: a fixed-size block at
+    # the capacity edge would clamp backwards onto live rows (see
+    # index/shard.py::_append_block); padding rows carry an out-of-range
+    # index and are dropped
     return TokenCacheState(
-        ids=jax.lax.dynamic_update_slice(state.ids, ids, (start, 0)),
-        mask=jax.lax.dynamic_update_slice(state.mask, mask, (start, 0)),
-        weights=jax.lax.dynamic_update_slice(state.weights, weights, (start, 0)),
+        ids=state.ids.at[idx].set(ids, mode="drop"),
+        mask=state.mask.at[idx].set(mask, mode="drop"),
+        weights=state.weights.at[idx].set(weights, mode="drop"),
     )
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _update_colbert(
-    state: ColbertCacheState, codes, scales, start
+    state: ColbertCacheState, codes, scales, idx
 ) -> ColbertCacheState:
     return ColbertCacheState(
-        codes=jax.lax.dynamic_update_slice(state.codes, codes, (start, 0, 0)),
-        scales=jax.lax.dynamic_update_slice(state.scales, scales, (start, 0)),
+        codes=state.codes.at[idx].set(codes, mode="drop"),
+        scales=state.scales.at[idx].set(scales, mode="drop"),
     )
 
 
@@ -72,6 +76,7 @@ class TokenCache:
     ):
         self.width = width
         self.pad_id = pad_id
+        self.capacity = capacity
         self.colbert_rank = colbert_rank
         self.state = TokenCacheState(
             ids=jnp.full((capacity, width), pad_id, jnp.int32),
@@ -145,12 +150,17 @@ class TokenCache:
             mask_p[:m, :w] = blk_mask[:, :w]
             if token_weights is not None:
                 w_p[:m, :w] = token_weights[off : off + UPDATE_BLOCK, :w]
+            idx = np.full(UPDATE_BLOCK, self.capacity + 1, np.int32)
+            idx[:m] = np.arange(
+                start + off, start + off + m, dtype=np.int32
+            )
+            idx_dev = jnp.asarray(idx)
             self.state = _update_block(
                 self.state,
                 jnp.asarray(ids_p),
                 jnp.asarray(mask_p),
                 jnp.asarray(w_p),
-                jnp.int32(start + off),
+                idx_dev,
             )
             if self.colbert is not None and colbert_codes is not None:
                 r = self.colbert_rank
@@ -162,5 +172,5 @@ class TokenCache:
                     self.colbert,
                     jnp.asarray(c_p),
                     jnp.asarray(s_p),
-                    jnp.int32(start + off),
+                    idx_dev,
                 )

@@ -429,7 +429,11 @@ def colbert_cache_codes(
     positions (CLS/pad) quantize to scale 0, preserving the MaxSim floor.
     """
     vecs = colbert_token_vectors(params, input_ids, attention_mask, cfg)
-    p = (vecs @ proj).astype(jnp.float32)  # [B, S, rank]
+    # ingest side of the same score path: HIGHEST so cached codes carry
+    # the exact projection the query side computes
+    p = jnp.matmul(
+        vecs, proj, precision=jax.lax.Precision.HIGHEST
+    ).astype(jnp.float32)  # [B, S, rank]
     amax = jnp.max(jnp.abs(p), axis=-1)  # [B, S]
     scale = amax / 127.0
     codes = jnp.where(

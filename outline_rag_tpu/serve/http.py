@@ -579,22 +579,30 @@ async def _serve_connection(
                 req.headers.get("connection", "keep-alive").lower() != "close"
                 and served < limits.max_keepalive_requests
             )
-            resp = await app.handle(req)
-            streaming = resp.stream is not None
-            if streaming and limits.streams >= limits.max_streams:
-                resp = Response.json({"error": "too many streams"}, 503)
-                streaming = False
-            if streaming:
-                limits.streams += 1
+            # in_flight covers the HANDLER too, not just the response
+            # write: the SIGTERM drain loop watches this counter, and a
+            # request still executing inside app.handle (a slow ingest
+            # POST, a to_thread retrieval) must hold the drain window
+            # open or shutdown hooks run concurrently with it
             limits.in_flight += 1
+            streaming = False
             try:
-                ok = await _write_response(
-                    writer, resp, keep, write_timeout=limits.write_timeout
-                )
+                resp = await app.handle(req)
+                streaming = resp.stream is not None
+                if streaming and limits.streams >= limits.max_streams:
+                    resp = Response.json({"error": "too many streams"}, 503)
+                    streaming = False
+                if streaming:
+                    limits.streams += 1
+                try:
+                    ok = await _write_response(
+                        writer, resp, keep, write_timeout=limits.write_timeout
+                    )
+                finally:
+                    if streaming:
+                        limits.streams -= 1
             finally:
                 limits.in_flight -= 1
-                if streaming:
-                    limits.streams -= 1
             if not ok:
                 break
     except (

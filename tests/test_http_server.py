@@ -480,3 +480,92 @@ def test_stream_generator_closed_on_client_disconnect():
         await app.shutdown()
 
     asyncio.run(run())
+
+
+def test_sigterm_drain_covers_inflight_handler(tmp_path):
+    """in_flight must cover the HANDLER, not just the response write: a
+    SIGTERM arriving while a slow request executes inside app.handle has
+    to hold the drain window open so the response completes before
+    shutdown hooks run."""
+    import os
+    import signal
+    import socket
+    import subprocess
+    import sys
+    import threading
+    import time
+
+    marker = tmp_path / "shutdown.txt"
+    script = tmp_path / "srv.py"
+    script.write_text(
+        "import sys\n"
+        f"sys.path.insert(0, {repr(os.getcwd())})\n"
+        "import asyncio\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from outline_rag_tpu.serve.http import App, Response, run\n"
+        "app = App(secret_key='k')\n"
+        "@app.get('/ping')\n"
+        "async def ping(req):\n"
+        "    return Response.json({'ok': True})\n"
+        "@app.get('/slow')\n"
+        "async def slow(req):\n"
+        "    await asyncio.sleep(1.5)\n"
+        "    return Response.json({'slow': True})\n"
+        "async def on_stop():\n"
+        f"    open({repr(str(marker))}, 'w').write('done')\n"
+        "app.on_shutdown.append(on_stop)\n"
+        "run(app, host='127.0.0.1', port=PORT, drain_timeout=8.0)\n"
+    )
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    script.write_text(script.read_text().replace("PORT", str(port)))
+    proc = subprocess.Popen(
+        [sys.executable, str(script)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+    )
+    try:
+        deadline = time.time() + 30
+        up = False
+        while time.time() < deadline:
+            try:
+                c = socket.create_connection(("127.0.0.1", port), timeout=0.5)
+                c.sendall(b"GET /ping HTTP/1.1\r\nhost: x\r\n\r\n")
+                if b"200" in c.recv(4096):
+                    up = True
+                c.close()
+                if up:
+                    break
+            except OSError:
+                time.sleep(0.2)
+        assert up, "server never came up"
+
+        got = {}
+
+        def slow_req():
+            c = socket.create_connection(("127.0.0.1", port), timeout=10)
+            c.sendall(b"GET /slow HTTP/1.1\r\nhost: x\r\nconnection: close\r\n\r\n")
+            buf = b""
+            try:
+                while True:
+                    part = c.recv(4096)
+                    if not part:
+                        break
+                    buf += part
+            finally:
+                c.close()
+            got["resp"] = buf
+
+        t = threading.Thread(target=slow_req)
+        t.start()
+        time.sleep(0.5)  # request is inside the handler's sleep now
+        proc.send_signal(signal.SIGTERM)
+        t.join(timeout=12)
+        assert proc.wait(timeout=15) == 0
+        assert b'"slow": true' in got.get("resp", b""), got.get("resp")
+        assert marker.read_text() == "done"
+    finally:
+        if proc.poll() is None:
+            proc.kill()

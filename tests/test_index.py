@@ -315,3 +315,80 @@ def test_growth_preserves_content_across_dtypes(rng, dtype):
     assert after[0][0] == "a700" and before[0][0] == "a700"
     got, _ = idx.query(more[50:51], k=1)
     assert got[0][0] == "b50"
+
+
+def test_unaligned_tail_append_at_capacity_edge(rng):
+    """An append whose final 1024-row update block crosses the capacity
+    edge must not clamp backwards: with dynamic_update_slice the block's
+    start clamped to capacity-1024, relocating the new vectors onto
+    earlier rows and tombstoning ~97% of live rows with its padding.
+    Scatter with drop-mode padding writes exactly the real rows."""
+    idx = VectorIndex(dim=DIM, capacity=1024, dtype="float32")
+    v1 = _vecs(rng, 1000)
+    idx.add_chunks([f"a{i}" for i in range(1000)], v1, source_id="s1")
+    v2 = _vecs(rng, 24)
+    idx.add_chunks([f"b{i}" for i in range(24)], v2, source_id="s2")
+    assert idx.size == 1024
+    # every early row still retrievable with exact self-similarity
+    for probe in (0, 1, 500, 999):
+        got_ids, scores = idx.query(v1[probe : probe + 1], k=1)
+        assert got_ids[0][0] == f"a{probe}"
+        assert scores[0, 0] == pytest.approx(1.0, abs=1e-4)
+    # and the tail rows landed where their ids say they did
+    got_ids, scores = idx.query(v2[7:8], k=1)
+    assert got_ids[0][0] == "b7"
+    assert scores[0, 0] == pytest.approx(1.0, abs=1e-4)
+
+
+def test_unaligned_tail_token_cache_write(rng):
+    """TokenCache.write shares the block-update structure: a tail write
+    crossing capacity must preserve earlier rows' tokens."""
+    idx = VectorIndex(
+        dim=DIM, capacity=1024, dtype="float32", token_width=8
+    )
+    n1 = 1000
+    toks1 = np.arange(n1 * 8, dtype=np.int32).reshape(n1, 8) % 30000 + 2
+    mask1 = np.ones((n1, 8), np.int32)
+    idx.add_chunks(
+        [f"a{i}" for i in range(n1)], _vecs(rng, n1), source_id="s1",
+        token_ids=toks1, token_mask=mask1,
+    )
+    toks2 = np.full((24, 8), 7, np.int32)
+    idx.add_chunks(
+        [f"b{i}" for i in range(24)], _vecs(rng, 24), source_id="s2",
+        token_ids=toks2, token_mask=np.ones((24, 8), np.int32),
+    )
+    ids = np.asarray(idx.tokens.state.ids)
+    np.testing.assert_array_equal(ids[:n1], toks1)  # early rows intact
+    np.testing.assert_array_equal(ids[n1 : n1 + 24], toks2)
+
+
+def test_generation_monotonic_across_compaction(index, rng):
+    """Compaction/growth rebuild the shard but must never re-walk
+    generation numbers: autosave's last-saved-generation change check
+    would silently skip saves after a reset."""
+    index.add_chunks([f"c{i}" for i in range(8)], _vecs(rng, 8), source_id="s")
+    g1 = index.generation
+    index.delete_source("s")
+    g2 = index.generation
+    assert g2 > g1
+    index.compact()
+    g3 = index.generation
+    assert g3 > g2
+    index.add_chunks(["x"], _vecs(rng, 1), source_id="s2")
+    assert index.generation > g3
+
+
+def test_save_is_crash_atomic_tmp_then_replace(tmp_path, rng):
+    """save() must leave no partially-written snapshot behind: temp
+    files are fully written then os.replace'd (npz first, meta last)."""
+    idx = VectorIndex(dim=DIM, capacity=1024)
+    idx.add_chunks(["a"], _vecs(rng, 1), source_id="s")
+    p = str(tmp_path / "snap")
+    idx.save(p)
+    import os
+
+    names = sorted(os.listdir(tmp_path))
+    assert names == ["snap.meta.json", "snap.npz"], names  # no .tmp leftovers
+    restored = VectorIndex.load(p)
+    assert restored.size == 1
