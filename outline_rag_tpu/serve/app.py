@@ -465,8 +465,13 @@ def build_app(
         user = current_user(req)
         if user is None:
             return Response.json({"error": "unauthorized"}, 401)
-        limit = int(req.query.get("limit", 100))
-        offset = int(req.query.get("offset", 0))
+        try:
+            # clamp: SQLite treats LIMIT -1 as unbounded — a negative
+            # limit would bypass the 100-row page cap
+            limit = max(0, min(int(req.query.get("limit", 100)), 100))
+            offset = max(0, int(req.query.get("offset", 0)))
+        except ValueError:
+            return Response.json({"error": "invalid limit/offset"}, 400)
         return Response.json(
             {"conversations": meta.list_conversations(user["id"], limit, offset)}
         )
@@ -579,9 +584,13 @@ def build_app(
 
         edit_id = body.get("edit_message_id")
         if edit_id is not None:
+            try:
+                edit_id = int(edit_id)
+            except (TypeError, ValueError):
+                return Response.json({"error": "invalid edit_message_id"}, 400)
             # edit-resume: drop the edited user turn and everything after
             # (reference api.py:613-644)
-            meta.delete_messages_after(conv_id, int(edit_id) - 1)
+            meta.delete_messages_after(conv_id, edit_id - 1)
         history = meta.list_messages(conv_id)
         meta.add_message(conv_id, "user", question)
         await bus.delete(f"messages:{conv_id}")

@@ -118,8 +118,8 @@ class OIDC:
         await self.bus.set(DISCOVERY_CACHE_KEY, doc, ex=CACHE_TTL)
         return doc
 
-    async def jwks(self) -> dict:
-        cached = await self.bus.get(JWKS_CACHE_KEY)
+    async def jwks(self, force: bool = False) -> dict:
+        cached = None if force else await self.bus.get(JWKS_CACHE_KEY)
         if cached:
             return cached
         doc = await self.discovery()
@@ -216,13 +216,26 @@ def register_auth_routes(app: App, settings, bus, meta, prefix: str = "/chat",
             return Response.json({"error": "invalid state"}, 400)
         try:
             tokens = await oidc.exchange_code(code, sess.get("oidc_verifier", ""))
-            payload = verify_rs256_jwt(
-                tokens["id_token"],
-                await oidc.jwks(),
-                audience=settings.oidc_client_id,
-                issuer=settings.oidc_issuer,
-                nonce=sess.get("oidc_nonce"),
-            )
+            try:
+                payload = verify_rs256_jwt(
+                    tokens["id_token"],
+                    await oidc.jwks(),
+                    audience=settings.oidc_client_id,
+                    issuer=settings.oidc_issuer,
+                    nonce=sess.get("oidc_nonce"),
+                )
+            except ValueError as e:
+                if "no matching RSA key" not in str(e):
+                    raise
+                # IdP signing-key rotation: the cached JWKS is stale for
+                # up to its TTL — refetch once before failing the login
+                payload = verify_rs256_jwt(
+                    tokens["id_token"],
+                    await oidc.jwks(force=True),
+                    audience=settings.oidc_client_id,
+                    issuer=settings.oidc_issuer,
+                    nonce=sess.get("oidc_nonce"),
+                )
         except Exception:
             log.exception("oidc callback failed")
             return Response.json({"error": "login failed"}, 401)

@@ -173,9 +173,14 @@ class ChatPipeline:
         top_p: float | None = None,
     ) -> AsyncIterator[bytes]:
         """Yields SSE byte frames. Persists the assistant turn on exit."""
+        # NB: history[-0:] is the FULL list — a cap of 0 means no history
+        hist = (
+            history[-self.s.max_history_messages:]
+            if self.s.max_history_messages > 0 else []
+        )
         history_text = "\n".join(
             f"{m['role']}: {strip_assistant_markup(m['content'] or '')}"
-            for m in history[-self.s.max_history_messages :]
+            for m in hist
         )
         category = await self.classify(question, history_text)
 
@@ -191,7 +196,7 @@ class ChatPipeline:
             worldview=self.s.worldview, context=context
         )
         messages = [{"role": "system", "content": system}]
-        for m in history[-self.s.max_history_messages :]:
+        for m in hist:
             messages.append(
                 {
                     "role": m["role"],
@@ -264,8 +269,20 @@ class ChatPipeline:
                     yield frame(content=tail)
                 yield b"data: [DONE]\n\n"
             finally:
+                # cancel AND AWAIT the in-flight __anext__ before
+                # aclose(): while a fetch is pending the generator is
+                # marked running and aclose() raises "already running" —
+                # the immediate close (whose finally frees an abandoned
+                # decode slot) would silently never happen on mid-token
+                # disconnects
                 try:
                     next_task.cancel()
+                    try:
+                        await next_task
+                    except (asyncio.CancelledError, StopAsyncIteration):
+                        pass
+                    except Exception:
+                        pass  # provider error already surfaced upstream
                 except Exception:
                     pass
                 # close the provider stream NOW (cancelling a done

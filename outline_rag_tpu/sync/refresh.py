@@ -18,6 +18,7 @@ reference ``app/rag.py:265-344``) and batch ingestion
 
 from __future__ import annotations
 
+import asyncio
 import logging
 import time
 
@@ -125,7 +126,13 @@ class Ingestor:
             i for i in remote_ids & local_ids if remote[i]["updatedAt"] != local[i]
         )
         for sid in to_delete:
-            self.delete_doc(sid)
+            try:
+                # off the event loop (device tombstone work) and isolated:
+                # one failing delete must not abort the refresh with the
+                # lock held
+                await asyncio.to_thread(self.delete_doc, sid)
+            except Exception:
+                log.exception("delete failed for %s (continuing)", sid)
 
         work = to_add + to_update
         await self.bus.set_counter(REFRESH_TOTAL, len(work))
@@ -165,12 +172,16 @@ class Ingestor:
                 if not text or not text.strip():
                     log.info("doc %s empty; skipping", doc_id)
                     continue
-                self.ingest_document(
-                    source_id=doc_id,
-                    title=info.get("title", ""),
-                    url=info.get("url", ""),
-                    updated_at=info.get("updatedAt", ""),
-                    text=text,
+                # to_thread: the encoder forward + device landing can
+                # take seconds (cold compiles: tens) — run it off the
+                # event loop so SSE keepalives and /api/ask keep flowing
+                await asyncio.to_thread(
+                    self.ingest_document,
+                    doc_id,
+                    info.get("title", ""),
+                    info.get("url", ""),
+                    info.get("updatedAt", ""),
+                    text,
                 )
                 ok = True
             except Exception:
@@ -179,6 +190,11 @@ class Ingestor:
                 # counters advance regardless so refresh completes
                 # (reference rag.py:250-258)
                 await self.bus.incr(REFRESH_SUCCESS if ok else REFRESH_SKIPPED)
+        # worker-side finalization: completing the queued work must
+        # release REFRESH_LOCK itself — leaving it to a client status
+        # poll kept the lock (and 429s + dropped webhook timers) for its
+        # full TTL whenever nobody had the UI open
+        await refresh_status(self.bus)
 
     def ingest_document(
         self, source_id: str, title: str, url: str, updated_at: str, text: str
@@ -219,11 +235,12 @@ class Ingestor:
                     # query-side scoring provably shares it (ADVICE r2)
                     proj=self.index.colbert_projection_for(hc),
                 )
-        self.meta.upsert_document(source_id, title, url, updated_at, text)
-        self.meta.replace_chunks(
-            source_id,
-            [(cid, c.seq, c.body, c.start) for cid, c in zip(chunk_ids, chunks)],
-        )
+        # index landing FIRST: recording the new updatedAt before a
+        # failed add_chunks would make the delta diff consider the doc
+        # current forever (never retried) while its old index rows point
+        # at deleted chunk ids. If the meta writes below fail instead,
+        # the stale updatedAt just re-ingests the doc next refresh —
+        # replace semantics make that idempotent.
         self.index.add_chunks(
             chunk_ids,
             vectors,
@@ -234,6 +251,11 @@ class Ingestor:
             token_weights=token_weights,
             colbert_codes=cb_codes,
             colbert_scales=cb_scales,
+        )
+        self.meta.upsert_document(source_id, title, url, updated_at, text)
+        self.meta.replace_chunks(
+            source_id,
+            [(cid, c.seq, c.body, c.start) for cid, c in zip(chunk_ids, chunks)],
         )
         return len(chunks)
 
@@ -302,9 +324,12 @@ class Ingestor:
                 if due is None or time.time() < float(due):
                     continue
                 if await self.bus.set_nx(WEBHOOK_TRIGGER_LOCK, 1, ex=60):
-                    await self.bus.delete(WEBHOOK_TIMER)
                     if await self.bus.set_nx(REFRESH_LOCK, 1, ex=3600):
+                        await self.bus.delete(WEBHOOK_TIMER)
                         await self.bus.push(TASK_QUEUE, {"task": "refresh_all"})
+                    # else: a refresh is running — KEEP the due timer so
+                    # the update isn't dropped; the watcher retries once
+                    # the trigger lock expires
             except asyncio.CancelledError:
                 raise
             except Exception:

@@ -567,3 +567,50 @@ def test_snapshot_config_mismatch_falls_through(tmp_path):
         assert app.state["index"].size == 0  # mismatch skipped, no crash
 
     asyncio.run(run())
+
+
+def test_list_conversations_limit_validation():
+    """?limit=-1 must not bypass the 100-row page cap (SQLite treats
+    LIMIT -1 as unbounded); non-numeric limit is a 400, not a 500."""
+    app, _ = make_app()
+    client = TestClient(app)
+
+    async def run():
+        await login(client)
+        for i in range(3):
+            await client.post(
+                "/chat/api/conversations", json_body={"title": f"c{i}"}
+            )
+        r = await client.get("/chat/api/conversations?limit=-1")
+        assert r.status == 200
+        assert len(json.loads(r.body)["conversations"]) == 0  # clamped
+        r = await client.get("/chat/api/conversations?limit=abc")
+        assert r.status == 400
+        r = await client.get("/chat/api/conversations?offset=zzz")
+        assert r.status == 400
+
+    asyncio.run(run())
+
+
+def test_ask_rejects_non_numeric_edit_message_id():
+    app, _ = make_app()
+    client = TestClient(app)
+
+    async def run():
+        await login(client)
+        conv = json.loads(
+            (await client.post(
+                "/chat/api/conversations", json_body={"title": "t"}
+            )).body
+        )
+        r = await client.post(
+            "/chat/api/ask",
+            json_body={
+                "conversation_id": conv["id"],
+                "question": "q",
+                "edit_message_id": "abc",
+            },
+        )
+        assert r.status == 400
+
+    asyncio.run(run())

@@ -265,3 +265,75 @@ def test_collections_discovery_empty():
     client = OutlineClient("http://fake", "tok", transport=fake.transport())
     docs = asyncio.run(client.list_docs())
     assert docs == {}
+
+
+def test_failed_index_landing_is_retried_next_refresh(world):
+    """meta must record the new updatedAt only AFTER the index landing:
+    otherwise a failed add_chunks leaves the doc 'current' forever (the
+    delta diff never retries it) while its old index rows dangle."""
+    fake, ing, meta, index, bus = world
+
+    async def run():
+        await ing.refresh_all()
+        await _drain_tasks(ing, bus)
+        await refresh_status(bus)  # clear state
+        # remote edit + an index that fails THIS landing
+        fake.put_doc("d1", "Wolves", "updated wolf text entirely new", "t2")
+        orig = index.add_chunks
+        calls = {"n": 0}
+
+        def failing(*a, **k):
+            calls["n"] += 1
+            raise RuntimeError("device failure")
+
+        index.add_chunks = failing
+        await ing.refresh_all()
+        await _drain_tasks(ing, bus)
+        await refresh_status(bus)
+        assert calls["n"] == 1
+        # updatedAt must NOT have advanced: the doc stays dirty
+        assert meta.local_doc_versions()["d1"] == "t1"
+        index.add_chunks = orig
+        # next refresh retries and succeeds
+        await ing.refresh_all()
+        await _drain_tasks(ing, bus)
+        assert meta.local_doc_versions()["d1"] == "t2"
+
+    asyncio.run(run())
+
+
+def test_refresh_lock_released_by_worker_without_status_poll(world):
+    """Completing the queued batches must release REFRESH_LOCK from the
+    worker side — webhook-driven refreshes finish with no UI polling."""
+    fake, ing, meta, index, bus = world
+
+    async def run():
+        assert await bus.set_nx(REFRESH_LOCK, 1, ex=3600)
+        await ing.refresh_all()
+        await _drain_tasks(ing, bus)  # NO refresh_status() poll here
+        assert await bus.get(REFRESH_LOCK) is None, "worker must unlock"
+        st = await bus.get("refresh:status")
+        assert st and st["state"] == "done"
+
+    asyncio.run(run())
+
+
+def test_webhook_timer_survives_running_refresh(world):
+    """A due webhook timer must NOT be consumed while another refresh
+    holds REFRESH_LOCK — the edit would be silently dropped."""
+    fake, ing, meta, index, bus = world
+
+    async def run():
+        await bus.set(WEBHOOK_TIMER, time.time() - 1)  # due now
+        assert await bus.set_nx(REFRESH_LOCK, 1, ex=3600)  # refresh running
+        task = asyncio.create_task(ing.webhook_watcher(poll_s=0.01))
+        await asyncio.sleep(0.1)
+        task.cancel()
+        try:
+            await task
+        except asyncio.CancelledError:
+            pass
+        assert await bus.get(WEBHOOK_TIMER) is not None, "timer dropped"
+        assert await bus.pop(TASK_QUEUE, timeout=0.01) is None
+
+    asyncio.run(run())
