@@ -95,10 +95,13 @@ class EncoderEmbedder:
             self._sparse_jit = jax.jit(
                 lambda p, ids, mask: sparse_token_weights(p, ids, mask, self.cfg)
             )
-        out = self._sparse_jit(
-            self.params, jnp.asarray(input_ids), jnp.asarray(attention_mask)
-        )
-        return np.asarray(out)
+        outs = []
+        for m, ids, mask in self._bucketed(
+            np.asarray(input_ids), np.asarray(attention_mask)
+        ):
+            out = self._sparse_jit(self.params, ids, mask)
+            outs.append(np.asarray(out)[:m])
+        return np.concatenate(outs, axis=0)
 
     @property
     def has_colbert_head(self) -> bool:
@@ -150,32 +153,49 @@ class EncoderEmbedder:
                     p, ids, mask, self.cfg, use
                 )
             )
-        codes, scales = self._colbert_jit(
-            self.params, jnp.asarray(input_ids), jnp.asarray(attention_mask)
+        code_parts, scale_parts = [], []
+        for m, ids, mask in self._bucketed(
+            np.asarray(input_ids), np.asarray(attention_mask)
+        ):
+            codes, scales = self._colbert_jit(self.params, ids, mask)
+            code_parts.append(np.asarray(codes)[:m])
+            scale_parts.append(np.asarray(scales)[:m])
+        return (
+            np.concatenate(code_parts, axis=0),
+            np.concatenate(scale_parts, axis=0),
         )
-        return np.asarray(codes), np.asarray(scales)
 
     def _batch_cap(self, width: int) -> int:
         """Largest batch bucket whose token count fits the budget."""
         fitting = [b for b in self.batch_buckets if b * width <= self.max_batch_tokens]
         return fitting[-1] if fitting else self.batch_buckets[0]
 
-    def embed(self, texts: list[str]) -> np.ndarray:
-        if not texts:
-            return np.zeros((0, self.dim), np.float32)
-        tb = self.tokenizer.batch(texts, self.max_tokens, self.seq_buckets)
-        n, width = tb.input_ids.shape
+    def _bucketed(self, input_ids: np.ndarray, attention_mask: np.ndarray):
+        """Yield (real_rows, padded_ids, padded_mask) slices: batch dim
+        padded to the bucket ladder and split by the token budget, so
+        every jitted head (pooled/sparse/colbert) hits cached
+        executables — an unbucketed per-document batch size would
+        compile a fresh 20-70s remote program per distinct chunk count
+        and run arbitrarily large forwards."""
+        n, width = input_ids.shape
         cap = self._batch_cap(width)
-        outs = []
         for start in range(0, n, cap):
             stop = min(start + cap, n)
             nb = min(self._pad_batch(stop - start), cap)
             ids = np.full((nb, width), self.tokenizer.pad_id, np.int32)
             mask = np.zeros((nb, width), np.int32)
-            ids[: stop - start] = tb.input_ids[start:stop]
-            mask[: stop - start] = tb.attention_mask[start:stop]
-            out = self._jit(self.params, jnp.asarray(ids), jnp.asarray(mask))
-            outs.append(np.asarray(out)[: stop - start])
+            ids[: stop - start] = input_ids[start:stop]
+            mask[: stop - start] = attention_mask[start:stop]
+            yield stop - start, jnp.asarray(ids), jnp.asarray(mask)
+
+    def embed(self, texts: list[str]) -> np.ndarray:
+        if not texts:
+            return np.zeros((0, self.dim), np.float32)
+        tb = self.tokenizer.batch(texts, self.max_tokens, self.seq_buckets)
+        outs = []
+        for m, ids, mask in self._bucketed(tb.input_ids, tb.attention_mask):
+            out = self._jit(self.params, ids, mask)
+            outs.append(np.asarray(out)[:m])
         return np.concatenate(outs, axis=0)
 
 

@@ -31,7 +31,8 @@ log = logging.getLogger(__name__)
 @dataclasses.dataclass
 class RetrievedChunk:
     chunk_id: str
-    score: float  # retrieval cosine (or rerank score on the fused path)
+    score: float  # retrieval (dense) score on BOTH paths; the
+    #               cross-encoder score lives in rerank_score
     rerank_score: float | None = None
 
 

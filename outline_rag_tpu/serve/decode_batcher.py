@@ -92,9 +92,13 @@ class DecodeBatcher:
         self.slots = slots
         self.chunk_tokens = chunk_tokens
         self.eos_id = eos_id
-        self.prompt_buckets = tuple(
-            b for b in prompt_buckets if b <= cfg.max_cache
-        ) or (cfg.max_cache,)
+        kept = tuple(b for b in prompt_buckets if b <= cfg.max_cache)
+        # ladder reaches max_cache: a prompt above the top bucket would
+        # prefill unbucketed (negative pad -> no pad), one fresh remote
+        # compile per distinct length with every stream frozen behind it
+        if not kept or kept[-1] < cfg.max_cache:
+            kept = kept + (cfg.max_cache,)
+        self.prompt_buckets = kept
 
         # paged-KV mode (ops/paged_attention.py): slots share a pool of
         # kv_pages fixed-size pages, allocated per request by actual
@@ -303,6 +307,10 @@ class DecodeBatcher:
         and finally the DONE sentinel."""
         if self.dead is not None:
             raise RuntimeError("decode batcher worker is dead") from self.dead
+        if self._stop:
+            # a submit racing a clean close() would enqueue a request no
+            # one will ever drain — the caller would block forever
+            raise RuntimeError("decode batcher is closed")
         out: "queue.Queue[Any]" = queue.Queue()
         limit = self.cfg.max_cache - max_new - 2
         prompt_ids = list(prompt_ids)[-max(limit, 4):]
@@ -411,26 +419,10 @@ class DecodeBatcher:
                 deadline * 10,
             )
             return
-        if self._adm is not None:
-            self._retire(self._adm["req"])
-            self._adm["req"].out.put(DONE)
-            self._adm = None
-        if self._held is not None:
-            self._retire(self._held)
-            self._held.out.put(DONE)
-            self._held = None
-        for row, req in enumerate(self.active):
-            if req is not None:
-                self.active[row] = None
-                self._retire(req)
-                req.out.put(DONE)
-        while True:
-            try:
-                req = self.pending.get_nowait()
-            except queue.Empty:
-                break
-            self._retire(req)
-            req.out.put(DONE)
+        # the worker already ran _drain_done on its way out; one more
+        # sweep catches a request that raced past submit()'s closed check
+        # before _stop was visible
+        self._drain_done()
 
     # -- worker ------------------------------------------------------------
 

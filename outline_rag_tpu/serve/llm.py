@@ -291,9 +291,14 @@ class LocalChatProvider:
         self.chunk_tokens = chunk_tokens
         self.max_new_tokens = max_new_tokens
         self.model_name = model_name
-        self.prompt_buckets = tuple(
-            b for b in prompt_buckets if b <= cfg.max_cache
-        ) or (cfg.max_cache,)
+        kept = tuple(b for b in prompt_buckets if b <= cfg.max_cache)
+        # the ladder must reach max_cache: a prompt longer than the
+        # largest bucket would otherwise prefill UNBUCKETED (negative pad
+        # -> empty pad list), compiling a fresh 20-70s program per
+        # distinct long-prompt length while the decode worker is blocked
+        if not kept or kept[-1] < cfg.max_cache:
+            kept = kept + (cfg.max_cache,)
+        self.prompt_buckets = kept
         if self.mesh is not None:
             from outline_rag_tpu.parallel.tp import shard_decoder_cache
 

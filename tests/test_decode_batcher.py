@@ -801,3 +801,20 @@ def test_burst_admissions_ramp_to_full_concurrency(setup):
         b.close()
     assert all(len(o) == 8 for o in outs)
     assert peak[0] >= 6, f"burst only reached {peak[0]} concurrent rows"
+
+
+def test_submit_after_close_raises(setup):
+    """A submit racing (or following) a clean close() must fail fast —
+    an enqueued request would never be drained and the caller would
+    block forever on its queue."""
+    cfg, params = setup
+    from outline_rag_tpu.models.decoder import (
+        cast_decoder_params,
+        stack_decoder_params,
+    )
+
+    stacked = stack_decoder_params(cast_decoder_params(params, cfg.dtype))
+    b = DecodeBatcher(stacked, cfg, slots=2, chunk_tokens=2, eos_id=0)
+    b.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        b.submit([5, 9], 0.0, 1.0, 4)

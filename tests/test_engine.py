@@ -306,3 +306,39 @@ def test_query_batcher_stop_completes_inflight():
 
     out = asyncio.run(run())
     assert len(out) == 2 and all(out)
+
+
+def test_aux_heads_bucket_batch_shapes():
+    """token_weights/colbert_cache must pad the batch dim to the bucket
+    ladder like embed(): per-document chunk counts vary, and unbucketed
+    shapes compile one fresh (20-70s remote) program per distinct count."""
+    import jax
+    import numpy as np
+
+    from outline_rag_tpu.engine.embedder import EncoderEmbedder
+    from outline_rag_tpu.models.encoder import (
+        EncoderConfig,
+        init_colbert_head,
+        init_encoder_params,
+        init_sparse_head,
+    )
+    from outline_rag_tpu.models.tokenizer import HashTokenizer
+
+    cfg = EncoderConfig.tiny()
+    params = init_encoder_params(jax.random.key(0), cfg)
+    params["sparse"] = init_sparse_head(jax.random.key(1), cfg)
+    params["colbert"] = init_colbert_head(jax.random.key(2), cfg, out_dim=32)
+    emb = EncoderEmbedder(
+        params, cfg, HashTokenizer(), max_tokens=32,
+        batch_buckets=(8, 32),
+    )
+    width = 16
+    for n in (3, 5, 7):  # all pad to the 8-bucket -> ONE executable
+        ids = np.full((n, width), 2, np.int32)
+        mask = np.ones((n, width), np.int32)
+        w = emb.token_weights(ids, mask)
+        assert w.shape == (n, width)
+        codes, scales = emb.colbert_cache(ids, mask, rank=16)
+        assert codes.shape[0] == n and scales.shape == (n, width)
+    assert emb._sparse_jit._cache_size() == 1
+    assert emb._colbert_jit._cache_size() == 1

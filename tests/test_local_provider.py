@@ -372,3 +372,44 @@ def test_pipelined_spec_loop_matches_serial_oracle():
         msgs = [{"role": "user", "content": "repeat repeat repeat again"}]
         assert _stream_text(prov, msgs, temp, tp) == \
             _serial_spec_text(prov, msgs, temp, tp)
+
+
+def test_prompt_bucket_ladder_reaches_max_cache():
+    """Prompts longer than the largest configured bucket must still hit
+    a bucketed prefill: the ladder is extended to max_cache (a negative
+    pad count silently ran an UNBUCKETED width — one fresh remote
+    compile per distinct long-prompt length)."""
+    cfg = DecoderConfig.tiny()  # max_cache=64
+    params = init_decoder_params(jax.random.key(0), cfg)
+    prov = LocalChatProvider(
+        params, cfg, StubTok(), chunk_tokens=4, max_new_tokens=8,
+        prompt_buckets=(8, 16),
+    )
+    assert prov.prompt_buckets[-1] == cfg.max_cache
+
+    async def run():
+        out = []
+        async for d in prov.stream(
+            "local",
+            [{"role": "user", "content": "x" * 50}],  # ~50 tokens > 16
+            temperature=0.0,
+        ):
+            out.append(d["content"] or "")
+        return "".join(out)
+
+    assert isinstance(asyncio.run(run()), str)
+
+    from outline_rag_tpu.serve.decode_batcher import DecodeBatcher
+    from outline_rag_tpu.models.decoder import (
+        cast_decoder_params,
+        stack_decoder_params,
+    )
+
+    b = DecodeBatcher(
+        stack_decoder_params(cast_decoder_params(params, cfg.dtype)),
+        cfg, slots=1, chunk_tokens=2, eos_id=0, prompt_buckets=(8, 16),
+    )
+    try:
+        assert b.prompt_buckets[-1] == cfg.max_cache
+    finally:
+        b.close()
