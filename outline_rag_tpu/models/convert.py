@@ -21,8 +21,43 @@ from outline_rag_tpu.models.encoder import EncoderConfig, Params
 
 def _np(t) -> np.ndarray:
     if hasattr(t, "detach"):
-        t = t.detach().cpu().numpy()
+        t = t.detach().cpu()
+        # torch refuses .numpy() on bfloat16 — and bf16 is the standard
+        # shipping dtype for Llama/Qwen (and many encoder) checkpoints
+        if str(t.dtype) == "torch.bfloat16":
+            t = t.float()
+        t = t.numpy()
     return np.asarray(t, np.float32)
+
+
+def _load_state_dict(path: str) -> dict:
+    """Weight-file discovery shared by every loader: single-file
+    pytorch_model.bin / model.safetensors, or the standard HF sharded
+    layout (model.safetensors.index.json -> shards)."""
+    import json
+    import os
+
+    import torch  # noqa: PLC0415
+
+    for fname in ("pytorch_model.bin", "model.safetensors"):
+        full = os.path.join(path, fname)
+        if os.path.exists(full):
+            if fname.endswith(".safetensors"):
+                from safetensors.torch import load_file  # noqa: PLC0415
+
+                return load_file(full)
+            return torch.load(full, map_location="cpu", weights_only=True)
+    index = os.path.join(path, "model.safetensors.index.json")
+    if os.path.exists(index):
+        from safetensors.torch import load_file  # noqa: PLC0415
+
+        with open(index) as f:
+            weight_map = json.load(f)["weight_map"]
+        sd = {}
+        for shard in sorted(set(weight_map.values())):
+            sd.update(load_file(os.path.join(path, shard)))
+        return sd
+    raise FileNotFoundError(f"no weight file found under {path}")
 
 
 def config_from_hf(hf_config) -> EncoderConfig:
@@ -113,36 +148,27 @@ def load_pretrained(path: str):
     cfg = config_from_hf(hf_cfg)
     import os
 
-    for fname in ("pytorch_model.bin", "model.safetensors"):
-        full = os.path.join(path, fname)
-        if os.path.exists(full):
-            if fname.endswith(".safetensors"):
-                from safetensors.torch import load_file  # noqa: PLC0415
-
-                sd = load_file(full)
-            else:
-                sd = torch.load(full, map_location="cpu", weights_only=True)
-            params = params_from_state_dict(sd, cfg)
-            # BGE-m3 ships its sparse lexical head as a sidecar Linear(H,1)
-            sparse_path = os.path.join(path, "sparse_linear.pt")
-            if os.path.exists(sparse_path):
-                head = torch.load(sparse_path, map_location="cpu", weights_only=True)
-                params["sparse"] = {
-                    "w": _np(head["weight"]).T,
-                    "b": _np(head["bias"]),
-                }
-            # ... and its multi-vector (ColBERT) head as Linear(H, Hc)
-            colbert_path = os.path.join(path, "colbert_linear.pt")
-            if os.path.exists(colbert_path):
-                head = torch.load(
-                    colbert_path, map_location="cpu", weights_only=True
-                )
-                params["colbert"] = {
-                    "w": _np(head["weight"]).T,
-                    "b": _np(head["bias"]),
-                }
-            return cfg, params
-    raise FileNotFoundError(f"no weight file found under {path}")
+    sd = _load_state_dict(path)
+    params = params_from_state_dict(sd, cfg)
+    # BGE-m3 ships its sparse lexical head as a sidecar Linear(H,1)
+    sparse_path = os.path.join(path, "sparse_linear.pt")
+    if os.path.exists(sparse_path):
+        head = torch.load(sparse_path, map_location="cpu", weights_only=True)
+        params["sparse"] = {
+            "w": _np(head["weight"]).T,
+            "b": _np(head["bias"]),
+        }
+    # ... and its multi-vector (ColBERT) head as Linear(H, Hc)
+    colbert_path = os.path.join(path, "colbert_linear.pt")
+    if os.path.exists(colbert_path):
+        head = torch.load(
+            colbert_path, map_location="cpu", weights_only=True
+        )
+        params["colbert"] = {
+            "w": _np(head["weight"]).T,
+            "b": _np(head["bias"]),
+        }
+    return cfg, params
 
 
 # ---------------------------------------------------------------------------
@@ -212,28 +238,4 @@ def load_pretrained_decoder(path: str):
 
     hf_cfg = AutoConfig.from_pretrained(path)
     cfg = decoder_config_from_hf(hf_cfg)
-    for fname in ("pytorch_model.bin", "model.safetensors"):
-        full = os.path.join(path, fname)
-        if os.path.exists(full):
-            if fname.endswith(".safetensors"):
-                from safetensors.torch import load_file  # noqa: PLC0415
-
-                sd = load_file(full)
-            else:
-                sd = torch.load(full, map_location="cpu", weights_only=True)
-            return cfg, decoder_params_from_state_dict(sd, cfg)
-    # Sharded safetensors (the standard HF layout above ~2B params):
-    # model.safetensors.index.json maps tensor name -> shard file.
-    index = os.path.join(path, "model.safetensors.index.json")
-    if os.path.exists(index):
-        import json  # noqa: PLC0415
-
-        from safetensors.torch import load_file  # noqa: PLC0415
-
-        with open(index) as f:
-            weight_map = json.load(f)["weight_map"]
-        sd = {}
-        for shard in sorted(set(weight_map.values())):
-            sd.update(load_file(os.path.join(path, shard)))
-        return cfg, decoder_params_from_state_dict(sd, cfg)
-    raise FileNotFoundError(f"no weight file found under {path}")
+    return cfg, decoder_params_from_state_dict(_load_state_dict(path), cfg)

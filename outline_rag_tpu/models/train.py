@@ -52,7 +52,21 @@ def contrastive_loss(
 
 
 def make_optimizer(lr: float = 1e-5, weight_decay: float = 0.01):
-    return optax.adamw(lr, weight_decay=weight_decay)
+    """AdamW with the BERT-family decay mask: LayerNorm scales and every
+    bias are EXCLUDED from weight decay (decaying norm parameters toward
+    zero silently degrades the fine-tune relative to the standard
+    recipe). Matrices (embeddings, attention/MLP weights) decay."""
+
+    def decay_mask(params):
+        def keep(path, x):
+            name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+            if name.startswith("ln_") or name.startswith("b"):
+                return False
+            return x.ndim >= 2
+
+        return jax.tree_util.tree_map_with_path(keep, params)
+
+    return optax.adamw(lr, weight_decay=weight_decay, mask=decay_mask)
 
 
 def init_train_state(params: Params, optimizer) -> TrainState:

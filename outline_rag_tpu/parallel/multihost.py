@@ -74,7 +74,12 @@ def global_data_mesh() -> Mesh:
 def host_slice(n_total: int) -> tuple[int, int]:
     """This host's contiguous [start, stop) slice of an n_total-item work
     list, padded-balanced the same way :func:`global_row_sharded` expects
-    (equal per-host blocks, last host short)."""
+    (equal per-host blocks, last host short).
+
+    When blocks are unequal (n_total % process_count != 0) the paired
+    global_row_sharded call MUST receive ``n_global=n_total`` — its
+    default derives the global size from each host's own block and the
+    short last host would build a different global shape (SPMD hang)."""
     h, nh = jax.process_index(), jax.process_count()
     per = math.ceil(n_total / nh)
     return min(h * per, n_total), min((h + 1) * per, n_total)
@@ -107,6 +112,11 @@ def global_row_sharded(
     nh = jax.process_count()
     n_local = local_rows.shape[0]
     if n_global is None:
+        # every host computes per = ceil(n_global/nh) from ITS OWN block:
+        # with unequal blocks (host_slice gives the last host the short
+        # remainder) hosts would build different global shapes and the
+        # SPMD dispatch hangs. The default is only safe for equal blocks;
+        # unequal splits must pass the true n_global.
         n_global = n_local * nh
     per = math.ceil(n_global / nh)
     if n_local < per:

@@ -100,6 +100,7 @@ class PgConnection:
         self._sock = socket.create_connection((host, port), connect_timeout)
         self._sock.settimeout(30.0)
         self._buf = b""
+        self.broken = False  # poisoned after a mid-reply failure
         if sslmode in ("prefer", "require"):
             self._negotiate_ssl(host, sslmode, ssl_context)
         self._startup()
@@ -225,6 +226,10 @@ class PgConnection:
         # Parse body (after the statement name prepended at _send time):
         # sql cstring + int16 param-type count. PostgreSQL validates exact
         # message length (pq_getmsgend) — any stray byte is rejected.
+        if self.broken:
+            raise PgProtocolError(
+                "connection is broken (failed mid-reply); reconnect"
+            )
         parse = sql.encode() + b"\x00" + struct.pack(">H", 0)
         bind = bytearray(b"\x00\x00")  # unnamed portal, unnamed statement
         bind += struct.pack(">H", 0)  # all params text format
@@ -249,7 +254,18 @@ class PgConnection:
         rowcount = 0
         error: PgError | None = None
         while True:
-            type_, body = self._read_message()
+            # a timeout/EOF mid-reply leaves half a message on the wire:
+            # the connection is DESYNCHRONIZED — a later query would read
+            # this reply's remaining rows as its own. Poison it.
+            try:
+                type_, body = self._read_message()
+            except (OSError, PgProtocolError):
+                self.broken = True
+                try:
+                    self._sock.close()
+                except OSError:
+                    pass
+                raise
             if type_ == b"E":
                 error = PgError(_parse_error(body))
             elif type_ == b"T":  # RowDescription

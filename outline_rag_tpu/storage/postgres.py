@@ -79,6 +79,7 @@ class PostgresMetaStore:
     """Drop-in ``SqliteMetaStore`` replacement backed by Postgres."""
 
     def __init__(self, url: str):
+        self._url = url
         self._conn = PgConnection.from_url(url)
         self._lock = threading.RLock()
         self._init_schema()
@@ -93,7 +94,33 @@ class PostgresMetaStore:
 
     def _q(self, sql: str, params: tuple = ()):
         with self._lock:
+            if getattr(self._conn, "broken", False):
+                # one transparent redial: a poisoned connection (timeout
+                # or EOF mid-reply) must never serve another query
+                self._conn = PgConnection.from_url(self._url)
             return self._conn.query(sql, params)
+
+    def _tx(self):
+        """BEGIN/COMMIT (ROLLBACK on error) around multi-statement
+        mutations — parity with the sqlite backend's `with self._conn:`
+        atomicity."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def tx():
+            with self._lock:
+                self._q("BEGIN")
+                try:
+                    yield
+                except BaseException:
+                    try:
+                        self._q("ROLLBACK")
+                    except Exception:
+                        pass
+                    raise
+                self._q("COMMIT")
+
+        return tx()
 
     def close(self) -> None:
         self._conn.close()
@@ -163,12 +190,15 @@ class PostgresMetaStore:
         )
 
     def delete_conversation(self, conv_id: str, user_id: str) -> bool:
-        _, count, _ = self._q(
-            "DELETE FROM conversations WHERE id=$1 AND user_id=$2",
-            (conv_id, user_id),
-        )
-        if count:
-            self._q("DELETE FROM messages WHERE conversation_id=$1", (conv_id,))
+        with self._tx():
+            _, count, _ = self._q(
+                "DELETE FROM conversations WHERE id=$1 AND user_id=$2",
+                (conv_id, user_id),
+            )
+            if count:
+                self._q(
+                    "DELETE FROM messages WHERE conversation_id=$1", (conv_id,)
+                )
         return count > 0
 
     # -- messages -------------------------------------------------------
@@ -219,31 +249,54 @@ class PostgresMetaStore:
 
     # -- idempotent KV (embedding cache etc.) ---------------------------
 
+    @staticmethod
+    def _text_array(keys: list[str]) -> str:
+        """Postgres text-format array literal (quoted, escaped)."""
+        quoted = [
+            '"' + k.replace("\\", "\\\\").replace('"', '\\"') + '"'
+            for k in keys
+        ]
+        return "{" + ",".join(quoted) + "}"
+
     def kv_mset(self, namespace: str, items: Iterable[tuple[str, bytes]]) -> None:
         """ON CONFLICT DO NOTHING — the reference IdempotentSQLStore
-        semantics (``app/llm_services.py:55-87``)."""
-        for k, v in items:
-            self._q(
-                "INSERT INTO kv_store (namespace, key, value) VALUES ($1,$2,$3)"
-                " ON CONFLICT (namespace, key) DO NOTHING",
-                (namespace, k, v),
-            )
+        semantics (``app/llm_services.py:55-87``). One multi-row INSERT:
+        an ingest batch caching N embeddings must not pay N round trips
+        serialized behind the connection lock."""
+        items = list(items)
+        if not items:
+            return
+        values = []
+        params: list = []
+        for i, (k, v) in enumerate(items):
+            base = 2 + i * 2
+            values.append(f"($1,${base},${base + 1})")
+            params.extend((k, v))
+        self._q(
+            "INSERT INTO kv_store (namespace, key, value) VALUES "
+            + ",".join(values)
+            + " ON CONFLICT (namespace, key) DO NOTHING",
+            (namespace, *params),
+        )
 
     def kv_mget(self, namespace: str, keys: list[str]) -> list[bytes | None]:
-        out: list[bytes | None] = []
-        for k in keys:
-            rows, _, _ = self._q(
-                "SELECT value FROM kv_store WHERE namespace=$1 AND key=$2",
-                (namespace, k),
-            )
-            out.append(rows[0][0] if rows else None)
-        return out
+        if not keys:
+            return []
+        rows, _, _ = self._q(
+            "SELECT key, value FROM kv_store WHERE namespace=$1"
+            " AND key = ANY($2::text[])",
+            (namespace, self._text_array(keys)),
+        )
+        got = {k: v for k, v in rows}
+        return [got.get(k) for k in keys]
 
     def kv_mdelete(self, namespace: str, keys: list[str]) -> None:
-        for k in keys:
-            self._q(
-                "DELETE FROM kv_store WHERE namespace=$1 AND key=$2", (namespace, k)
-            )
+        if not keys:
+            return
+        self._q(
+            "DELETE FROM kv_store WHERE namespace=$1 AND key = ANY($2::text[])",
+            (namespace, self._text_array(keys)),
+        )
 
     # -- documents / chunks ---------------------------------------------
 
@@ -277,15 +330,16 @@ class PostgresMetaStore:
     def replace_chunks(
         self, source_id: str, chunks: list[tuple[str, int, str, int]]
     ) -> None:
-        self._q("DELETE FROM chunks WHERE source_id=$1", (source_id,))
-        for cid, seq, body, start in chunks:
-            self._q(
-                "INSERT INTO chunks (chunk_id, source_id, seq, body, start)"
-                " VALUES ($1,$2,$3,$4,$5) ON CONFLICT (chunk_id) DO UPDATE SET"
-                " source_id=excluded.source_id, seq=excluded.seq,"
-                " body=excluded.body, start=excluded.start",
-                (cid, source_id, seq, body, start),
-            )
+        with self._tx():
+            self._q("DELETE FROM chunks WHERE source_id=$1", (source_id,))
+            for cid, seq, body, start in chunks:
+                self._q(
+                    "INSERT INTO chunks (chunk_id, source_id, seq, body, start)"
+                    " VALUES ($1,$2,$3,$4,$5) ON CONFLICT (chunk_id) DO UPDATE SET"
+                    " source_id=excluded.source_id, seq=excluded.seq,"
+                    " body=excluded.body, start=excluded.start",
+                    (cid, source_id, seq, body, start),
+                )
 
     def get_chunk(self, chunk_id: str) -> dict | None:
         rows, _, _ = self._q(

@@ -93,7 +93,11 @@ class RespClient:
         self.host = u.hostname or "127.0.0.1"
         self.port = u.port or 6379
         self.db = int((u.path or "/0").lstrip("/") or 0)
-        self.password = u.password
+        # percent-decode: redis://:p%40ss@host must AUTH with "p@ss"
+        # (same convention pgwire.parse_dsn applies to DATABASE_URL)
+        self.password = (
+            urllib.parse.unquote(u.password) if u.password else u.password
+        )
         self.max_connections = max_connections
         self._free: list[_Conn] = []
         self._count = 0
@@ -126,22 +130,32 @@ class RespClient:
             self._waiter.notify()
 
     async def command(self, *parts):
-        conn = await self._checkout()
-        # the finally must run even on CancelledError (a consumer wrapping
-        # a blocking BRPOP in wait_for is routine): a cancelled command
-        # leaves a pending reply on the wire, so the connection cannot be
-        # pooled — close it and free the slot, or the pool leaks dry.
-        # A RespError (-ERR reply) is fully consumed: the conn stays good.
-        broken = True
-        try:
-            reply = await conn.command(*parts)
-            broken = False
-            return reply
-        except RespError:
-            broken = False
-            raise
-        finally:
-            await asyncio.shield(self._checkin(conn, broken=broken))
+        # One transparent retry on a fresh connection: a pooled socket the
+        # server closed while idle (redis `timeout` config is common in
+        # managed deployments) surfaces ConnectionError/EOF on first use —
+        # redis-py redials; so do we. No retry on the second attempt, and
+        # never for RespError (-ERR replies arrive on a healthy wire).
+        for attempt in (0, 1):
+            conn = await self._checkout()
+            # the finally must run even on CancelledError (a consumer
+            # wrapping a blocking BRPOP in wait_for is routine): a
+            # cancelled command leaves a pending reply on the wire, so
+            # the connection cannot be pooled — close it and free the
+            # slot, or the pool leaks dry. A RespError (-ERR reply) is
+            # fully consumed: the conn stays good.
+            broken = True
+            try:
+                reply = await conn.command(*parts)
+                broken = False
+                return reply
+            except RespError:
+                broken = False
+                raise
+            except (ConnectionError, OSError):
+                if attempt == 1:
+                    raise
+            finally:
+                await asyncio.shield(self._checkin(conn, broken=broken))
 
     async def aclose(self) -> None:
         async with self._waiter:

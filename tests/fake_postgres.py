@@ -142,7 +142,12 @@ class FakePostgresServer:
         self.password = password
         self.ssl = ssl
         self.ssl_ctx = make_self_signed_context() if ssl == "on" else None
-        self.db = sqlite3.connect(":memory:", check_same_thread=False)
+        # autocommit (isolation_level=None): explicit BEGIN/COMMIT from the
+        # client pass through natively instead of fighting the implicit-
+        # transaction machinery
+        self.db = sqlite3.connect(
+            ":memory:", check_same_thread=False, isolation_level=None
+        )
         self.db_lock = threading.Lock()
         self._srv = socket.create_server(("127.0.0.1", 0))
         self.port = self._srv.getsockname()[1]
@@ -355,12 +360,32 @@ class FakePostgresServer:
                 params.append(text)
         return params
 
+    @staticmethod
+    def _expand_any(sql: str, params: list) -> tuple[str, list]:
+        """Translate `col = ANY($N::text[])` (the array param must be the
+        LAST parameter) into a sqlite IN (...) list."""
+        m = re.search(r"=\s*ANY\(\$(\d+)::text\[\]\)", sql)
+        if not m:
+            return sql, params
+        idx = int(m.group(1)) - 1
+        assert idx == len(params) - 1, "ANY(array) must be the last param"
+        lit = params[idx]
+        items = [
+            i.replace('\\"', '"').replace("\\\\", "\\")
+            for i in re.findall(r'"((?:[^"\\]|\\.)*)"', lit)
+        ]
+        ph = ",".join(f"${idx + 1 + j}" for j in range(len(items))) or "NULL"
+        sql = sql[: m.start()] + f"IN ({ph})" + sql[m.end():]
+        return sql, params[:idx] + items
+
     def _execute(self, conn, sql: str, params: list) -> None:
+        sql, params = self._expand_any(sql, params)
         try:
             with self.db_lock:
                 cur = self.db.execute(_rewrite(sql), params)
                 rows = cur.fetchall()
-                self.db.commit()
+                if not self.db.in_transaction:
+                    self.db.commit()  # no-op in autocommit; explicit txs own it
                 rowcount = max(cur.rowcount, 0)
         except sqlite3.Error as e:
             conn.sendall(

@@ -229,3 +229,40 @@ def test_build_app_serves_fused_ask_from_disk_checkpoints(checkpoints):
         assert "[SourcesMap]:" in text
 
     asyncio.run(run())
+
+
+def test_bf16_and_sharded_checkpoints_load(tmp_path):
+    """bf16 is the standard shipping dtype for HF checkpoints (torch
+    refuses .numpy() on it), and encoders commonly ship in the sharded
+    index.json layout — both must load through the shared discovery."""
+    import json
+
+    from safetensors.torch import save_file
+    from transformers import XLMRobertaModel
+
+    vocab = _make_tokenizer_files(tmp_path)
+    torch.manual_seed(3)
+    model = XLMRobertaModel(_xlmr_config(vocab))
+    sd = {k: v.to(torch.bfloat16) for k, v in model.state_dict().items()}
+    sd = {k: v.contiguous() for k, v in sd.items()}
+    # split into two shards with an index, like HF does above ~2B params
+    keys = sorted(sd)
+    half = len(keys) // 2
+    shards = {
+        "model-00001-of-00002.safetensors": {k: sd[k] for k in keys[:half]},
+        "model-00002-of-00002.safetensors": {k: sd[k] for k in keys[half:]},
+    }
+    weight_map = {}
+    for fname, part in shards.items():
+        save_file(part, str(tmp_path / fname))
+        weight_map.update({k: fname for k in part})
+    (tmp_path / "model.safetensors.index.json").write_text(
+        json.dumps({"weight_map": weight_map})
+    )
+    model.config.save_pretrained(str(tmp_path))
+
+    from outline_rag_tpu.models.convert import load_pretrained
+
+    cfg, params = load_pretrained(str(tmp_path))
+    assert params["embed"]["word"].dtype == np.float32
+    assert cfg.hidden == 64 and len(params["layers"]) == 2
