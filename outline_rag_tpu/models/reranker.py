@@ -45,6 +45,15 @@ def reranker_forward(
     ``app/llm_services.py:319-326``)."""
     hidden = encoder_forward(params, input_ids, attention_mask, cfg)
     cls = hidden[:, 0, :].astype(jnp.float32)
-    h = jnp.tanh(cls @ params["classifier"]["dense_w"] + params["classifier"]["dense_b"])
-    logits = h @ params["classifier"]["out_w"] + params["classifier"]["out_b"]
+    # f32 score-path matmuls: HIGHEST, or the MXU truncates to bf16 and
+    # near-tie candidates flip order vs the oracle (repo precision rule)
+    hi = jax.lax.Precision.HIGHEST
+    h = jnp.tanh(
+        jnp.matmul(cls, params["classifier"]["dense_w"], precision=hi)
+        + params["classifier"]["dense_b"]
+    )
+    logits = (
+        jnp.matmul(h, params["classifier"]["out_w"], precision=hi)
+        + params["classifier"]["out_b"]
+    )
     return logits[:, 0]

@@ -92,8 +92,13 @@ class HashTokenizer:
         """Cross-encoder pair encoding: CLS q EOS EOS p EOS (XLM-R pair
         layout)."""
         encoded = []
+        # rerank calls pass the SAME query for every passage: encode each
+        # distinct query once, not once per pair (serving hot path)
+        q_cache: dict[str, list[int]] = {}
         for q, p in zip(queries, passages):
-            qe = self.encode(q, max_len // 2)
+            qe = q_cache.get(q)
+            if qe is None:
+                qe = q_cache[q] = self.encode(q, max_len // 2)
             pe = self.encode(p, max_len - len(qe) - 1)[1:]  # drop its CLS
             encoded.append(qe + [self.eos_id] + pe)
         longest = max((len(e) for e in encoded), default=1)

@@ -128,7 +128,13 @@ def chunk_text_native(
     lib = load()
     if lib is None:
         return None
-    data = text.encode("utf-32-le")
+    try:
+        data = text.encode("utf-32-le")
+    except UnicodeEncodeError:
+        # lone surrogates (e.g. unpaired \ud800 escapes surviving
+        # json.loads) cannot round-trip UTF-32 — fall back to Python,
+        # which handles them fine
+        return None
     n = len(data) // 4
     buf = (ctypes.c_uint32 * n).from_buffer_copy(data) if n else (ctypes.c_uint32 * 1)()
     max_chunks = max(16, 4 * (n // max(1, chunk_size - chunk_overlap)) + 16)

@@ -24,8 +24,19 @@ struct Span {
 constexpr int kLevels = 4;  // "\n\n", "\n", " ", "" (char level)
 
 inline bool is_space(uint32_t c) {
-  return c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' ||
-         c == '\v';
+  // full Unicode whitespace, matching Python str.strip()/str.isspace():
+  // ASCII-only stripping diverges from the Python reference on CJK
+  // (U+3000), NBSP and typographic spaces — different chunk texts mean
+  // different stable_chunk_ids per build environment
+  switch (c) {
+    case ' ': case '\t': case '\n': case '\r': case '\f': case '\v':
+    case 0x1c: case 0x1d: case 0x1e: case 0x1f: case 0x85: case 0xa0:
+    case 0x1680: case 0x2028: case 0x2029: case 0x202f: case 0x205f:
+    case 0x3000:
+      return true;
+    default:
+      return c >= 0x2000 && c <= 0x200a;
+  }
 }
 
 // Does separator `level` occur in [lo, hi)?
@@ -161,6 +172,12 @@ int ort_chunk_text(const uint32_t* text, int n, int chunk_size,
       }
       cur.assign(keep.rbegin(), keep.rend());
       cur_len = keep_len;
+      // overlap + incoming piece must respect chunk_size (mirror of the
+      // Python merge: pop leading carried pieces until it fits)
+      while (!cur.empty() && cur_len + p.len > chunk_size) {
+        cur_len -= cur.front().len;
+        cur.erase(cur.begin());
+      }
     }
     cur.push_back(p);
     cur_len += p.len;

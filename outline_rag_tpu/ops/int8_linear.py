@@ -59,6 +59,13 @@ def int8_linear(
         interpret = jax.default_backend() != "tpu"
     m, k = x.shape
     n = w_q.shape[0]
+    if n % block_n or m % 8:
+        # fail fast at trace time: a partial last column block would be
+        # returned UNINITIALIZED (silent garbage logits), never an error
+        raise ValueError(
+            f"int8_linear requires N % block_n == 0 and M % 8 == 0 "
+            f"(got N={n}, block_n={block_n}, M={m}); pad at the caller"
+        )
     s2d = w_scale.reshape(n, 1).astype(jnp.float32)
     bytes_acc = n * k + m * k * 2 + m * n * 2
     out = pl.pallas_call(

@@ -296,7 +296,10 @@ class TexParser {
         '<span class="tex-sqrt-arg">' + arg + "</span></span>";
     }
     if (cmd in TEX_STYLES) {
-      const raw = ["text", "textbf", "textit"].includes(cmd);
+      // raw bodies render as escaped text: operator names and \mathrm
+      // must be upright (per-letter .tex-v italic would override the
+      // parent style class)
+      const raw = ["text", "textbf", "textit", "mathrm", "operatorname"].includes(cmd);
       const body = raw ? texEsc(this.readGroupRaw()) : this.parseAtom();
       return '<span class="' + TEX_STYLES[cmd] + '">' + body + "</span>";
     }
@@ -319,9 +322,6 @@ class TexParser {
          "small", "Big", "big", "Bigg", "bigg", "bigl", "bigr", "Bigl",
          "Bigr", "middle"].includes(cmd)) return "";
     if (cmd === "not") { return this.parseAtom() + "̸"; }
-    if (cmd === "operatorname") {
-      return '<span class="tex-text">' + texEsc(this.readGroupRaw()) + "</span>";
-    }
     if (cmd in TEX_SYMBOLS) {
       const cls = TEX_OP_SET.has(cmd) ? "tex-op" : (TEX_FN_SET.has(cmd) ? "tex-fn" : "tex-sym");
       return '<span class="' + cls + '">' + texEsc(TEX_SYMBOLS[cmd]) + "</span>";
@@ -332,10 +332,22 @@ class TexParser {
 
   parseEnvironment(env) {
     const lr = TEX_MATRIX_ENVS[env] || ["", ""];
-    const marker = "\\end{" + env + "}";
-    const end = this.src.indexOf(marker, this.i);
+    // find the MATCHING \end{env}: a nested same-name environment must
+    // not close the outer one
+    const beginM = "\\begin{" + env + "}";
+    const endM = "\\end{" + env + "}";
+    let depth = 1, pos = this.i, end = -1;
+    while (pos < this.n) {
+      const nb = this.src.indexOf(beginM, pos);
+      const ne = this.src.indexOf(endM, pos);
+      if (ne < 0) break;
+      if (nb >= 0 && nb < ne) { depth++; pos = nb + beginM.length; continue; }
+      depth--;
+      if (depth === 0) { end = ne; break; }
+      pos = ne + endM.length;
+    }
     const body = this.src.slice(this.i, end >= 0 ? end : this.n);
-    this.i = end >= 0 ? end + marker.length : this.n;
+    this.i = end >= 0 ? end + endM.length : this.n;
     const rowsHtml = texSplitRows(body).map((row) => {
       const cells = texSplitCells(row)
         .map((c) => '<span class="tex-cell">' + texFragment(c) + "</span>")
@@ -388,14 +400,29 @@ function texScripts(base, sup, sub, limits) {
   return s + "</span>";
 }
 
+function texScanEnvDelta(s, i) {
+  // at a backslash starting an alpha command: [consumedText, envDelta]
+  let j = i + 1;
+  while (j < s.length && /[a-zA-Z]/.test(s[j])) j++;
+  const name = s.slice(i + 1, j);
+  const delta = name === "begin" ? 1 : (name === "end" ? -1 : 0);
+  return [s.slice(i, j), delta];
+}
+
 function texSplitRows(body) {
-  const rows = []; let depth = 0, cur = "", i = 0;
+  const rows = []; let depth = 0, envd = 0, cur = "", i = 0;
   while (i < body.length) {
     const ch = body[i];
     // consume backslash escapes as pairs (like texSplitCells) so
-    // \{ / \} never skew the brace depth; \\ at depth 0 splits
+    // \{ / \} never skew the brace depth; \\ at depth 0 OUTSIDE any
+    // nested environment splits — a nested pmatrix's row breaks
+    // belong to IT, not to the outer environment
     if (ch === "\\" && i + 1 < body.length) {
-      if (depth === 0 && body[i + 1] === "\\") {
+      if (/[a-zA-Z]/.test(body[i + 1])) {
+        const [tok, delta] = texScanEnvDelta(body, i);
+        envd += delta; cur += tok; i += tok.length; continue;
+      }
+      if (depth === 0 && envd === 0 && body[i + 1] === "\\") {
         rows.push(cur); cur = ""; i += 2; continue;
       }
       cur += body.slice(i, i + 2); i += 2; continue;
@@ -409,13 +436,19 @@ function texSplitRows(body) {
 }
 
 function texSplitCells(row) {
-  const cells = []; let depth = 0, cur = "", i = 0;
+  const cells = []; let depth = 0, envd = 0, cur = "", i = 0;
   while (i < row.length) {
     const ch = row[i];
-    if (ch === "\\" && i + 1 < row.length) { cur += row.slice(i, i + 2); i += 2; continue; }
+    if (ch === "\\" && i + 1 < row.length) {
+      if (/[a-zA-Z]/.test(row[i + 1])) {
+        const [tok, delta] = texScanEnvDelta(row, i);
+        envd += delta; cur += tok; i += tok.length; continue;
+      }
+      cur += row.slice(i, i + 2); i += 2; continue;
+    }
     if (ch === "{") depth++;
     else if (ch === "}") depth--;
-    if (depth === 0 && ch === "&") { cells.push(cur); cur = ""; i++; continue; }
+    if (depth === 0 && envd === 0 && ch === "&") { cells.push(cur); cur = ""; i++; continue; }
     cur += ch; i++;
   }
   cells.push(cur);

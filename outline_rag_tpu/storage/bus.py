@@ -149,6 +149,17 @@ class RedisBus:
 def make_bus(redis_url: str = ""):
     if redis_url:
         try:
+            # RespClient dials lazily, so probe reachability NOW — the
+            # documented in-memory fallback must trigger at startup, not
+            # surface ConnectionErrors on every later request
+            import socket
+            import urllib.parse
+
+            u = urllib.parse.urlparse(redis_url)
+            s = socket.create_connection(
+                (u.hostname or "127.0.0.1", u.port or 6379), timeout=2.0
+            )
+            s.close()
             return RedisBus(redis_url)
         except Exception:
             import logging

@@ -112,6 +112,13 @@ def split_text(
                     break
                 keep.insert(0, p)
                 keep_len += len(p)
+            # the carried overlap plus the incoming piece must respect
+            # chunk_size (reference pops leading pieces until it fits);
+            # without this, overlap + a near-chunk_size piece emitted a
+            # chunk up to chunk_size + chunk_overlap chars
+            while keep and keep_len + len(piece) > chunk_size:
+                keep_len -= len(keep[0])
+                keep.pop(0)
             cur = keep
             cur_len = keep_len
         cur.append(piece)
@@ -142,8 +149,9 @@ def chunk_document(
         start = text.find(body, cursor)
         if start < 0:
             start = cursor
-        # overlapping chunks: advance cursor to just past the non-overlap part
-        cursor = max(start, cursor)
+        # advance PAST this occurrence: repeated identical bodies must
+        # each find their own position, not all resolve to the first
+        cursor = start + 1
         prefixed = f"Document title: {title}\n\n{body}" if title else body
         chunks.append(Chunk(text=prefixed, body=body, start=start, seq=seq))
     return chunks

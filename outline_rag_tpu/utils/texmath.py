@@ -261,7 +261,11 @@ class _Parser:
                 f'<span class="tex-sqrt-arg">{arg}</span></span>'
             )
         if cmd in STYLES:
-            raw = cmd in ("text", "textbf", "textit")
+            # raw bodies render as escaped text: operator names and
+            # \mathrm must be upright, and per-letter .tex-v italic
+            # would override the parent style class
+            raw = cmd in ("text", "textbf", "textit", "mathrm",
+                          "operatorname")
             if raw:
                 body = _esc(self.read_group_raw())
             else:
@@ -296,8 +300,6 @@ class _Parser:
         if cmd == "not":
             inner = self.parse_atom()
             return inner + "̸"
-        if cmd == "operatorname":
-            return f'<span class="tex-text">{_esc(self.read_group_raw())}</span>'
         if cmd in SYMBOLS:
             cls = "tex-op" if cmd in BIG_OPS else (
                 "tex-fn" if cmd in FUNCTIONS else "tex-sym"
@@ -310,11 +312,28 @@ class _Parser:
 
     def parse_environment(self, env: str) -> str:
         left, right = MATRIX_ENVS.get(env, ("", ""))
-        # collect raw body up to the matching \end{env}
-        marker = "\\end{" + env + "}"
-        end = self.src.find(marker, self.i)
+        # collect raw body up to the MATCHING \end{env}: a nested
+        # same-name environment must not close the outer one
+        begin_m = "\\begin{" + env + "}"
+        end_m = "\\end{" + env + "}"
+        depth, pos = 1, self.i
+        end = -1
+        while pos < self.n:
+            nb = self.src.find(begin_m, pos)
+            ne = self.src.find(end_m, pos)
+            if ne < 0:
+                break
+            if 0 <= nb < ne:
+                depth += 1
+                pos = nb + len(begin_m)
+                continue
+            depth -= 1
+            if depth == 0:
+                end = ne
+                break
+            pos = ne + len(end_m)
         body = self.src[self.i : end if end >= 0 else self.n]
-        self.i = (end + len(marker)) if end >= 0 else self.n
+        self.i = (end + len(end_m)) if end >= 0 else self.n
         rows_html = []
         for row in _split_rows(body):
             cells = "".join(
@@ -376,14 +395,33 @@ def _scripts(base: str, sup: str | None, sub: str | None, limits: bool) -> str:
     return f'<span class="{cls}">{"".join(parts)}</span>'
 
 
+def _scan_env_delta(s: str, i: int) -> tuple[str, int]:
+    r"""At a backslash starting an alpha command, return (consumed_text,
+    env_delta): +1 for \begin, -1 for \end, 0 otherwise."""
+    j = i + 1
+    while j < len(s) and s[j].isalpha():
+        j += 1
+    name = s[i + 1 : j]
+    delta = 1 if name == "begin" else (-1 if name == "end" else 0)
+    return s[i:j], delta
+
+
 def _split_rows(body: str) -> list[str]:
-    rows, depth, cur, i = [], 0, [], 0
+    rows, depth, envd, cur, i = [], 0, 0, [], 0
     while i < len(body):
         ch = body[i]
         # consume backslash escapes as pairs (like _split_cells) so
-        # \{ / \} never skew the brace depth; \\ at depth 0 splits
+        # \{ / \} never skew the brace depth; \\ at depth 0 OUTSIDE any
+        # nested environment splits — a nested pmatrix's row breaks
+        # belong to IT, not to the outer environment
         if ch == "\\" and i + 1 < len(body):
-            if depth == 0 and body[i + 1] == "\\":
+            if body[i + 1].isalpha():
+                tok, delta = _scan_env_delta(body, i)
+                envd += delta
+                cur.append(tok)
+                i += len(tok)
+                continue
+            if depth == 0 and envd == 0 and body[i + 1] == "\\":
                 rows.append("".join(cur))
                 cur = []
                 i += 2
@@ -404,10 +442,16 @@ def _split_rows(body: str) -> list[str]:
 
 
 def _split_cells(row: str) -> list[str]:
-    cells, depth, cur, i = [], 0, [], 0
+    cells, depth, envd, cur, i = [], 0, 0, [], 0
     while i < len(row):
         ch = row[i]
         if ch == "\\" and i + 1 < len(row):
+            if row[i + 1].isalpha():
+                tok, delta = _scan_env_delta(row, i)
+                envd += delta
+                cur.append(tok)
+                i += len(tok)
+                continue
             cur.append(row[i : i + 2])
             i += 2
             continue
@@ -415,7 +459,7 @@ def _split_cells(row: str) -> list[str]:
             depth += 1
         elif ch == "}":
             depth -= 1
-        if depth == 0 and ch == "&":
+        if depth == 0 and envd == 0 and ch == "&":
             cells.append("".join(cur))
             cur = []
             i += 1

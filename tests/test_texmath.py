@@ -176,3 +176,71 @@ def test_matrix_rows_with_escaped_braces():
     assert rows == [r"\{a\} & x ", "b & y"]
     html = render_math(r"\begin{cases} \{a\} & x \\ b & y \end{cases}")
     assert html.count('class="tex-row"') == 2
+
+
+def test_operatorname_and_mathrm_render_upright_raw():
+    """\\operatorname/\\mathrm bodies are raw upright text — per-letter
+    .tex-v italic spans would override the parent tex-text class (the
+    STYLES entry used to shadow the raw branch)."""
+    h = render_math(r"\operatorname{argmax}")
+    assert 'class="tex-text">argmax<' in h
+    assert "tex-v" not in h
+    h2 = render_math(r"\mathrm{softmax}")
+    assert 'class="tex-text">softmax<' in h2
+    assert "tex-v" not in h2
+
+
+def test_nested_environments_keep_their_rows():
+    """A pmatrix nested in a cases cell owns its \\\\ and & separators:
+    the outer environment must see ONE cell, not a row cut mid-matrix.
+    Same-name nesting must close on the MATCHING \\end."""
+    h = render_math(
+        r"\begin{cases} x & \begin{pmatrix} a \\ b \end{pmatrix}"
+        r" \\ y & z \end{cases}"
+    )
+    # inner pmatrix intact: parenthesis delimiters and two rows inside
+    assert h.count('tex-table') == 2
+    assert "tex-unk" not in h  # no stray \end degraded to unknown
+    # same-name nesting
+    h2 = render_math(
+        r"\begin{pmatrix} \begin{pmatrix} a \end{pmatrix} & b \end{pmatrix}"
+    )
+    assert h2.count("tex-table") == 2 and "tex-unk" not in h2
+
+
+def test_js_port_behavioral_parity_via_jsrt():
+    """Execute the SHIPPED tex.js under the first-party interpreter and
+    compare its HTML output with the canonical Python renderer across
+    representative formulas — behavior sync, not just table sync."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(
+        0, str(Path(__file__).resolve().parent.parent / "tools")
+    )
+    from jsrt import Interpreter
+    from jsrt.builtins import js_to_py
+
+    src = (
+        Path(__file__).resolve().parent.parent
+        / "outline_rag_tpu" / "serve" / "static" / "tex.js"
+    ).read_text()
+    interp = Interpreter()
+    interp.run(src)
+    formulas = [
+        r"E = mc^2",
+        r"\frac{a+b}{c_1^2}",
+        r"\operatorname{argmax}_x f(x)",
+        r"\mathrm{d}x",
+        r"\sqrt[3]{x+1}",
+        r"\sum_{i=0}^{n} i^2",
+        r"\begin{pmatrix} a & b \\ c & d \end{pmatrix}",
+        r"\begin{cases} x & \begin{pmatrix} a \\ b \end{pmatrix} \\ y & z \end{cases}",
+        r"\text{if } x > 0",
+        r"\hat{y} \approx \alpha \cdot \beta",
+    ]
+    for f in formulas:
+        js = js_to_py(
+            interp.call_any(interp.globals.lookup("texToHtml"), None, [f, False])
+        )
+        assert js == render_math(f), f
