@@ -25,37 +25,6 @@ import os
 from typing import Any
 
 
-def _env(key: str, default: str = "") -> str:
-    return os.environ.get(key, default)
-
-
-def _env_int(key: str, default: int) -> int:
-    raw = os.environ.get(key)
-    if raw is None or raw == "":
-        return default
-    return int(raw)
-
-
-def _env_float(key: str, default: float) -> float:
-    raw = os.environ.get(key)
-    if raw is None or raw == "":
-        return default
-    return float(raw)
-
-
-def _env_bool(key: str, default: bool = False) -> bool:
-    """Case-insensitive boolean parse.
-
-    The reference compares ``.lower() == "True"`` which can never match
-    (reference ``app/config.py:23,264`` — a latent always-False bug flagged in
-    SURVEY.md section 5); we fix the comparison here.
-    """
-    raw = os.environ.get(key)
-    if raw is None or raw == "":
-        return default
-    return raw.strip().lower() in ("1", "true", "yes", "on")
-
-
 # --------------------------------------------------------------------------
 # Default chat-model catalog.
 #
@@ -96,11 +65,10 @@ _DEFAULT_CHAT_MODELS: list[dict[str, Any]] = [
 
 # Persona system prompts (reference defines Query / Creative / Roleplay /
 # General personas plus a shared worldview preamble, ``app/config.py:93-154``).
-_DEFAULT_WORLDVIEW = _env(
-    "CORE_WORLDVIEW",
+_DEFAULT_WORLDVIEW = (
     "You are the knowledge assistant for this team's Outline wiki. Answer "
     "from the retrieved wiki context when it is relevant, and be explicit "
-    "when the context does not cover the question.",
+    "when the context does not cover the question."
 )
 
 _DEFAULT_PROMPTS = {
@@ -253,7 +221,6 @@ class Settings:
     encoder_model: str = "bge-m3"
     token_width: int = 64  # device token-cache width (fused rerank path)
     encoder_max_tokens: int = 512
-    encoder_buckets: tuple[int, ...] = (32, 64, 128, 256, 512)
     encoder_weights_path: str = ""  # empty -> deterministic fallback embedder
     reranker_weights_path: str = ""
     # Llama/Qwen-family checkpoint for fully-local generation (the chat
@@ -363,7 +330,11 @@ def load_settings(env: dict[str, str] | None = None) -> Settings:
         database_url=_env("DATABASE_URL"),
         redis_url=_env("REDIS_URL"),
         data_dir=_env("DATA_DIR", "./data"),
-        attachments_dir=_env("ATTACHMENTS_DIR", "./data/attachments"),
+        attachments_dir=_env(
+            "ATTACHMENTS_DIR",
+            (os.path.join(_env("DATA_DIR", "./data"), "attachments")
+             if _env("DATA_DIR", "./data") else "./data/attachments"),
+        ),
         upload_max_bytes=_env_int("UPLOAD_MAX_BYTES", 5 * 1024 * 1024),
         outline_api_url=_env("OUTLINE_API_URL"),
         outline_api_token=_env("OUTLINE_API_TOKEN"),

@@ -86,9 +86,13 @@ class _RWLock:
             while self._writer:
                 self._cv.wait()
             self._writer = True
-            while self._readers:
-                self._cv.wait()
         try:
+            # drain in-flight readers INSIDE the try: an async exception
+            # (KeyboardInterrupt) delivered mid-wait must still clear
+            # _writer or every later read()/write() deadlocks forever
+            with self._cv:
+                while self._readers:
+                    self._cv.wait()
             yield
         finally:
             with self._cv:
@@ -599,15 +603,27 @@ class VectorIndex:
                 "cursor": self._shard.cursor,
                 "generation": gen,
                 "row_ids": ["" if not r else str(r) for r in row_ids],
-                "by_source": dict(self._by_source),
+                # DEEP copy under the lock: the lists alias live state
+                # and json.dump runs after the lock is released
+                "by_source": {
+                    k: list(v) for k, v in self._by_source.items()
+                },
                 "token_width": self.token_width,
                 "token_pad_id": self.token_pad_id,
                 "colbert_rank": self.colbert_rank,
             }
-        # Crash-atomic: write both files to temp names and os.replace —
-        # npz first, meta last, so a loadable meta always pairs with the
-        # npz of its own generation (a kill mid-save leaves the previous
-        # snapshot intact, never a truncated or mispaired one).
+        # Crash-atomic per file (tmp + os.replace), and PAIRED: a random
+        # save tag stored in both files lets load() reject a snapshot
+        # whose npz and meta come from different saves (a kill between
+        # the two replaces would otherwise silently bind old row_ids to
+        # new vectors after a compaction reordered rows).
+        import secrets
+
+        tag = secrets.token_hex(8)
+        arrays["save_tag"] = np.frombuffer(
+            bytes.fromhex(tag), np.uint8
+        ).copy()
+        meta["save_tag"] = tag
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         npz_path = path if path.endswith(".npz") else path + ".npz"
         tmp_npz = npz_path + ".tmp"
@@ -656,6 +672,19 @@ class VectorIndex:
         with open(path + ".meta.json") as f:
             meta = json.load(f)
         arrays = np.load(path if path.endswith(".npz") else path + ".npz")
+        want_tag = meta.get("save_tag")
+        if want_tag is not None:
+            got = (
+                bytes(np.asarray(arrays["save_tag"], np.uint8)).hex()
+                if "save_tag" in arrays else None
+            )
+            if got != want_tag:
+                raise ValueError(
+                    "snapshot npz/meta are from DIFFERENT saves "
+                    f"(meta tag {want_tag}, npz tag {got}) — a crash "
+                    "landed between the two replaces; refusing to bind "
+                    "mismatched row ids to vectors (rebuild from store)"
+                )
         idx = cls(
             dim=meta["dim"],
             capacity=meta["capacity"],

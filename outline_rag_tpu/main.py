@@ -56,7 +56,15 @@ def _admin(settings, command: str, arg: str | None) -> None:
 
         asyncio.run(go())
     elif command == "rebuild":
-        n = ing.rebuild_from_store() if ing else 0
+        if ing is None:
+            # rebuild reads the LOCAL document store, but the Ingestor is
+            # only wired when the Outline API is configured — exit loudly
+            # instead of printing a truthy-looking "rebuilt 0 documents"
+            raise SystemExit(
+                "rebuild needs the ingestion wiring (set OUTLINE_API_URL; "
+                "the rebuild itself reads only the local document store)"
+            )
+        n = ing.rebuild_from_store()
         print(f"rebuilt {n} documents; index size {index.size}")
     elif command == "save-index":
         path = arg or os.path.join(settings.data_dir, "index_snapshot")

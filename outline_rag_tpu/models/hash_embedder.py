@@ -22,16 +22,28 @@ class HashEmbedder:
     def __init__(self, dim: int = 1024, seed: int = 0):
         self.dim = dim
         self.seed = seed
+        # natural text repeats a small vocabulary constantly: memoize
+        # per-token features (sha256 + a dim-sized Gaussian draw each)
+        # with a bounded FIFO so ingest isn't dominated by rehashing
+        self._cache: dict[str, np.ndarray] = {}
+        self._cache_cap = 65536
 
     @property
     def model_name(self) -> str:
         return f"hash-embedder-{self.dim}"
 
     def _feature(self, token: str) -> np.ndarray:
+        v = self._cache.get(token)
+        if v is not None:
+            return v
         h = hashlib.sha256(f"{self.seed}:{token}".encode()).digest()
         rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
         v = rng.standard_normal(self.dim).astype(np.float32)
-        return v / np.linalg.norm(v)
+        v /= np.linalg.norm(v)
+        if len(self._cache) >= self._cache_cap:
+            self._cache.pop(next(iter(self._cache)))
+        self._cache[token] = v
+        return v
 
     def embed(self, texts: list[str]) -> np.ndarray:
         out = np.zeros((len(texts), self.dim), np.float32)

@@ -127,6 +127,12 @@ class HFTokenizer:
         )
         longest = max((len(e) for e in enc["input_ids"]), default=1)
         width = min(pick_bucket(longest, buckets), max_len)
+        # HF pad(padding="max_length") never TRUNCATES: when max_len is
+        # not itself a bucket value (e.g. ENCODER_MAX_TOKENS=600 over a
+        # 512-top ladder) rows longer than the picked width must be cut
+        # or return_tensors="np" gets ragged rows and raises
+        enc["input_ids"] = [e[:width] for e in enc["input_ids"]]
+        enc["attention_mask"] = [m[:width] for m in enc["attention_mask"]]
         out = self.tok.pad(
             enc, padding="max_length", max_length=width, return_tensors="np"
         )
@@ -145,6 +151,8 @@ class HFTokenizer:
         )
         longest = max((len(e) for e in enc["input_ids"]), default=1)
         width = min(pick_bucket(longest, buckets), max_len)
+        enc["input_ids"] = [e[:width] for e in enc["input_ids"]]
+        enc["attention_mask"] = [m[:width] for m in enc["attention_mask"]]
         out = self.tok.pad(
             enc, padding="max_length", max_length=width, return_tensors="np"
         )

@@ -21,6 +21,14 @@ DATA_AXIS = "data"
 def data_mesh(n_devices: int | None = None) -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devs):
+            # silently truncating would shard the corpus over fewer
+            # devices than the operator's capacity planning assumed
+            # (same guard as parallel/tp.py::model_mesh)
+            raise ValueError(
+                f"requested a {n_devices}-device data mesh but only "
+                f"{len(devs)} device(s) are visible"
+            )
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (DATA_AXIS,))
 

@@ -392,3 +392,23 @@ def test_save_is_crash_atomic_tmp_then_replace(tmp_path, rng):
     assert names == ["snap.meta.json", "snap.npz"], names  # no .tmp leftovers
     restored = VectorIndex.load(p)
     assert restored.size == 1
+
+
+def test_load_rejects_mispaired_snapshot_files(tmp_path, rng):
+    """A crash between the npz replace and the meta replace leaves files
+    from DIFFERENT saves; load() must refuse (the mismatch silently binds
+    old row ids to new vectors after a compaction reordered rows)."""
+    import shutil
+
+    idx = VectorIndex(dim=DIM, capacity=1024)
+    idx.add_chunks(["a"], _vecs(rng, 1), source_id="s")
+    p1 = str(tmp_path / "snap")
+    idx.save(p1)
+    # second save into another dir, then simulate the crash window by
+    # pairing save-2's npz with save-1's meta
+    idx.add_chunks(["b"], _vecs(rng, 1), source_id="s")
+    p2 = str(tmp_path / "snap2")
+    idx.save(p2)
+    shutil.copy(p2 + ".npz", p1 + ".npz")
+    with pytest.raises(ValueError, match="DIFFERENT saves"):
+        VectorIndex.load(p1)
