@@ -384,3 +384,77 @@ def test_date_out_of_range_is_invalid_not_crash(interp):
     assert run(interp, "isNaN(new Date(1e18).getTime())") is True
     assert run(interp, "isNaN(new Date(-1e15).getTime())") is True
     assert run(interp, "new Date(1e18).toLocaleString()") == "Invalid Date"
+
+
+def test_reference_evaluated_once_for_update_and_compound(interp):
+    """arr[i++] += / ++ must evaluate the index expression ONCE —
+    double evaluation advanced side effects twice and wrote a different
+    slot than it read."""
+    out = run(interp, """
+      (() => {
+        const arr = [10, 20, 30];
+        let i = 0;
+        arr[i++] += 1;          // reads and writes arr[0]; i ends at 1
+        let calls = 0;
+        const f = () => { calls++; return 2; };
+        arr[f()]++;             // f called once
+        return JSON.stringify([arr, i, calls]);
+      })()
+    """)
+    import json as _json
+
+    arr, i, calls = _json.loads(out)
+    assert arr == [11, 20, 31]
+    assert i == 1 and calls == 1
+
+
+def test_array_negative_index_write_is_ignored(interp):
+    out = run(interp, """
+      (() => {
+        const a = [1, 2, 3];
+        a[-1] = 99;             // must NOT clobber a[2]
+        const b = [];
+        b[-1] = 5;              // must not crash on empty
+        return JSON.stringify([a, b.length]);
+      })()
+    """)
+    assert out == "[[1,2,3],0]"
+
+
+def test_math_domain_edges_return_js_values(interp):
+    assert run(interp, "isNaN(Math.floor(NaN))") is True
+    assert run(interp, "Math.floor(Infinity)") == float("inf")
+    assert run(interp, "isNaN(Math.sqrt(-1))") is True
+    assert run(interp, "Math.trunc(-Infinity)") == float("-inf")
+
+
+def test_splice_clamps_count(interp):
+    out = run(interp, """
+      (() => {
+        const a = [1, 2, 3, 4];
+        const r1 = a.splice(1, undefined); // JS: deletes 0
+        const r2 = a.splice(0, -2);        // JS: deletes 0
+        const r3 = a.splice(1, 99);        // clamps to rest
+        return JSON.stringify([a, r1, r2, r3]);
+      })()
+    """)
+    assert out == "[[1],[],[],[2,3,4]]"
+
+
+def test_error_subtypes_are_instanceof_error(interp):
+    assert run(interp, "(new TypeError('x')) instanceof Error") is True
+    assert run(interp, "(new TypeError('x')) instanceof TypeError") is True
+    assert run(interp, "(new Error('x')) instanceof TypeError") is False
+    # interpreter-raised TypeErrors too
+    assert run(interp, """
+      (() => { try { null.x; } catch (e) { return e instanceof Error; } })()
+    """) is True
+
+
+def test_set_map_samevaluezero_keys(interp):
+    assert run(interp, "new Set([1, true]).size") == 2
+    assert run(interp, "new Set([NaN, NaN, 0/0]).size") == 1
+    assert run(interp, """
+      (() => { const m = new Map(); m.set(true, 'a'); 
+               return m.get(1) === undefined; })()
+    """) is True

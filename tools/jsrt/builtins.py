@@ -362,7 +362,12 @@ def _arr_slice(interp, arr, args):
 def _arr_splice(interp, arr, args):
     n = len(arr.items)
     start = _norm_slice(args[0] if args else UNDEF, n, 0)
-    count = int(js_to_number(args[1])) if len(args) > 1 else n - start
+    if len(args) > 1:
+        c = js_to_number(args[1])
+        # JS clamps: NaN/undefined/negative -> 0, huge -> rest of array
+        count = 0 if _pymath.isnan(c) else max(0, min(int(c), n - start))
+    else:
+        count = n - start
     removed = arr.items[start:start + count]
     arr.items[start:start + count] = list(args[2:])
     return JSArray(removed)
@@ -808,7 +813,19 @@ def install(interp: Interpreter):
     }))
 
     def _math1(fn):
-        return lambda i, t, a: float(fn(js_to_number(a[0] if a else UNDEF)))
+        def call(i, t, a):
+            x = js_to_number(a[0] if a else UNDEF)
+            try:
+                return float(fn(x))
+            except (ValueError, OverflowError):
+                # JS semantics: floor/ceil/trunc pass NaN/Infinity
+                # through; sqrt(-1) is NaN — never a host crash
+                if _pymath.isnan(x):
+                    return NAN
+                if _pymath.isinf(x):
+                    return x
+                return NAN
+        return call
 
     g.declare("Math", JSObject({
         "round": JSHost("round", _math1(
@@ -930,6 +947,11 @@ def install(interp: Interpreter):
         if t == "__instanceof__":
             return isinstance(a[0], JSObject) and "getTime" in a[0].props \
                 and "toISOString" in a[0].props
+        if len(a) > 1:
+            i.throw_type(
+                "new Date(year, month, ...) is outside the jsrt subset "
+                "(pass an epoch-ms number or an ISO string)"
+            )
         if not a or a[0] is UNDEF:
             return _date_obj(_DATE_EPOCH_FIXED)
         v = a[0]
@@ -1055,11 +1077,19 @@ def install(interp: Interpreter):
     g.declare("Map", JSHost("Map", lambda i, t, a: JSMap()))
 
     # -- errors ------------------------------------------------------------
+    _ERROR_NAMES = ("Error", "TypeError", "RangeError", "SyntaxError")
+
     def _error_ctor_factory(error_name):
         def _ctor(i, t, a):
             if t == "__instanceof__":
-                return isinstance(a[0], JSObject) and \
-                    a[0].props.get("name") == error_name
+                if not (isinstance(a[0], JSObject)
+                        and "message" in a[0].props):
+                    return False
+                name = a[0].props.get("name")
+                # every builtin error subtype IS an Error (JS hierarchy)
+                if error_name == "Error":
+                    return name in _ERROR_NAMES
+                return name == error_name
             msg = js_to_string(a[0]) if a and a[0] is not UNDEF else ""
             return i.make_error(error_name, msg)
         return _ctor
@@ -1129,10 +1159,12 @@ def install(interp: Interpreter):
         ms = js_to_number(a[1]) if len(a) > 1 else 0.0
         if _pymath.isnan(ms):
             ms = 0.0
+        # browsers clamp tiny intervals; a 0ms interval would respawn at
+        # the same due time and spin advance_time forever
+        rep = max(ms, 1.0) if interval else None
         tid = i._timer_seq
         i._timer_seq += 1
-        i.timers[tid] = (
-            i.time_ms + ms, ms if interval else None, fn, list(a[2:]))
+        i.timers[tid] = (i.time_ms + ms, rep, fn, list(a[2:]))
         return float(tid)
 
     host("setTimeout", lambda i, t, a: _set_timer(i, t, a, False))

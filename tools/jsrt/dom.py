@@ -92,6 +92,14 @@ class Element(HostObject, Node):
 
     def matches_simple(self, sel: str) -> bool:
         # compound simple selector: tag#id.class1.class2
+        if any(c in sel for c in "[>:+~"):
+            # fail LOUDLY on combinators/attribute/pseudo selectors the
+            # engine doesn't implement — silently matching nothing makes
+            # a test misattribute the miss to the frontend
+            raise ValueError(
+                f"jsrt selector engine does not support {sel!r} "
+                "(tag/#id/.class compounds + descendant only)"
+            )
         for part in _pyre.findall(r"[#.]?[^#.]+", sel):
             if part.startswith("#"):
                 if self.attrs.get("id") != part[1:]:
@@ -907,6 +915,9 @@ class Browser:
                                   lambda i2, t, a: UNDEF)
                 if name == "document":
                     return browser._doc_host
+                if name in self.props:
+                    # expandos set via window.x = v must read back
+                    return self.props[name]
                 return i.globals.vars.get(name, UNDEF)
 
         win = _Window()

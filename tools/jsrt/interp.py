@@ -228,7 +228,16 @@ class JSMap:
 
 
 def _hashable(v):
-    if isinstance(v, (str, float, bool)) or v is None or v is UNDEF:
+    # SameValueZero-ish key: tag by type so true !== 1 as a Set/Map key
+    # (Python hashes True == 1.0 together), and canonicalize NaN so it
+    # dedupes (float("nan") != float("nan") as dict keys)
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, float):
+        if _pymath.isnan(v):
+            return ("n", "nan")
+        return ("n", v)
+    if isinstance(v, str) or v is None or v is UNDEF:
         return v
     return id(v)
 
@@ -1032,6 +1041,19 @@ class Interpreter:
 
     def eval_update(self, node, env):
         _, op, prefix, target, line = node
+        kind = target[0]
+        if kind in ("member", "index"):
+            # evaluate the REFERENCE once: a side-effecting base or index
+            # (arr[i++]--) must not run twice for the read and the write
+            base = yield from self.eval_expr(target[1], env)
+            key = (
+                target[2] if kind == "member"
+                else self._key((yield from self.eval_expr(target[2], env)))
+            )
+            old = js_to_number(self.get_member(base, key))
+            new = old + (1.0 if op == "++" else -1.0)
+            self.set_member(base, key, new)
+            return new if prefix else old
         old = js_to_number((yield from self.eval_expr(target, env)))
         new = old + (1.0 if op == "++" else -1.0)
         yield from self.assign_to(target, new, env)
@@ -1058,6 +1080,20 @@ class Interpreter:
             value = yield from self.eval_expr(value_node, env)
             yield from self.assign_to(target, value, env)
             return value
+        kind = target[0]
+        if kind in ("member", "index"):
+            # evaluate the REFERENCE once (see eval_update): obj[f()] +=
+            # must not call f() for the read and again for the write
+            base = yield from self.eval_expr(target[1], env)
+            key = (
+                target[2] if kind == "member"
+                else self._key((yield from self.eval_expr(target[2], env)))
+            )
+            cur = self.get_member(base, key)
+            value = yield from self.eval_expr(value_node, env)
+            result = self.binop(op[:-1], cur, value)
+            self.set_member(base, key, result)
+            return result
         cur = yield from self.eval_expr(target, env)
         value = yield from self.eval_expr(value_node, env)
         result = self.binop(op[:-1], cur, value)
@@ -1244,6 +1280,10 @@ class Interpreter:
                 i = int(name)
             except ValueError:
                 return  # expando on array: ignored (not used)
+            if i < 0:
+                # JS would create a "-1" property; the subset ignores it —
+                # Python items[-1] would silently clobber the LAST element
+                return
             while len(base.items) <= i:
                 base.items.append(UNDEF)
             base.items[i] = value
