@@ -51,25 +51,49 @@ def bench_encode() -> None:
     mask = jnp.ones((b, s), jnp.int32)
 
     # chained-execution timing (see the retrieval bench below): each
-    # iteration's input depends on the previous output so the lazy remote
-    # runtime must execute every sweep, and the one-fetch round trip is
-    # measured separately and subtracted.
-    def chained(iters):
+    # iteration's input GENUINELY varies (token ids shifted by the
+    # iteration index AND a data-dependent carry) so no layer can serve
+    # cached results — bit-identical repeats violate the tunnel protocol
+    # (CLAUDE.md) and have produced impossible readings.
+    def chained(iters, salt):
         carry = jnp.int32(0)
-        for _ in range(iters):
-            out = fwd(params, ids + carry * 0, mask)
-            carry = (out[0, 0] > 2.0).astype(jnp.int32)  # embeddings are unit-norm
+        for i in range(iters):
+            shifted = 3 + (ids + i + salt + carry) % (cfg.vocab_size - 3)
+            out = fwd(params, shifted, mask)
+            # low mantissa bits of the (unit-norm) embedding vary per input
+            carry = (jnp.abs(out[0, 0]) * 1e6).astype(jnp.int32) % 7
         return float(carry)
 
-    chained(1)  # compile + warm
-    t0 = time.perf_counter()
-    chained(1)
-    t_one = time.perf_counter() - t0
+    chained(1, 0)  # compile + warm
     iters = 8
-    t0 = time.perf_counter()
-    chained(iters)
-    t_many = time.perf_counter() - t0
-    dt = max(t_many - max(t_one - t_many / iters, 0.0), t_many / iters) / iters
+    # FLOPs roofline guard: ~2 * params * tokens per forward; a reading
+    # implying more than the chip's peak is a tunnel artifact — retry
+    n_params = sum(
+        int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params)
+    )
+    flops_per_iter = 2.0 * n_params * b * s
+    peak_flops = 500e12  # above any v5e bf16 peak
+    dt = None
+    for attempt in range(3):
+        t0 = time.perf_counter()
+        chained(1, 100 + attempt)
+        t_one = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        chained(iters, 200 + attempt)
+        t_many = time.perf_counter() - t0
+        cand = max(
+            t_many - max(t_one - t_many / iters, 0.0), t_many / iters
+        ) / iters
+        if flops_per_iter / cand <= peak_flops:
+            dt = cand
+            break
+        print(
+            f"# impossible encoder reading discarded "
+            f"({flops_per_iter / cand / 1e12:.0f} TFLOP/s)",
+            file=sys.stderr,
+        )
+    if dt is None:
+        dt = cand  # all attempts impossible: report, labeled
     print(
         json.dumps(
             {
@@ -77,6 +101,11 @@ def bench_encode() -> None:
                 "value": round(b / dt, 1),
                 "unit": "chunks/s",
                 "vs_baseline": None,
+                "implied_tflops": round(flops_per_iter / dt / 1e12, 1),
+                "window": (
+                    "healthy"
+                    if flops_per_iter / dt <= peak_flops else "impossible"
+                ),
             }
         )
     )
@@ -130,9 +159,14 @@ def main() -> None:
         # 40 GB; int8 codes + scales fit a single chip at 10M rows
         from outline_rag_tpu.ops.quant import quantize_rows_int8
 
+        # segment size MUST be a block_n multiple: ops/quant.py routes
+        # impl="pallas" to the XLA fallback when n % block_n != 0, so a
+        # 1,000,000-row segment would silently benchmark XLA as "pallas"
+        SEG = 999_424  # 976 * 1024
+
         @jax.jit
         def gen_int8(k_seg):
-            seg = jax.random.normal(k_seg, (min(n, 1_000_000), d), jnp.float32)
+            seg = jax.random.normal(k_seg, (min(n, SEG), d), jnp.float32)
             seg = seg / jnp.linalg.norm(seg, axis=1, keepdims=True)
             return quantize_rows_int8(seg)
 
@@ -142,7 +176,7 @@ def main() -> None:
         # peak memory at corpus + one segment's scores.
         int8_segments = []  # (codes, scales, row_offset)
         remaining, offset = n, 0
-        for k_seg in jax.random.split(kc, (n + 999_999) // 1_000_000):
+        for k_seg in jax.random.split(kc, (n + SEG - 1) // SEG):
             cq, cs = gen_int8(k_seg)
             take = min(remaining, cq.shape[0])
             int8_segments.append((cq[:take], cs[:take], offset))
@@ -197,22 +231,46 @@ def main() -> None:
         def int8_sweep(q, impl):
             return _int8_sweep(q, int8_segments, impl)
 
-    # correctness: recall@12 vs the XLA oracle on the same device (the
-    # pallas path must agree exactly within the scoring dtype)
+    def run_fused_q(q):
+        if int8_mode:
+            return int8_sweep(q, mode if mode in ("pallas", "xla") else "auto")
+        if mode == "pallas":
+            return topk_pallas(q, corpus, k, block_n=block_n, interpret=not on_tpu)
+        if mode == "xla":
+            if f32x2_mode:
+                from outline_rag_tpu.ops.topk import topk_xla_compensated
+
+                return topk_xla_compensated(q, corpus, k)
+            return topk_xla(q, corpus, k)
+        from outline_rag_tpu.ops.topk import cosine_topk
+
+        return cosine_topk(q, corpus, k, block_n=block_n)
+
+    # resolve which implementation auto actually runs at THIS shape, so
+    # the published label names the timed path (auto used to be labeled
+    # "fused" even when the policy served the XLA fallback)
+    if mode in ("pallas", "xla"):
+        resolved_impl = mode
+    elif int8_mode:
+        resolved_impl = "pallas" if on_tpu else "xla"  # ops/quant policy
+    else:
+        from outline_rag_tpu.ops.topk import auto_impl
+
+        resolved_impl = auto_impl(
+            b, n, d, jnp.dtype(corpus.dtype).itemsize, f32x2_mode, block_n
+        )
+
+    # correctness: recall@12 of the TIMED path vs the XLA oracle on the
+    # same device (validating a path the benchmark never runs would let
+    # a regression in the timed one pass unnoticed)
+    vals, idx = jax.block_until_ready(run_fused_q(queries))
     if int8_mode:
-        vals, idx = jax.block_until_ready(int8_sweep(queries, "pallas"))
         ovals, oidx = jax.block_until_ready(int8_sweep(queries, "xla"))
     elif f32x2_mode:
         # oracle = true fp32 HIGHEST scoring of the unsplit corpus: the
         # pgvector-exact-parity claim is measured against it directly
-        vals, idx = jax.block_until_ready(
-            topk_pallas(queries, corpus, k, block_n=block_n, interpret=not on_tpu)
-        )
         ovals, oidx = jax.block_until_ready(topk_xla(queries, corpus_f32, k))
     else:
-        vals, idx = jax.block_until_ready(
-            topk_pallas(queries, corpus, k, block_n=block_n, interpret=not on_tpu)
-        )
         ovals, oidx = jax.block_until_ready(topk_xla(queries, corpus, k))
     recall = float(
         np.mean(
@@ -238,28 +296,15 @@ def main() -> None:
             carry = carry + jnp.sum(v)
         return carry
 
-    def run_fused_q(q):
-        if int8_mode:
-            return int8_sweep(q, mode if mode in ("pallas", "xla") else "auto")
-        if mode == "pallas":
-            return topk_pallas(q, corpus, k, block_n=block_n, interpret=not on_tpu)
-        if mode == "xla":
-            if f32x2_mode:
-                from outline_rag_tpu.ops.topk import topk_xla_compensated
-
-                return topk_xla_compensated(q, corpus, k)
-            return topk_xla(q, corpus, k)
-        from outline_rag_tpu.ops.topk import cosine_topk
-
-        return cosine_topk(q, corpus, k, block_n=block_n)
-
     float(chained(1))  # warm/compile + one round-trip
-    # tunnel health marker: this VM's remote-TPU round trip has been
-    # observed anywhere from 50 ms to minutes; a degraded window
-    # depresses even the RTT-cancelling protocol below (dispatch itself
-    # throttles), so record it alongside the headline number
+    # tunnel health marker: a TINY matmul round trip (~50 ms healthy).
+    # Timing a full corpus sweep here misclassified large corpora as
+    # "degraded" on a healthy tunnel (a 10M-row sweep alone exceeds the
+    # 0.5 s health threshold).
+    _probe = jnp.ones((256, 256), jnp.float32)
+    float(jnp.sum(_probe @ _probe))  # warm the probe program
     t0 = time.perf_counter()
-    float(chained(1))
+    float(jnp.sum(_probe @ _probe))
     tunnel_rtt = time.perf_counter() - t0
     # the tunnel's throughput swings 2-4x on a seconds timescale and its
     # host round-trip has been observed anywhere from 50 ms to ~4 s —
@@ -352,7 +397,11 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"fused top-12 query throughput, {n} x {d} {dtype_name} corpus, recall@12={recall:.3f}",
+                "metric": (
+                    f"top-12 query throughput ({resolved_impl}), "
+                    f"{n} x {d} {dtype_name} corpus, recall@12={recall:.3f}"
+                ),
+                "impl": resolved_impl,
                 "value": round(qps, 1),
                 "unit": "queries/s",
                 "vs_baseline": round(qps / base_qps, 2) if base_qps > 0 else None,

@@ -741,6 +741,45 @@ def topk_pallas(
 # ---------------------------------------------------------------------------
 
 
+def auto_impl(
+    b: int,
+    n: int,
+    dim: int,
+    itemsize: int,
+    compensated: bool,
+    block_n: int = 1024,
+) -> str:
+    """The measured pallas-vs-XLA crossover policy, public so benchmarks
+    can LABEL the implementation the auto mode actually runs.
+
+    Compensated (f32x2): same-run interleaved measurements
+    (tools/bench_topk_kernel, v5e) — the fused kernel wins at 500k x 1024
+    B=32 and above (~780 GB/s ≈ 95% of v5e HBM roofline at 1M); the XLA
+    three-pass fallback wins at 100k where per-launch overhead dominates.
+    Crossover expressed in score bytes (B-aware).
+
+    Plain: XLA's fused matmul+top_k wins while the [B, N] f32 score
+    matrix is cheap to materialize; the fused kernel takes over when
+    score traffic rivals corpus traffic (measured: 500k x 1024 fp32
+    B=32 XLA 2x faster; B=128 kernel edges ahead — score ~ corpus/8).
+    """
+    score_bytes = b * n * 4
+    if compensated:
+        return (
+            "pallas"
+            if (_on_tpu() and n % block_n == 0 and score_bytes >= (48 << 20))
+            else "xla"
+        )
+    corpus_bytes = n * dim * itemsize
+    use_pallas = (
+        _on_tpu()
+        and n % block_n == 0
+        and score_bytes >= (128 << 20)
+        and score_bytes * 8 >= corpus_bytes
+    )
+    return "pallas" if use_pallas else "xla"
+
+
 def cosine_topk(
     queries: jax.Array,
     corpus: jax.Array,
@@ -763,36 +802,10 @@ def cosine_topk(
     k = min(k, n)
     compensated = _is_compensated(queries, corpus)
     if impl == "auto":
-        if compensated:
-            # same-run interleaved measurements (tools/bench_topk_kernel,
-            # v5e): the fused kernel wins at 500k x 1024 B=32 and above
-            # (best healthy-window 1M timing: unroll_merge=2 at 5.25 ms,
-            # ~780 GB/s ~ 95% of v5e HBM roofline); the XLA three-pass
-            # fallback wins at 100k (1.2-2.6 ms across windows vs the
-            # kernel's 3.6+ ms) where per-launch overhead dominates.
-            # Crossover expressed in score bytes (B-aware like the fp32
-            # policy below): 500k B=32 -> 61 MB, 100k B=32 -> 12.7 MB.
-            score_bytes = b * n * 4
-            impl = (
-                "pallas"
-                if (_on_tpu() and n % block_n == 0 and score_bytes >= (48 << 20))
-                else "xla"
-            )
-        else:
-            # XLA's fused matmul+top_k wins while the [B, N] f32 score
-            # matrix is cheap to materialize; the fused kernel takes over
-            # when score traffic rivals corpus traffic. Measured crossover
-            # (same-run, v5e, 500k x 1024 fp32): B=32 XLA 2x faster; B=128
-            # kernel edges ahead (7.2 vs 7.9 ms) — score_bytes ~ corpus/8.
-            score_bytes = b * n * 4
-            corpus_bytes = n * corpus.shape[1] * jnp.dtype(corpus.dtype).itemsize
-            use_pallas = (
-                _on_tpu()
-                and n % block_n == 0
-                and score_bytes >= (128 << 20)
-                and score_bytes * 8 >= corpus_bytes
-            )
-            impl = "pallas" if use_pallas else "xla"
+        impl = auto_impl(
+            b, n, corpus.shape[1],
+            jnp.dtype(corpus.dtype).itemsize, compensated, block_n,
+        )
     if impl == "xla" or n % block_n != 0:
         if compensated:
             return topk_xla_compensated(queries, corpus, k, penalty)

@@ -116,7 +116,11 @@ def main() -> None:
         p = prefix + [(13 * i + tail_seed) % 30000 + 2 for i in range(24)]
         t0 = time.perf_counter()
         q = b.submit(p, 0.0, 1.0, 8, seed=tail_seed)
-        q.get(timeout=600)  # first token
+        first = q.get(timeout=600)  # first token
+        if isinstance(first, Exception):
+            # a failed admission must fail the bench loudly, not be
+            # timed as a bogus "first token"
+            raise first
         dt = time.perf_counter() - t0
         collect(q)
         return dt

@@ -154,11 +154,17 @@ async def run() -> None:
         return ttfr, total
 
     # compile every power-of-two batch bucket the micro-batcher can emit
-    # before measuring (production pays these once at startup)
+    # before measuring (production pays these once at startup). One big
+    # burst does NOT guarantee coverage — coalescing is timing-dependent
+    # and a bucket first formed inside the measured burst pays its
+    # 20-70s remote compile there. Issue one burst per bucket size.
     await ask("warmup alpha wolves in the forest")
-    await asyncio.gather(
-        *[ask(f"warm burst {i}") for i in range(min(conc, 64))]
-    )
+    bucket = 1
+    while bucket <= min(conc, 64):
+        await asyncio.gather(
+            *[ask(f"warm bucket {bucket} q{i}") for i in range(bucket)]
+        )
+        bucket *= 2
 
     lat = []
     for i in range(n_seq):

@@ -123,26 +123,70 @@ def main() -> None:
         )
 
         def one_round(tag):
+            import threading
+
             prompts = [
                 [(7 * i + j + hash(tag) % 97) % 30000 + 2
                  for i in range(prompt_len)]
                 for j in range(slots)
             ]
+            # per-queue reader threads timestamp every chunk so the rate
+            # can be computed over the STEADY-STATE window (after every
+            # row has produced its first token): charging the admission
+            # ramp + slots x 512-token prefills to "decode" understated
+            # the derived weight/KV bandwidth
+            events = [[] for _ in range(slots)]  # (t, n_tokens)
+
+            def reader(q, out):
+                from outline_rag_tpu.serve.decode_batcher import DONE
+
+                while True:
+                    item = q.get(timeout=900)
+                    if item is DONE:
+                        return
+                    if isinstance(item, Exception):
+                        raise item
+                    out.append((time.perf_counter(), len(item)))
+
             t0 = time.perf_counter()
             qs = [
                 b.submit(p, 0.7, 0.95, new_tokens, seed=j + 1)
                 for j, p in enumerate(prompts)
             ]
-            n = sum(len(collect(q)) for q in qs)
-            return n / (time.perf_counter() - t0), n
+            threads = [
+                threading.Thread(target=reader, args=(q, ev))
+                for q, ev in zip(qs, events)
+            ]
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join()
+            end = time.perf_counter()
+            n = sum(cnt for ev in events for _, cnt in ev)
+            all_started = max(ev[0][0] for ev in events if ev)
+            steady_tokens = sum(
+                cnt for ev in events for t, cnt in ev if t > all_started
+            )
+            steady_dt = end - all_started
+            overall = n / (end - t0)
+            steady = (
+                steady_tokens / steady_dt if steady_dt > 0 and steady_tokens
+                else overall
+            )
+            return steady, n, overall
 
         one_round(f"warm-{slots}")  # compile this slot count's programs
         best = 0.0
+        best_overall = 0.0
         for r in range(rounds):
-            rate, n = one_round(f"r{r}-{slots}")
+            rate, n, overall = one_round(f"r{r}-{slots}")
             best = max(best, rate)
-            print(f"# slots={slots} round {r}: {rate:.1f} tok/s",
-                  file=sys.stderr)
+            best_overall = max(best_overall, overall)
+            print(
+                f"# slots={slots} round {r}: {rate:.1f} tok/s steady "
+                f"({overall:.1f} incl. admission ramp)",
+                file=sys.stderr,
+            )
         # per forward step all live rows advance together: steps/s =
         # aggregate / slots; each step reads the weights once and the
         # live KV prefix of every row (~prompt + half the new tokens)
@@ -153,6 +197,7 @@ def main() -> None:
         results.append(
             dict(
                 slots=slots, tok_s=round(best, 1),
+                tok_s_with_ramp=round(best_overall, 1),
                 weight_gbs=round(w_gbs, 1), kv_gbs=round(kv_gbs, 1),
             )
         )

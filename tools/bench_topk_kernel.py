@@ -128,10 +128,14 @@ def run_variant(q, c, mode):
 
 
 def make_chained(fn):
-    def chained(iters):
-        carry = jnp.float32(0)
-        for _ in range(iters):
-            out = fn(queries + (carry * 0).astype(DT), corpus)
+    def chained(iters, salt=0.0):
+        # inputs vary per iteration (tiny per-iter offset + data carry):
+        # bit-identical repeats let a caching tunnel layer serve results
+        # and poison the min-over-rounds (CLAUDE.md protocol)
+        carry = jnp.float32(salt)
+        for i in range(iters):
+            q = queries + (carry * 1e-6 + i * 1e-7).astype(DT)
+            out = fn(q, corpus)
             first = out[0] if isinstance(out, tuple) else out
             carry = carry + jnp.sum(first.astype(jnp.float32)[:1])
         return float(carry)
@@ -206,16 +210,24 @@ for ch in chains.values():
 best = {name: float("inf") for name in VARIANTS}
 ROUNDS = int(os.environ.get("ROUNDS", 4))
 ITERS = int(os.environ.get("ITERS", 6))
+# dt below this implies >850 GB/s — physically impossible on v5e HBM;
+# such a round measured a caching/overlap artifact, not the kernel, and
+# must not become the variant's final min
+MIN_PLAUSIBLE_DT = N * D * jnp.dtype(DT).itemsize / 850e9
+dropped = {name: 0 for name in VARIANTS}
 for r in range(ROUNDS):
     r_t0 = time.perf_counter()
     for name, ch in chains.items():
         t0 = time.perf_counter()
-        ch(1)
+        ch(1, salt=r * 10.0)
         t_one = time.perf_counter() - t0
         t0 = time.perf_counter()
-        ch(ITERS)
+        ch(ITERS, salt=r * 10.0 + 5.0)
         t_many = time.perf_counter() - t0
         dt = max(t_many - max(t_one - t_many / ITERS, 0.0), t_many / ITERS) / ITERS
+        if dt < MIN_PLAUSIBLE_DT:
+            dropped[name] += 1
+            continue
         best[name] = min(best[name], dt)
     # per-round trace: wall time reveals tunnel window quality (healthy
     # rounds finish in seconds; degraded ones in minutes — min ignores them)
@@ -226,11 +238,12 @@ for r in range(ROUNDS):
     )
 steps = N // BLOCK_N
 for name, dt in best.items():
-    gbs = N * D * jnp.dtype(DT).itemsize / dt / 1e9
-    # >850 GB/s exceeds the v5e HBM roofline: the tunnel served cached
-    # or overlapped work that round — the reading measures nothing
-    flag = "  IMPOSSIBLE(>roofline)" if gbs > 850 else ""
+    gbs = N * D * jnp.dtype(DT).itemsize / dt / 1e9 if dt != float("inf") else 0
+    note = f"  ({dropped[name]} impossible round(s) dropped)" if dropped[name] else ""
+    if dt == float("inf"):
+        print(f"{name:10s}  every round impossible — no plausible reading")
+        continue
     print(
         f"{name:10s} {dt * 1e3:8.2f} ms  {gbs:6.0f} GB/s  "
-        f"{dt / steps * 1e6:6.2f} us/step{flag}"
+        f"{dt / steps * 1e6:6.2f} us/step{note}"
     )

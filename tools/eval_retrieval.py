@@ -115,6 +115,11 @@ def evaluate_ladder(
         queries /= np.linalg.norm(queries, axis=1, keepdims=True)
 
         cap = 1 << (n - 1).bit_length()
+        if n > cap * 0.75:
+            # stay under the ~80% speculative-warm trigger: at 95%
+            # occupancy every dtype's index kicks off next-capacity
+            # (2x) remote pre-warm compiles the eval never uses
+            cap *= 2
         rung: dict = {}
         fp32_lists: list[list[str]] | None = None
         for dtype in ("float32", "f32x2", "bfloat16", "int8"):
