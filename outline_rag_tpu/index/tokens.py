@@ -162,12 +162,17 @@ class TokenCache:
                 jnp.asarray(w_p),
                 idx_dev,
             )
-            if self.colbert is not None and colbert_codes is not None:
+            if self.colbert is not None:
+                # rows rewritten WITHOUT colbert data must zero the old
+                # occupant's codes (scale 0 contributes nothing to
+                # MaxSim) — leaving them stale scores a recycled row
+                # with another document's token vectors
                 r = self.colbert_rank
                 c_p = np.zeros((UPDATE_BLOCK, self.width, r), np.int8)
                 s_p = np.zeros((UPDATE_BLOCK, self.width), np.float32)
-                c_p[:m, :w] = colbert_codes[off : off + UPDATE_BLOCK, :w, :r]
-                s_p[:m, :w] = colbert_scales[off : off + UPDATE_BLOCK, :w]
+                if colbert_codes is not None:
+                    c_p[:m, :w] = colbert_codes[off : off + UPDATE_BLOCK, :w, :r]
+                    s_p[:m, :w] = colbert_scales[off : off + UPDATE_BLOCK, :w]
                 self.colbert = _update_colbert(
                     self.colbert,
                     jnp.asarray(c_p),

@@ -112,9 +112,15 @@ def rescore_fp32(
     queries: jax.Array,  # [B, D] f32
     corpus_rows: jax.Array,  # [B, K, D] f32 gathered candidates
 ) -> jax.Array:
-    """Exact fp32 rescore of gathered candidate rows: [B, K] scores."""
+    """Exact fp32 rescore of gathered candidate rows: [B, K] scores.
+
+    HIGHEST precision is mandatory (repo f32 score-path rule):
+    preferred_element_type alone does not stop the MXU truncating the
+    INPUTS to bf16."""
     return jnp.einsum(
-        "bd,bkd->bk", queries, corpus_rows, preferred_element_type=jnp.float32
+        "bd,bkd->bk", queries, corpus_rows,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
     )
 
 

@@ -179,7 +179,9 @@ class FakeChatProvider:
         for m in messages:
             if m["role"] == "system":
                 ctx = m["content"]
-        words = (f"Answer based on: {ctx[:160]}" or "I have no context").split()
+        words = (
+            f"Answer based on: {ctx[:160]}" if ctx else "I have no context"
+        ).split()
         for w in words[: self.answer_words]:
             yield {"content": w + " ", "thinking": None, "model": model}
         if self.cite and "[source 1]" in ctx:
@@ -640,6 +642,21 @@ class LocalChatProvider:
         json_mode=False, max_tokens=None,
     ) -> str:
         import asyncio
+
+        if json_mode:
+            # no grammar enforcement on a raw decoder: steer with an
+            # explicit instruction instead of silently dropping the
+            # flag (an unparseable classifier reply falls back to
+            # General and skips retrieval entirely — chat.py:83)
+            messages = list(messages) + [
+                {
+                    "role": "user",
+                    "content": (
+                        "Respond with ONLY a single valid JSON object, "
+                        "no prose, no code fences."
+                    ),
+                }
+            ]
 
         def run():
             return "".join(

@@ -36,7 +36,11 @@ async function api(path, opts = {}) {
 }
 
 function esc(s) {
-  return s.replace(/&/g, "&amp;").replace(/</g, "&lt;").replace(/>/g, "&gt;");
+  /* quotes included: esc() output is interpolated into attribute
+   * values (href/title/src) — unescaped quotes break out of the
+   * attribute and smuggle live event handlers */
+  return s.replace(/&/g, "&amp;").replace(/</g, "&lt;").replace(/>/g, "&gt;")
+    .replace(/"/g, "&quot;").replace(/'/g, "&#39;");
 }
 
 /* ---------- model/provider icons (reference: per-model brand images,
@@ -116,8 +120,12 @@ function _dialog(message, { input = null, confirmLabel = "OK", danger = false } 
     };
     const onKey = (e) => {
       if (e.key === "Escape") close(null);
-      if (e.key === "Enter" && (input === null || document.activeElement === field)) {
-        close(input !== null ? field.value : true);
+      if (e.key === "Enter") {
+        if (document.activeElement === cancel) {
+          close(null);  // Enter activates the focused Cancel button
+        } else if (input === null || document.activeElement === field) {
+          close(input !== null ? field.value : true);
+        }
       }
     };
     document.addEventListener("keydown", onKey);
@@ -354,7 +362,7 @@ function renderAssistant(content) {
     html = html.replace(/\[source (\d+)\]/g, (m, n) => {
       const src = sources[n];
       if (!src) return m;
-      return `<a class="citation" href="${esc(src.url || "#")}" target="_blank" title="${esc(src.title || "")}">[${n}]</a>`;
+      return `<a class="citation" href="${safeHref(src.url)}" target="_blank" title="${esc(src.title || "")}">[${n}]</a>`;
     });
   }
   let out = "";
@@ -604,14 +612,23 @@ async function sendQuestion() {
   const input = $("#input");
   const question = input.value.trim();
   if (!question || state.streaming) return;
-  if (!state.current) {
-    const resp = await api("/conversations", {
-      method: "POST",
-      body: JSON.stringify({ title: question.slice(0, 48) }),
-    });
-    const conv = await resp.json();
-    state.current = conv.id;
-    await loadConversations();
+  /* claim the flag BEFORE any await: a key-repeat double Enter would
+   * otherwise pass the guard while the first call is suspended creating
+   * the conversation, duplicating it and interleaving two streams */
+  state.streaming = true;
+  try {
+    if (!state.current) {
+      const resp = await api("/conversations", {
+        method: "POST",
+        body: JSON.stringify({ title: question.slice(0, 48) }),
+      });
+      const conv = await resp.json();
+      state.current = conv.id;
+      await loadConversations();
+    }
+  } catch (e) {
+    state.streaming = false;
+    throw e;
   }
   const editId = input.dataset.editId || null;
   input.value = "";
@@ -626,7 +643,6 @@ async function sendQuestion() {
   const assistantDiv = appendMessage("assistant", "");
   const bubble = assistantDiv.querySelector(".bubble") || assistantDiv;
   assistantDiv.classList.add("streaming");
-  state.streaming = true;
   $("#send").hidden = true;
   $("#stop").hidden = false;
   state.abort = new AbortController();
@@ -682,6 +698,18 @@ async function sendQuestion() {
         edit_message_id: editId ? parseInt(editId, 10) : undefined,
       }),
     });
+    if (resp.status === 401) {
+      window.location.href = "/chat/login";
+      throw new Error("unauthorized");
+    }
+    if (!resp.ok) {
+      failed = true;
+      bubble.insertAdjacentHTML(
+        "beforeend",
+        `<p class='error'>request failed (${resp.status})</p>`
+      );
+      throw new Error("ask failed " + resp.status);
+    }
     const reader = resp.body.getReader();
     const decoder = new TextDecoder();
     let buf = "";
@@ -737,7 +765,7 @@ async function sendQuestion() {
       }
     }
   } catch (e) {
-    if (e.name !== "AbortError") {
+    if (e.name !== "AbortError" && !failed) {
       failed = true;
       bubble.insertAdjacentHTML("beforeend", "<p class='error'>connection lost</p>");
     }
@@ -769,9 +797,18 @@ async function triggerRefresh() {
 async function pollRefresh() {
   if (refreshTimer) clearInterval(refreshTimer);
   refreshTimer = setInterval(async () => {
-    const resp = await api("/refresh/status");
-    const st = await resp.json();
+    let st;
     const el = $("#refresh-status");
+    try {
+      const resp = await api("/refresh/status");
+      st = await resp.json();
+    } catch (e) {
+      // session expired / server restarting: stop polling instead of an
+      // every-3s unhandled-rejection (and, on 401, redirect) storm
+      el.textContent = "status unavailable";
+      clearInterval(refreshTimer);
+      return;
+    }
     if (st.state === "running") {
       const pct = Math.round((st.progress || 0) * 100);
       el.textContent = `refreshing… ${pct}% (${st.success || 0} ok, ${st.skipped || 0} skipped)`;

@@ -528,3 +528,43 @@ def test_streaming_respects_reader_scroll_position(browser, routes):
     stream.push('data: {"choices":[{"delta":{"content":" and more"}}]}\n\n')
     assert box.props["scrollTop"] == 1000.0
     stream.finish()
+
+
+def test_citation_urls_are_scheme_checked_and_quote_escaped(browser, routes):
+    """Stored XSS guards: a javascript: URL in the SourcesMap must not
+    become a live href, and quotes in titles/URLs must not break out of
+    their attributes."""
+    routes.messages = {"messages": [
+        {"id": 1, "role": "user", "content": "q"},
+        {"id": 2, "role": "assistant", "content":
+            "a [source 1] b [source 2]\n[SourcesMap]: " + json.dumps({
+                "1": {"url": "javascript:alert(1)", "title": "evil"},
+                "2": {"url": 'https://w/d"onmouseover="alert(2)',
+                      "title": 'T" onclick="alert(3)'},
+            })},
+    ]}
+    browser.click("#conv-list li span")
+    html = browser.q("#messages .msg.assistant .bubble").serialize()
+    assert "javascript:" not in html
+    assert 'href="#"' in html  # unsafe scheme neutralized
+    # no attribute breakout: every interpolated quote must be &quot; —
+    # a RAW quote before the handler text is what browsers error-recover
+    # into a live attribute
+    assert '"onmouseover' not in html and '" onmouseover' not in html
+    assert '"onclick' not in html and '" onclick' not in html
+    assert "&quot;" in html  # the quotes survived, escaped
+
+
+def test_dialog_enter_on_focused_cancel_cancels(browser, routes):
+    """Enter with the Cancel button focused must activate Cancel — it
+    used to resolve(true) and delete the conversation anyway."""
+    li = browser.q("#conv-list li")
+    delete_btn = li.query_all("button")[1]
+    browser.dispatch(delete_btn, "click")
+    cancel = browser.q(".modal-overlay .modal-btn")  # first = Cancel
+    browser.active_element = cancel
+    browser.dispatch(browser.q("body"), "keydown", {"key": "Enter"})
+    # dialog closed via Cancel: no DELETE issued, conversation intact
+    assert browser.maybe(".modal-overlay") is None
+    assert not [r for r in routes.requests if r[0] == "DELETE"]
+    assert browser.q("#conv-list li") is not None
