@@ -288,10 +288,20 @@ def main() -> None:
     # are never computed.
     iters = 20 if on_tpu else 3
 
+    _salt = [0]
+
     def chained(iters):
+        # every batch carries a REAL, dtype-visible offset that differs
+        # per iteration AND per call (bounded so query norms stay ~1):
+        # bit-identical repeats can be served by a caching tunnel layer,
+        # and 1e-3 clears the bf16 ulp at unit-norm entry magnitudes.
+        # The carry term keeps the data-dependency chain that forces
+        # execution on the lazy tunnel.
         carry = jnp.float32(0)
         for i in range(iters):
-            q = qbatches[i % n_batches] + carry.astype(dtype) * 0
+            _salt[0] += 1
+            off = (carry * 1e-9 + (_salt[0] % 97 + 1) * 1e-3).astype(dtype)
+            q = qbatches[i % n_batches] + off
             v, _ = run_fused_q(q)
             carry = carry + jnp.sum(v)
         return carry
@@ -300,12 +310,18 @@ def main() -> None:
     # tunnel health marker: a TINY matmul round trip (~50 ms healthy).
     # Timing a full corpus sweep here misclassified large corpora as
     # "degraded" on a healthy tunnel (a 10M-row sweep alone exceeds the
-    # 0.5 s health threshold).
-    _probe = jnp.ones((256, 256), jnp.float32)
-    float(jnp.sum(_probe @ _probe))  # warm the probe program
-    t0 = time.perf_counter()
-    float(jnp.sum(_probe @ _probe))
-    tunnel_rtt = time.perf_counter() - t0
+    # 0.5 s health threshold). The probe input varies per call so a
+    # result-caching layer cannot serve the timed repeat.
+    _probe_base = jnp.ones((256, 256), jnp.float32)
+
+    def probe_rtt(i: int) -> float:
+        x = _probe_base + np.float32(i)
+        t0 = time.perf_counter()
+        float(jnp.sum(x @ x))
+        return time.perf_counter() - t0
+
+    probe_rtt(0)  # warm the probe programs
+    tunnel_rtt = probe_rtt(1)
     # the tunnel's throughput swings 2-4x on a seconds timescale and its
     # host round-trip has been observed anywhere from 50 ms to ~4 s —
     # far larger than the compute under test. Two-point protocol: time a
@@ -342,9 +358,10 @@ def main() -> None:
             file=sys.stderr,
         )
         time.sleep(60)
-        t0 = time.perf_counter()
-        float(chained(1))
-        rtt2 = time.perf_counter() - t0
+        # re-probe with the TINY matmul (chained(1) is a full corpus
+        # sweep — its time is not an RTT and would corrupt both the
+        # retry decision and the published tunnel_rtt_s/window label)
+        rtt2 = probe_rtt(2)
         if rtt2 < tunnel_rtt:
             tunnel_rtt = rtt2
             best_dt = min(best_dt, measure_rounds(2))

@@ -635,7 +635,16 @@ async function sendQuestion() {
   delete input.dataset.editId;
   $("#composer").classList.remove("editing");
   $("#cancel-edit").hidden = true;
-  if (editId) await loadMessages();
+  if (editId) {
+    try {
+      await loadMessages();
+    } catch (e) {
+      /* release the claim: a failed repaint here would otherwise leave
+       * streaming=true forever and permanently disable the composer */
+      state.streaming = false;
+      throw e;
+    }
+  }
   const greet = document.querySelector("#messages .greeting");
   if (greet) greet.remove();
   appendMessage("user", question);
@@ -699,6 +708,9 @@ async function sendQuestion() {
       }),
     });
     if (resp.status === 401) {
+      /* auth redirect, not a network failure: mark failed so the catch
+       * doesn't paint "connection lost" while navigating to login */
+      failed = true;
       window.location.href = "/chat/login";
       throw new Error("unauthorized");
     }

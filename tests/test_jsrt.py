@@ -458,3 +458,54 @@ def test_set_map_samevaluezero_keys(interp):
       (() => { const m = new Map(); m.set(true, 'a'); 
                return m.get(1) === undefined; })()
     """) is True
+
+
+def test_set_iteration_yields_values_not_tag_tuples(interp):
+    """The SameValueZero key tags are an implementation detail: for-of,
+    spread, and forEach over a Set must yield the ORIGINAL values (a
+    regression stored only ('n', 1.0)-style tag tuples, so arithmetic
+    over iterated members produced garbage)."""
+    assert run(interp, """
+      (() => { let t = 0; new Set([1, 2, 3]).forEach(x => t += x);
+               return t; })()
+    """) == 6
+    assert run(interp, """
+      (() => { let out = []; for (const v of new Set(['a', 'b'])) out.push(v);
+               return out.join(''); })()
+    """) == "ab"
+    assert run(interp, "[...new Set([4, 5])].reduce((a, b) => a + b, 0)") == 9
+    # object members round-trip as the objects themselves, not id() ints
+    assert run(interp, """
+      (() => { const o = {k: 7}; const s = new Set(); s.add(o);
+               let got = 0; s.forEach(x => got = x.k); return got; })()
+    """) == 7
+    # delete returns true/false correctly after the value-storing change
+    assert run(interp, """
+      (() => { const s = new Set([1]); 
+               return JSON.stringify([s.delete(1), s.delete(1)]); })()
+    """) == "[true,false]"
+
+
+def test_logical_assignment_reference_evaluated_once(interp):
+    """a[i++] ||= v (and &&=, ??=) must evaluate the index ONCE — the
+    read/write split re-ran side effects and wrote a different slot
+    than it read."""
+    import json as _json
+
+    out = run(interp, """
+      (() => {
+        const a = [0, 5, undefined];
+        let i = 0;
+        a[i++] ||= 9;            // falsy: writes a[0], i ends 1
+        let calls = 0;
+        const f = () => { calls++; return 1; };
+        a[f()] &&= 6;            // truthy: writes a[1], f called once
+        let calls2 = 0;
+        const g = () => { calls2++; return 2; };
+        a[g()] ??= 7;            // nullish: writes a[2], g called once
+        return JSON.stringify([a, i, calls, calls2]);
+      })()
+    """)
+    arr, i, calls, calls2 = _json.loads(out)
+    assert arr == [9, 6, 7]
+    assert i == 1 and calls == 1 and calls2 == 1

@@ -159,8 +159,15 @@ async def run() -> None:
     # and a bucket first formed inside the measured burst pays its
     # 20-70s remote compile there. Issue one burst per bucket size.
     await ask("warmup alpha wolves in the forest")
+    # the batcher never emits a batch larger than query_batch_max, so the
+    # ladder must reach THAT cap (not a hardcoded 64): with e.g.
+    # QUERY_BATCH_MAX=128 a 100-way burst can pad into the 128 bucket,
+    # and an unwarmed top bucket compiles (20-70 s) inside the timing
+    top_bucket = 1
+    while top_bucket < min(conc, settings.query_batch_max):
+        top_bucket *= 2
     bucket = 1
-    while bucket <= min(conc, 64):
+    while bucket <= top_bucket:
         await asyncio.gather(
             *[ask(f"warm bucket {bucket} q{i}") for i in range(bucket)]
         )

@@ -136,17 +136,25 @@ def main() -> None:
             # ramp + slots x 512-token prefills to "decode" understated
             # the derived weight/KV bandwidth
             events = [[] for _ in range(slots)]  # (t, n_tokens)
+            # reader exceptions must surface in the MAIN thread: a raise
+            # inside a worker thread only prints to stderr, join() still
+            # succeeds, and the bench would publish rates computed from
+            # partial token counts instead of failing loudly
+            errors = []
 
             def reader(q, out):
                 from outline_rag_tpu.serve.decode_batcher import DONE
 
-                while True:
-                    item = q.get(timeout=900)
-                    if item is DONE:
-                        return
-                    if isinstance(item, Exception):
-                        raise item
-                    out.append((time.perf_counter(), len(item)))
+                try:
+                    while True:
+                        item = q.get(timeout=900)
+                        if item is DONE:
+                            return
+                        if isinstance(item, Exception):
+                            raise item
+                        out.append((time.perf_counter(), len(item)))
+                except BaseException as e:
+                    errors.append(e)
 
             t0 = time.perf_counter()
             qs = [
@@ -161,6 +169,8 @@ def main() -> None:
                 th.start()
             for th in threads:
                 th.join()
+            if errors:
+                raise errors[0]
             end = time.perf_counter()
             n = sum(cnt for ev in events for _, cnt in ev)
             all_started = max(ev[0][0] for ev in events if ev)

@@ -127,14 +127,23 @@ def run_variant(q, c, mode):
     )(q, c)
 
 
+_salt_ctr = [0]
+
+
 def make_chained(fn):
     def chained(iters, salt=0.0):
-        # inputs vary per iteration (tiny per-iter offset + data carry):
+        # inputs vary per dispatch (globally-unique offset + data carry):
         # bit-identical repeats let a caching tunnel layer serve results
-        # and poison the min-over-rounds (CLAUDE.md protocol)
+        # and poison the min-over-rounds (CLAUDE.md protocol). The offset
+        # must clear one ulp of a typical unit-norm entry in DT or it
+        # rounds away and repeats become bit-identical again: bf16 ulp at
+        # |x|~0.03 is ~1.2e-4, so 1e-3 steps survive every dtype.
         carry = jnp.float32(salt)
         for i in range(iters):
-            q = queries + (carry * 1e-6 + i * 1e-7).astype(DT)
+            _salt_ctr[0] += 1
+            q = queries + (
+                carry * 1e-9 + (_salt_ctr[0] % 97 + 1) * 1e-3
+            ).astype(DT)
             out = fn(q, corpus)
             first = out[0] if isinstance(out, tuple) else out
             carry = carry + jnp.sum(first.astype(jnp.float32)[:1])

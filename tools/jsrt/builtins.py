@@ -617,18 +617,19 @@ def primitive_member(interp: Interpreter, base, name: str):
                           _hashable(a[0] if a else UNDEF) in base.d)
         if name == "add":
             def _add(i_, t, a):
-                base.d[_hashable(a[0] if a else UNDEF)] = None
+                v = a[0] if a else UNDEF
+                base.d[_hashable(v)] = v
                 return base
             return JSHost("add", _add)
         if name == "delete":
-            def _del(i_, t, a):
+            def _del(i_, t, a, _miss=object()):
                 return base.d.pop(
-                    _hashable(a[0] if a else UNDEF), "\0") != "\0"
+                    _hashable(a[0] if a else UNDEF), _miss) is not _miss
             return JSHost("delete", _del)
         if name == "forEach":
             def _fe(i_, t, a):
-                for k in list(base.d):
-                    _call(interp, a[0], [k, k, base])
+                for v in list(base.d.values()):
+                    _call(interp, a[0], [v, v, base])
                 return UNDEF
             return JSHost("forEach", _fe)
         return UNDEF

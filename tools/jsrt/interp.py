@@ -216,10 +216,13 @@ class JSPromise:
 
 class JSSet:
     def __init__(self, items=()):
-        self.d = dict.fromkeys(_hashable(v) for v in items)
+        # tag -> ORIGINAL value: the tagged key gives SameValueZero
+        # semantics, but iteration (for-of, spread, forEach) must yield
+        # the original values, not ('n', 1.0)-style tag tuples
+        self.d = {_hashable(v): v for v in items}
 
     def __repr__(self):
-        return f"JSSet({list(self.d)!r})"
+        return f"JSSet({list(self.d.values())!r})"
 
 
 class JSMap:
@@ -1069,7 +1072,19 @@ class Interpreter:
             yield from self.assign_to(target, value, env)
             return value
         if op in ("&&=", "||=", "??="):
-            cur = yield from self.eval_expr(target, env)
+            # evaluate the REFERENCE once (see eval_update): a[i++] ||= v
+            # must not re-run the base/index for the conditional write
+            kind0 = target[0]
+            if kind0 in ("member", "index"):
+                base = yield from self.eval_expr(target[1], env)
+                key = (
+                    target[2] if kind0 == "member"
+                    else self._key((yield from self.eval_expr(target[2], env)))
+                )
+                cur = self.get_member(base, key)
+            else:
+                base = key = None
+                cur = yield from self.eval_expr(target, env)
             do = (
                 js_truthy(cur) if op == "&&="
                 else not js_truthy(cur) if op == "||="
@@ -1078,7 +1093,10 @@ class Interpreter:
             if not do:
                 return cur
             value = yield from self.eval_expr(value_node, env)
-            yield from self.assign_to(target, value, env)
+            if kind0 in ("member", "index"):
+                self.set_member(base, key, value)
+            else:
+                yield from self.assign_to(target, value, env)
             return value
         kind = target[0]
         if kind in ("member", "index"):
@@ -1305,7 +1323,7 @@ class Interpreter:
         if isinstance(v, str):
             return list(v)
         if isinstance(v, JSSet):
-            return list(v.d.keys())
+            return list(v.d.values())
         if isinstance(v, HostObject):
             it = v.js_get("__iterate__", self)
             if it is not UNDEF:
