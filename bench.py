@@ -44,6 +44,13 @@ def bench_encode() -> None:
     params = stack_layer_params(
         cast_params(init_encoder_params(jax.random.key(0), cfg), jnp.bfloat16)
     )
+    # BENCH_INT8=1: w8a8 trunk (ENCODER_INT8 serving config) — int8 MXU
+    # dots at the encoder's large-M shapes
+    enc_int8 = bool(os.environ.get("BENCH_INT8"))
+    if enc_int8:
+        from outline_rag_tpu.models.encoder import quantize_encoder_params
+
+        params = quantize_encoder_params(params)
     fwd = jax.jit(lambda p, ids, mask: pooled_embeddings(p, ids, mask, cfg))
     b, s = int(os.environ.get("BENCH_B", 64)), int(os.environ.get("BENCH_S", 256))
     rng = np.random.default_rng(0)
@@ -97,7 +104,10 @@ def bench_encode() -> None:
     print(
         json.dumps(
             {
-                "metric": f"bge-m3-size encoder throughput (batch {b}, seq {s}, bf16)",
+                "metric": (
+                    f"bge-m3-size encoder throughput (batch {b}, seq {s}, "
+                    f"{'int8 w8a8' if enc_int8 else 'bf16'})"
+                ),
                 "value": round(b / dt, 1),
                 "unit": "chunks/s",
                 "vs_baseline": None,

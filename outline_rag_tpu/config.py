@@ -223,6 +223,11 @@ class Settings:
     encoder_max_tokens: int = 512
     encoder_weights_path: str = ""  # empty -> deterministic fallback embedder
     reranker_weights_path: str = ""
+    # w8a8 int8 encoder/reranker trunks (models/encoder.py::
+    # quantize_encoder_params): ~2x MXU throughput on the serving path's
+    # biggest compute bills (query encode + B*K rerank pairs); score
+    # heads stay full-precision. Opt-in pending measured recall deltas.
+    encoder_int8: bool = False
     # Llama/Qwen-family checkpoint for fully-local generation (the chat
     # provider runs on-TPU instead of calling an OpenAI-compatible API)
     decoder_weights_path: str = ""
@@ -373,6 +378,7 @@ def load_settings(env: dict[str, str] | None = None) -> Settings:
         encoder_max_tokens=_env_int("ENCODER_MAX_TOKENS", 512),
         encoder_weights_path=_env("ENCODER_WEIGHTS_PATH"),
         reranker_weights_path=_env("RERANKER_WEIGHTS_PATH"),
+        encoder_int8=_env_bool("ENCODER_INT8", False),
         decoder_weights_path=_env("DECODER_WEIGHTS_PATH"),
         decoder_max_new_tokens=_env_int("DECODER_MAX_NEW_TOKENS", 512),
         decoder_batch_slots=_env_int("DECODER_BATCH_SLOTS", 0),

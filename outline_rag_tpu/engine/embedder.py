@@ -44,11 +44,18 @@ class EncoderEmbedder:
         batch_buckets=(8, 32, 128),
         name: str = "bge-m3",
         max_batch_tokens: int = 64 * 1024,
+        int8: bool = False,
     ):
         self.cfg = cfg
         # stacked layers -> lax.scan forward: one traced layer, much
         # faster compiles for 24-layer configs
         self.params = stack_layer_params(cast_params(params, cfg.dtype))
+        if int8:
+            # w8a8 trunk (ENCODER_INT8): int8 MXU throughput at the
+            # encoder's large-M shapes; heads/score paths stay full-prec
+            from outline_rag_tpu.models.encoder import quantize_encoder_params
+
+            self.params = quantize_encoder_params(self.params)
         self.tokenizer = tokenizer
         self.max_tokens = max_tokens
         if max_tokens > max(seq_buckets):
@@ -210,7 +217,8 @@ def get_embedder(settings=None, dim: int | None = None):
             cfg, params = load_pretrained(settings.encoder_weights_path)
             tok = HFTokenizer(settings.encoder_weights_path)
             return EncoderEmbedder(
-                params, cfg, tok, max_tokens=settings.encoder_max_tokens
+                params, cfg, tok, max_tokens=settings.encoder_max_tokens,
+                int8=settings.encoder_int8,
             )
         except Exception as exc:
             # an explicitly configured encoder that fails to load is a

@@ -44,9 +44,17 @@ class CrossEncoderReranker:
         tokenizer,
         max_tokens: int = 512,
         pair_buckets=(64, 128, 256, 512),
+        int8: bool = False,
     ):
         self.cfg = cfg
         self.params = stack_layer_params(cast_params(params, cfg.dtype))
+        if int8:
+            # w8a8 trunk (ENCODER_INT8): the rerank forward is B*K pair
+            # sequences per query batch — the framework's biggest
+            # per-ask MXU bill; the classifier head stays f32 HIGHEST
+            from outline_rag_tpu.models.encoder import quantize_encoder_params
+
+            self.params = quantize_encoder_params(self.params)
         self.tokenizer = tokenizer
         self.max_tokens = max_tokens
         self.pair_buckets = pair_buckets

@@ -133,6 +133,63 @@ def cast_params(params: Params, dtype) -> Params:
     return jax.tree_util.tree_map_with_path(cast, params)
 
 
+def quantize_encoder_params(params: Params) -> Params:
+    """w8a8 int8 inference for the encoder trunk (opt-in, ENCODER_INT8).
+
+    Each per-layer dense projection (attn wq/wk/wv/wo, mlp wi/wo) becomes
+    ``{"q": [..., N, K] int8, "s": [..., N] f32}`` with per-output-channel
+    scales — the same layout and strategy as the decoder's w8a8 path
+    (``models/decoder.py::quantize_decoder_params``), but aimed at the
+    opposite regime: encoder forwards are large-M (B*S tokens), where the
+    int8 MXU's ~2x bf16 peak is the win (the decoder's win is halved
+    weight HBM at M=8). Embeddings (a gather, not a matmul), layernorms,
+    biases, and every task head (pooled CLS norm, sparse, ColBERT,
+    classifier — the score paths carrying the repo's f32 HIGHEST parity
+    rules) stay in their original dtypes. Apply AFTER
+    ``stack_layer_params``/``cast_params``; never cast afterwards.
+    """
+    params = stack_layer_params(params)
+
+    def quant(w):  # [L, K, N] (or [K, N]) -> {"q": [..., N, K], "s": [..., N]}
+        wt = jnp.swapaxes(jnp.asarray(w, jnp.float32), -1, -2)
+        amax = jnp.max(jnp.abs(wt), axis=-1)
+        s = jnp.maximum(amax / 127.0, 1e-12)
+        q = jnp.clip(jnp.round(wt / s[..., None]), -127, 127).astype(jnp.int8)
+        return {"q": q, "s": s.astype(jnp.float32)}
+
+    out = dict(params)
+    layers = {grp: dict(params["layers"][grp]) for grp in params["layers"]}
+    for grp, names in (("attn", ("wq", "wk", "wv", "wo")), ("mlp", ("wi", "wo"))):
+        for nm in names:
+            layers[grp][nm] = quant(layers[grp][nm])
+    out["layers"] = layers
+    return out
+
+
+def _emm(x: jax.Array, w, dt) -> jax.Array:
+    """``x [..., K] @ w`` for dense ``[K, N]`` weights or w8a8 int8
+    ``{"q": [N, K], "s": [N]}`` leaves: dynamic per-row (per-token)
+    activation quantization -> int8 x int8 MXU dot -> f32 rescale on the
+    output (O(M*N), fused by XLA). One path for every M: the encoder
+    never runs the decoder's M=8 latency-critical shape."""
+    if not isinstance(w, dict):
+        return x @ w.astype(dt)
+    q, s = w["q"], w["s"]
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    x2 = x.reshape(-1, k).astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x2), axis=1, keepdims=True)
+    xs = jnp.maximum(amax / 127.0, 1e-12)
+    xq = jnp.clip(jnp.round(x2 / xs), -127, 127).astype(jnp.int8)
+    raw = jax.lax.dot_general(
+        xq, q,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = raw.astype(jnp.float32) * xs * s[None, :].astype(jnp.float32)
+    return out.reshape(*lead, q.shape[0]).astype(dt)
+
+
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
@@ -165,9 +222,9 @@ def _attention(x, mask_bias, ap, cfg: EncoderConfig):
     b, s, h = x.shape
     nh, hd = cfg.heads, cfg.head_dim
     dt = x.dtype
-    q = (x @ ap["wq"].astype(dt) + ap["bq"].astype(dt)).reshape(b, s, nh, hd)
-    k = (x @ ap["wk"].astype(dt) + ap["bk"].astype(dt)).reshape(b, s, nh, hd)
-    v = (x @ ap["wv"].astype(dt) + ap["bv"].astype(dt)).reshape(b, s, nh, hd)
+    q = (_emm(x, ap["wq"], dt) + ap["bq"].astype(dt)).reshape(b, s, nh, hd)
+    k = (_emm(x, ap["wk"], dt) + ap["bk"].astype(dt)).reshape(b, s, nh, hd)
+    v = (_emm(x, ap["wv"], dt) + ap["bv"].astype(dt)).reshape(b, s, nh, hd)
     if _use_flash(cfg, b, s):
         from outline_rag_tpu.ops.attention import flash_attention  # noqa: PLC0415
 
@@ -179,7 +236,7 @@ def _attention(x, mask_bias, ap, cfg: EncoderConfig):
         logits = logits / math.sqrt(hd) + mask_bias  # [B,1,1,S] broadcast
         probs = jax.nn.softmax(logits, axis=-1).astype(dt)
         ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v).reshape(b, s, h)
-    return ctx @ ap["wo"].astype(dt) + ap["bo"].astype(dt)
+    return _emm(ctx, ap["wo"], dt) + ap["bo"].astype(dt)
 
 
 def _layer_apply(x, mask_bias, layer, cfg: EncoderConfig):
@@ -192,10 +249,10 @@ def _layer_apply(x, mask_bias, layer, cfg: EncoderConfig):
         cfg.layer_norm_eps,
     )
     hmid = jax.nn.gelu(
-        x @ layer["mlp"]["wi"].astype(dt) + layer["mlp"]["bi"].astype(dt),
+        _emm(x, layer["mlp"]["wi"], dt) + layer["mlp"]["bi"].astype(dt),
         approximate=False,
     )
-    mlp_out = hmid @ layer["mlp"]["wo"].astype(dt) + layer["mlp"]["bo"].astype(dt)
+    mlp_out = _emm(hmid, layer["mlp"]["wo"], dt) + layer["mlp"]["bo"].astype(dt)
     return _layer_norm(
         x + mlp_out,
         layer["mlp"]["ln_scale"],

@@ -111,6 +111,7 @@ def build_app(
                 rr_cfg,
                 HFTokenizer(settings.reranker_weights_path),
                 max_tokens=settings.encoder_max_tokens,
+                int8=settings.encoder_int8,
             )
         except Exception as exc:
             raise RuntimeError(

@@ -1,0 +1,126 @@
+"""Same-run interleaved A/B: bf16 vs w8a8-int8 encoder trunk throughput.
+
+The encoder at serving batch sizes is MXU-compute-bound (~100 TFLOP/s
+bf16 at 64x256 — docs/BENCHMARKS.md), so the int8 trunk's headroom is
+the int8 MXU's ~2x bf16 peak, minus the dynamic activation-quant VPU
+work. The tunnel's throughput swings 2-4x on a seconds timescale, so
+the two variants are interleaved round-robin and each reports its min
+over rounds (two-point chained protocol; inputs vary per iteration).
+
+Usage: python tools/bench_encode_ab.py [batch] [seq]
+Env: ROUNDS (default 4), ITERS (default 6).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from outline_rag_tpu.models.encoder import (
+        EncoderConfig,
+        cast_params,
+        init_encoder_params,
+        pooled_embeddings,
+        quantize_encoder_params,
+        stack_layer_params,
+    )
+
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    s = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    rounds = int(os.environ.get("ROUNDS", 4))
+    iters = int(os.environ.get("ITERS", 6))
+
+    cfg = EncoderConfig.bge_m3()
+    params = stack_layer_params(
+        cast_params(init_encoder_params(jax.random.key(0), cfg), jnp.bfloat16)
+    )
+    params_q = quantize_encoder_params(params)
+    variants = {"bf16": params, "int8": params_q}
+
+    fwd = jax.jit(lambda p, ids, mask: pooled_embeddings(p, ids, mask, cfg))
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(3, cfg.vocab_size, size=(b, s)).astype(np.int32))
+    mask = jnp.ones((b, s), jnp.int32)
+
+    salt_ctr = [0]
+
+    def chained(p, n_iters):
+        # inputs vary per dispatch (token ids shifted by a globally
+        # unique offset + a data-dependent carry): bit-identical repeats
+        # can be served by a caching tunnel layer (CLAUDE.md protocol)
+        carry = jnp.int32(0)
+        for _ in range(n_iters):
+            salt_ctr[0] += 1
+            shifted = 3 + (ids + salt_ctr[0] + carry) % (cfg.vocab_size - 3)
+            out = fwd(p, shifted, mask)
+            carry = (jnp.abs(out[0, 0]) * 1e6).astype(jnp.int32) % 7
+        return float(carry)
+
+    for p in variants.values():
+        chained(p, 1)  # compile both programs before any timing
+
+    # int8 parity check on-device (the A/B is meaningless if the int8
+    # program computes something else)
+    e_b = np.asarray(fwd(params, ids, mask), np.float32)
+    e_q = np.asarray(fwd(params_q, ids, mask), np.float32)
+    cos = float(np.min(np.sum(e_b * e_q, axis=1)))
+
+    n_params = sum(
+        int(np.prod(x.shape))
+        for x in jax.tree_util.tree_leaves(params)
+    )
+    flops_per_iter = 2.0 * n_params * b * s
+    peak = 500e12  # above v5e bf16 peak; int8 peak (~394 TOPS) also below
+    best = {name: float("inf") for name in variants}
+    dropped = {name: 0 for name in variants}
+    for r in range(rounds):
+        r_t0 = time.perf_counter()
+        for name, p in variants.items():
+            t0 = time.perf_counter()
+            chained(p, 1)
+            t_one = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            chained(p, iters)
+            t_many = time.perf_counter() - t0
+            dt = max(
+                t_many - max(t_one - t_many / iters, 0.0), t_many / iters
+            ) / iters
+            if flops_per_iter / dt > peak:
+                dropped[name] += 1
+                continue
+            best[name] = min(best[name], dt)
+        print(
+            f"[round {r + 1}/{rounds} wall={time.perf_counter() - r_t0:.1f}s] "
+            + " ".join(
+                f"{n}={v * 1e3:.1f}ms" for n, v in best.items()
+            ),
+            file=sys.stderr, flush=True,
+        )
+    out = {
+        "metric": f"encoder bf16-vs-int8 A/B (bge-m3-size, batch {b}, seq {s})",
+        "backend": jax.default_backend(),
+        "min_cosine_int8_vs_bf16": round(cos, 5),
+        "dropped_impossible_rounds": dropped,
+    }
+    for name, dt in best.items():
+        out[f"{name}_chunks_per_s"] = round(b / dt, 1) if np.isfinite(dt) else None
+        out[f"{name}_tflops"] = (
+            round(flops_per_iter / dt / 1e12, 1) if np.isfinite(dt) else None
+        )
+    if all(np.isfinite(v) for v in best.values()):
+        out["int8_speedup"] = round(best["bf16"] / best["int8"], 2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -75,11 +75,16 @@ async def run() -> None:
     enc_params = init_encoder_params(jax.random.key(0), cfg)
     rr_params = init_reranker_params(jax.random.key(1), cfg)
     tok = HashTokenizer(vocab_size=cfg.vocab_size)
+    # BENCH_INT8=1: w8a8 trunks (ENCODER_INT8 serving config) — the ask
+    # path's encode + rerank forwards run int8 x int8 MXU dots
+    int8 = bool(os.environ.get("BENCH_INT8"))
     emb = EncoderEmbedder(
         enc_params, cfg, tok, max_tokens=tok_w, seq_buckets=(tok_w,),
-        name="bench-bge-m3",
+        name="bench-bge-m3", int8=int8,
     )
-    rr = CrossEncoderReranker(rr_params, cfg, tok, max_tokens=2 * tok_w)
+    rr = CrossEncoderReranker(
+        rr_params, cfg, tok, max_tokens=2 * tok_w, int8=int8
+    )
 
     cap = 1024
     while cap < n:
@@ -207,7 +212,8 @@ async def run() -> None:
             {
                 "metric": (
                     f"north-star serve: {conc} concurrent asks, "
-                    f"{'tiny-smoke' if smoke else 'bge-m3-size'} encoder+reranker, "
+                    f"{'tiny-smoke' if smoke else 'bge-m3-size'} encoder+reranker"
+                    f"{' (int8 trunks)' if int8 else ''}, "
                     f"{n}x{cfg.hidden} f32x2 fused index, "
                     f"backend={jax.default_backend()}"
                 ),
