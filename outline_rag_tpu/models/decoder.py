@@ -284,7 +284,15 @@ def _mm(x: jax.Array, w, dt) -> jax.Array:
     for d in lead:
         m *= d
     block_n = _pick_block_n(q.shape[0])
-    if m <= 256 and _INT8_MODE == "w8a8":
+    # w8a8 serves EVERY M: at decode (M=8) the win is halved weight HBM;
+    # at prefill (M up to the 2048 prompt bucket) it is the int8 MXU's
+    # ~2x bf16 peak — the dequant-to-bf16 fallback below paid O(N*K) VPU
+    # dequant AND ran the matmul at half throughput. Activation scales
+    # are per ROW (per token), so a token's quantization never depends
+    # on its neighbors — prefill stays chunk-boundary-independent and
+    # the paged prefix-cache exactness invariant (CLAUDE.md: warm ==
+    # cold under the same chunked-prefill program) is preserved.
+    if _INT8_MODE == "w8a8":
         x2 = x.reshape(m, k).astype(jnp.float32)
         amax = jnp.max(jnp.abs(x2), axis=1, keepdims=True)
         xs = jnp.maximum(amax / 127.0, 1e-12)

@@ -310,3 +310,55 @@ def test_int8_provider_stream(tiny):
 
     text = asyncio.run(run())
     assert isinstance(text, str)
+
+
+def test_int8_large_m_prefill_parity(tiny):
+    """w8a8 now serves large-M prefill too (M > 256 previously fell back
+    to weight-dequant + bf16 matmul): the int8 MXU path at prompt-bucket
+    shapes must track the float forward as closely as the decode-step
+    shapes do."""
+    from outline_rag_tpu.models.decoder import quantize_decoder_params
+
+    cfg, params = tiny
+    qparams = quantize_decoder_params(params)
+    b, t = 32, 12  # M = 384 per projection call: the former fallback regime
+    toks = jax.random.randint(jax.random.key(11), (b, t), 0, cfg.vocab_size)
+    want, _ = decoder_forward(
+        params, toks, init_cache(cfg, b), jnp.zeros((b,), jnp.int32), cfg
+    )
+    got, _ = decoder_forward(
+        qparams, toks, init_cache(cfg, b), jnp.zeros((b,), jnp.int32), cfg
+    )
+    w, g = np.asarray(want), np.asarray(got)
+    cos = (w * g).sum(-1) / (
+        np.linalg.norm(w, axis=-1) * np.linalg.norm(g, axis=-1)
+    )
+    assert cos.min() > 0.999, cos.min()
+
+
+def test_int8_prefill_chunking_independent(tiny):
+    """Per-row activation scales make w8a8 prefill chunk-boundary-
+    independent: a prompt prefilled in chunks must agree with the whole-
+    prompt prefill (the paged prefix-cache exactness contract relies on
+    per-position math not depending on neighbors in the same dispatch)."""
+    from outline_rag_tpu.models.decoder import quantize_decoder_params
+
+    cfg, params = tiny
+    qparams = quantize_decoder_params(params)
+    t = 12
+    toks = jax.random.randint(jax.random.key(13), (1, t), 0, cfg.vocab_size)
+    whole, _ = decoder_forward(
+        qparams, toks, init_cache(cfg, 1), jnp.zeros((1,), jnp.int32), cfg
+    )
+    cache = init_cache(cfg, 1)
+    parts = []
+    for start in range(0, t, 4):
+        lg, cache = decoder_forward(
+            qparams, toks[:, start : start + 4], cache,
+            jnp.full((1,), start, jnp.int32), cfg,
+        )
+        parts.append(lg)
+    chunked = jnp.concatenate(parts, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(whole), np.asarray(chunked), atol=2e-4, rtol=2e-4
+    )
