@@ -73,12 +73,16 @@ def bench_encode() -> None:
 
     chained(1, 0)  # compile + warm
     iters = 8
-    # FLOPs roofline guard: ~2 * params * tokens per forward; a reading
-    # implying more than the chip's peak is a tunnel artifact — retry
-    n_params = sum(
-        int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params)
+    # FLOPs roofline guard: a reading implying more than the chip's peak
+    # is a tunnel artifact — retry. Count MATMUL weights only: the 256M-
+    # param embedding table is a gather, and including it inflated the
+    # implied TFLOP/s ~1.8x (mis-calibrating this very filter).
+    n_matmul = cfg.layers * (
+        4 * cfg.hidden**2 + 2 * cfg.hidden * cfg.intermediate
     )
-    flops_per_iter = 2.0 * n_params * b * s
+    # + the attention score/context matmuls (~8% at seq 256)
+    attn_flops = cfg.layers * 4.0 * s * cfg.hidden
+    flops_per_iter = (2.0 * n_matmul + attn_flops) * b * s
     peak_flops = 500e12  # above any v5e bf16 peak
     dt = None
     for attempt in range(3):

@@ -293,16 +293,9 @@ def _mm(x: jax.Array, w, dt) -> jax.Array:
     # the paged prefix-cache exactness invariant (CLAUDE.md: warm ==
     # cold under the same chunked-prefill program) is preserved.
     if _INT8_MODE == "w8a8":
-        x2 = x.reshape(m, k).astype(jnp.float32)
-        amax = jnp.max(jnp.abs(x2), axis=1, keepdims=True)
-        xs = jnp.maximum(amax / 127.0, 1e-12)
-        xq = jnp.clip(jnp.round(x2 / xs), -127, 127).astype(jnp.int8)
-        raw = jax.lax.dot_general(
-            xq, q,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        out = raw.astype(jnp.float32) * xs * s[None, :].astype(jnp.float32)
+        from outline_rag_tpu.ops.int8_linear import w8a8_matmul
+
+        out = w8a8_matmul(x.reshape(m, k), q, s)
         return out.reshape(*lead, q.shape[0]).astype(dt)
     if block_n is not None and m <= 256:
         from outline_rag_tpu.ops.int8_linear import int8_linear

@@ -148,14 +148,16 @@ def quantize_encoder_params(params: Params) -> Params:
     rules) stay in their original dtypes. Apply AFTER
     ``stack_layer_params``/``cast_params``; never cast afterwards.
     """
+    from outline_rag_tpu.ops.int8_linear import quantize_linear_weight
+
     params = stack_layer_params(params)
 
     def quant(w):  # [L, K, N] (or [K, N]) -> {"q": [..., N, K], "s": [..., N]}
-        wt = jnp.swapaxes(jnp.asarray(w, jnp.float32), -1, -2)
-        amax = jnp.max(jnp.abs(wt), axis=-1)
-        s = jnp.maximum(amax / 127.0, 1e-12)
-        q = jnp.clip(jnp.round(wt / s[..., None]), -127, 127).astype(jnp.int8)
-        return {"q": q, "s": s.astype(jnp.float32)}
+        if w.ndim == 3:
+            q, s = jax.vmap(quantize_linear_weight)(w)
+        else:
+            q, s = quantize_linear_weight(w)
+        return {"q": q, "s": s}
 
     out = dict(params)
     layers = {grp: dict(params["layers"][grp]) for grp in params["layers"]}
@@ -174,19 +176,11 @@ def _emm(x: jax.Array, w, dt) -> jax.Array:
     never runs the decoder's M=8 latency-critical shape."""
     if not isinstance(w, dict):
         return x @ w.astype(dt)
+    from outline_rag_tpu.ops.int8_linear import w8a8_matmul
+
     q, s = w["q"], w["s"]
     lead = x.shape[:-1]
-    k = x.shape[-1]
-    x2 = x.reshape(-1, k).astype(jnp.float32)
-    amax = jnp.max(jnp.abs(x2), axis=1, keepdims=True)
-    xs = jnp.maximum(amax / 127.0, 1e-12)
-    xq = jnp.clip(jnp.round(x2 / xs), -127, 127).astype(jnp.int8)
-    raw = jax.lax.dot_general(
-        xq, q,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    out = raw.astype(jnp.float32) * xs * s[None, :].astype(jnp.float32)
+    out = w8a8_matmul(x.reshape(-1, x.shape[-1]), q, s)
     return out.reshape(*lead, q.shape[0]).astype(dt)
 
 

@@ -33,6 +33,29 @@ def quantize_linear_weight(w: jax.Array) -> tuple[jax.Array, jax.Array]:
     return q, scale[:, 0]
 
 
+def w8a8_matmul(x2: jax.Array, q: jax.Array, s: jax.Array) -> jax.Array:
+    """``[M, K] float @ ([N, K] int8, [N] f32 scales) -> [M, N] f32``.
+
+    Dynamic per-row (per-token) activation quantization -> int8 x int8
+    MXU dot -> f32 output rescale (O(M*N), fused by XLA). This is THE
+    single implementation of the w8a8 numerics: the decoder
+    (``models/decoder.py::_mm``) and encoder (``models/encoder.py::_emm``)
+    forwards both route here, and their parity bars (logit/embedding
+    cosine > 0.999 vs the float forward) assume identical math — fix
+    rounding/eps/accumulation details HERE, never in one caller.
+    """
+    x2 = x2.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x2), axis=1, keepdims=True)
+    xs = jnp.maximum(amax / 127.0, 1e-12)
+    xq = jnp.clip(jnp.round(x2 / xs), -127, 127).astype(jnp.int8)
+    raw = jax.lax.dot_general(
+        xq, q,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return raw.astype(jnp.float32) * xs * s[None, :].astype(jnp.float32)
+
+
 def _kernel(x_ref, wq_ref, s_ref, o_ref):
     # x [M, K] bf16; wq [TN, K] int8; s [TN, 1] f32 -> o [M, TN]
     w = wq_ref[:].astype(jnp.bfloat16) * s_ref[:].astype(jnp.bfloat16)

@@ -75,11 +75,14 @@ def main() -> None:
     e_q = np.asarray(fwd(params_q, ids, mask), np.float32)
     cos = float(np.min(np.sum(e_b * e_q, axis=1)))
 
-    n_params = sum(
-        int(np.prod(x.shape))
-        for x in jax.tree_util.tree_leaves(params)
+    # matmul FLOPs only (the embedding table is a gather; counting its
+    # 256M params inflated TFLOP/s ~1.8x and made the impossibility
+    # filter drop legitimate int8 rounds): trunk dense projections plus
+    # the attention score/context matmuls (~8% at seq 256)
+    n_matmul = cfg.layers * (
+        4 * cfg.hidden**2 + 2 * cfg.hidden * cfg.intermediate
     )
-    flops_per_iter = 2.0 * n_params * b * s
+    flops_per_iter = (2.0 * n_matmul + cfg.layers * 4.0 * s * cfg.hidden) * b * s
     peak = 500e12  # above v5e bf16 peak; int8 peak (~394 TOPS) also below
     best = {name: float("inf") for name in variants}
     dropped = {name: 0 for name in variants}

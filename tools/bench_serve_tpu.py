@@ -124,6 +124,10 @@ async def run() -> None:
             "DATA_DIR": "",
             "TOKEN_WIDTH": str(tok_w),
             "MESH_DATA_AXIS": "1",
+            # explicit mappings bypass os.environ entirely (config.py),
+            # so the batcher-cap override must be forwarded by hand for
+            # the warm ladder's query_batch_max derivation to see it
+            "QUERY_BATCH_MAX": os.environ.get("QUERY_BATCH_MAX", "32"),
         }
     )
     app = build_app(

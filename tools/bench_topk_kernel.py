@@ -202,8 +202,11 @@ if DT == jnp.float32:
     queries_x2 = jax.block_until_ready(
         split_f32_bf16x2(queries.astype(jnp.float32))
     )
+    # split the PERTURBED q (not a cached split plus zero): `x + sum(q)*0`
+    # is bit-identical every iteration — the exact caching artifact the
+    # chained salt exists to defeat
     VARIANTS["f32x2_nomerge"] = lambda q, c: run_x2_nomerge(
-        queries_x2 + (jnp.sum(q) * 0).astype(jnp.bfloat16), corpus_x2
+        split_f32_bf16x2(q.astype(jnp.float32)), corpus_x2
     )
 if B <= 128:  # the stripped diagnostics don't chunk B and OOM VMEM past it
     VARIANTS["matmul"] = lambda q, c: run_variant(q, c, "matmul")

@@ -618,7 +618,8 @@ def primitive_member(interp: Interpreter, base, name: str):
         if name == "add":
             def _add(i_, t, a):
                 v = a[0] if a else UNDEF
-                base.d[_hashable(v)] = v
+                # no-op on re-insert: JS keeps the first-inserted value
+                base.d.setdefault(_hashable(v), v)
                 return base
             return JSHost("add", _add)
         if name == "delete":

@@ -218,8 +218,12 @@ class JSSet:
     def __init__(self, items=()):
         # tag -> ORIGINAL value: the tagged key gives SameValueZero
         # semantics, but iteration (for-of, spread, forEach) must yield
-        # the original values, not ('n', 1.0)-style tag tuples
-        self.d = {_hashable(v): v for v in items}
+        # the original values, not ('n', 1.0)-style tag tuples. First
+        # insert wins (JS: re-adding an existing member is a no-op on
+        # the stored value — observable for the +0/-0 pair).
+        self.d = {}
+        for v in items:
+            self.d.setdefault(_hashable(v), v)
 
     def __repr__(self):
         return f"JSSet({list(self.d.values())!r})"
