@@ -61,34 +61,43 @@ def _flash_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0]
-    k = k_ref[0]
-    # [BQ, BK] logits on the MXU, f32 accumulation.
-    s = jax.lax.dot_general(
-        q,
-        k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    s = s * scale + bias_ref[0]  # [1, BK] broadcast over query rows
+    # Fully-masked key tile (every key is bucket padding): nothing to
+    # contribute — skip the QK matmul, exp, and PV entirely. Documents
+    # embed through a bucket ladder (64..8192 tokens), so short docs in
+    # long buckets are MOSTLY padding; attention cost now tracks the
+    # real length, the same live-tile discipline as the paged KV walk.
+    live = jnp.max(bias_ref[0]) > NEG_BIAS * 0.5
 
-    m_prev = m_scr[:, :1]  # [BQ, 1]
-    l_prev = l_scr[:, :1]
-    m_cur = jnp.max(s, axis=1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)  # [BQ, 1]
-    p = jnp.exp(s - m_new)  # [BQ, BK] f32
-    l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+    @pl.when(live)
+    def _tile():
+        q = q_ref[0]
+        k = k_ref[0]
+        # [BQ, BK] logits on the MXU, f32 accumulation.
+        s = jax.lax.dot_general(
+            q,
+            k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = s * scale + bias_ref[0]  # [1, BK] broadcast over query rows
 
-    pv = jax.lax.dot_general(
-        p.astype(v_ref.dtype),
-        v_ref[0],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    acc_scr[:] = acc_scr[:] * alpha + pv
-    m_scr[:] = m_new + jnp.zeros_like(m_scr)
-    l_scr[:] = l_new + jnp.zeros_like(l_scr)
+        m_prev = m_scr[:, :1]  # [BQ, 1]
+        l_prev = l_scr[:, :1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)  # [BQ, 1]
+        p = jnp.exp(s - m_new)  # [BQ, BK] f32
+        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype),
+            v_ref[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[:] = acc_scr[:] * alpha + pv
+        m_scr[:] = m_new + jnp.zeros_like(m_scr)
+        l_scr[:] = l_new + jnp.zeros_like(l_scr)
 
     @pl.when(kk == nk - 1)
     def _emit():
@@ -157,12 +166,18 @@ def _flash_jit(
 
 
 def _pick_blocks(s: int) -> tuple[int, int]:
-    """Block sizes scaled so long sequences keep the grid small (the remote
-    compiler stresses past a few thousand grid steps — CLAUDE.md)."""
-    if s >= 4096:
-        return 512, 1024
+    """Block sizes: as large as VMEM comfortably allows, from S=1024 up.
+
+    The kernel's cost at mid-range S was per-STEP overhead, not compute:
+    at S=2048 the old 256/512 tiles ran a 2048-step grid at ~5 us/step
+    (~67 MFLOP of work per step) — 6.6 TFLOP/s, 5x under XLA's fused
+    attention. The 512/1024 tiles the S>=4096 rungs already used carry
+    4x the work per step at the same fixed overhead (S=8192 measured
+    2.6 us/step amortized). VMEM bound: the [BQ, BK] f32 probability
+    tile (512x1024 = 2 MB) plus double-buffered K/V tiles stays well
+    inside the 16M scope; 1024x2048 would blow it (8 MB p-tile)."""
     if s >= 1024:
-        return 256, 512
+        return 512, 1024
     return 128, min(512, _round_up(s, 128))
 
 

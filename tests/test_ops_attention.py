@@ -128,3 +128,25 @@ def test_encoder_flash_impl_matches_einsum():
     np.testing.assert_allclose(
         np.asarray(base) * m, np.asarray(flash) * m, atol=5e-5, rtol=5e-5
     )
+
+
+def test_flash_masked_tile_skip_short_doc_in_long_bucket():
+    """A short document padded into a long bucket leaves entire key
+    tiles fully masked; the kernel skips them (live-tile early exit) and
+    must still match the oracle exactly on the real rows, including when
+    the FIRST tiles are the masked ones' complement (real keys at the
+    start) and when the real span is tiny relative to the bucket."""
+    b, s, h, d = 2, 512, 2, 64
+    for real_len in (5, 130):  # far below one block and just past one
+        q, k, v, _, _ = make_inputs(b, s, h, d, seed=7, ragged=False)
+        mask = (jnp.arange(s)[None, :] < real_len).astype(jnp.float32)
+        mask = jnp.broadcast_to(mask, (b, s))
+        bias = (1.0 - mask) * NEG_BIAS
+        got = flash_attention(
+            q, k, v, bias, block_q=128, block_k=128, interpret=True
+        )
+        want = oracle(q, k, v, bias)
+        m = np.asarray(mask)[:, :, None, None]
+        np.testing.assert_allclose(
+            np.asarray(got) * m, np.asarray(want) * m, atol=2e-5, rtol=2e-5
+        )

@@ -29,7 +29,12 @@ kq, kk, kv = jax.random.split(key, 3)
 q = jax.random.normal(kq, (B, S, H, D), jnp.float32).astype(DT)
 k = jax.random.normal(kk, (B, S, H, D), jnp.float32).astype(DT)
 v = jax.random.normal(kv, (B, S, H, D), jnp.float32).astype(DT)
-bias = jnp.zeros((B, S), jnp.float32).at[:, S - S // 8 :].set(NEG_BIAS)
+# REAL_LEN: number of real (unmasked) tokens per row — short docs in a
+# long bucket leave whole key tiles masked, which the kernel's live-tile
+# skip should turn into near-free steps. Default keeps the historical
+# 7/8-real shape.
+REAL_LEN = int(os.environ.get("REAL_LEN", S - S // 8))
+bias = jnp.zeros((B, S), jnp.float32).at[:, REAL_LEN:].set(NEG_BIAS)
 
 
 @jax.jit
@@ -50,11 +55,17 @@ def flash(q, k, v, bias):
     return flash_attention(q, k, v, bias, block_q=BQ, block_k=BK, interpret=False)
 
 
+_ctr = [0]
+
+
 def chained(fn, iters):
+    # inputs vary per dispatch (dtype-visible offset: 1e-3 clears the
+    # bf16 ulp at unit-normal magnitudes) + data carry — bit-identical
+    # repeats can be served by a caching tunnel layer (CLAUDE.md)
     carry = jnp.float32(0)
-    qq = q
     for _ in range(iters):
-        qq = q + (carry * 0).astype(DT)
+        _ctr[0] += 1
+        qq = q + (carry * 1e-9 + (_ctr[0] % 97 + 1) * 1e-3).astype(DT)
         out = fn(qq, k, v, bias)
         carry = carry + jnp.sum(out[:, 0, 0, :2].astype(jnp.float32))
     return float(carry)
