@@ -298,3 +298,41 @@ def test_sharded_f32x2_index_query():
     ids_p, vals_p = plain.query(q, k)
     assert ids_s == ids_p
     np.testing.assert_allclose(vals_s, vals_p, atol=1e-5)
+
+
+def test_fused_engine_mesh_runs_int8_trunks():
+    """ENCODER_INT8 x mesh serving: the quantized {'q','s'} trunk leaves
+    replicate through fused_query_mesh (encoder + reranker run
+    replicated next to the row-sharded corpus) and the mesh program
+    returns the same candidates as the single-device int8 program."""
+    from outline_rag_tpu.engine.embedder import EncoderEmbedder
+    from outline_rag_tpu.engine.fused import FusedEngine
+    from outline_rag_tpu.engine.rerank import CrossEncoderReranker
+    from outline_rag_tpu.models.encoder import EncoderConfig, init_encoder_params
+    from outline_rag_tpu.models.reranker import init_reranker_params
+    from outline_rag_tpu.models.tokenizer import HashTokenizer
+
+    cfg = EncoderConfig.tiny()
+    enc_params = init_encoder_params(jax.random.key(0), cfg)
+    rr_params = init_reranker_params(jax.random.key(1), cfg)
+    tok = HashTokenizer(vocab_size=cfg.vocab_size)
+    emb = EncoderEmbedder(
+        enc_params, cfg, tok, max_tokens=64, seq_buckets=(32, 64),
+        name="tiny", int8=True,
+    )
+    rr = CrossEncoderReranker(rr_params, cfg, tok, max_tokens=128, int8=True)
+
+    mesh = data_mesh()
+    kw = dict(dim=emb.dim, capacity=2048, token_width=32)
+    sharded = VectorIndex(sharding=row_sharding(mesh), **kw)
+    plain = VectorIndex(**kw)
+    _fill_fused(sharded, emb)
+    _fill_fused(plain, emb)
+
+    queries = ["alpha wolf pack forest", "zeta function prime zeros"]
+    fe_s = FusedEngine(emb, rr, sharded, top_k=4, rerank_k=3)
+    fe_p = FusedEngine(emb, rr, plain, top_k=4, rerank_k=3)
+    out_s, out_p = fe_s.query(queries), fe_p.query(queries)
+    assert [[c[0] for c in row] for row in out_s] == [
+        [c[0] for c in row] for row in out_p
+    ]
