@@ -125,7 +125,64 @@ def bench_encode() -> None:
     )
 
 
+def _tunnel_alive(timeout_s: int = 240) -> bool:
+    """Probe the TPU tunnel in a SUBPROCESS with a hard timeout.
+
+    Backend initialization itself goes through the remote tunnel and can
+    block indefinitely when the tunnel is down (observed dead for 9+
+    hours straight); a blocked JAX call cannot be interrupted in-process.
+    Probing in a child keeps the parent clean: on failure we emit an
+    honest, parseable result line instead of hanging the whole harness
+    past the driver's patience with no output at all.
+    """
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import jax, jax.numpy as jnp; "
+                "x = jnp.ones((64, 64)); float(jnp.sum(x @ x)); "
+                "import sys; sys.exit(0 if jax.default_backend() else 1)",
+            ],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except Exception:
+        return False
+
+
 def main() -> None:
+    # Fail fast and honestly when the tunnel is dead: a hung benchmark
+    # records nothing; a labeled zero records what happened. Skipped when
+    # the caller already forced the CPU backend (tests, smokes) — the
+    # probe child would still try the tunnel and misreport.
+    import jax
+
+    try:
+        _plats = (jax.config.jax_platforms or "").strip()
+    except Exception:
+        _plats = ""
+    if (
+        _plats != "cpu"
+        and not os.environ.get("BENCH_SKIP_PROBE")
+        and not _tunnel_alive()
+    ):
+        print(
+            json.dumps(
+                {
+                    "metric": "retrieval benchmark not run: TPU tunnel dead "
+                    "(backend init probe timed out)",
+                    "value": 0,
+                    "unit": "queries/s",
+                    "vs_baseline": None,
+                    "window": "tunnel-dead",
+                }
+            )
+        )
+        return
     if os.environ.get("BENCH_SCENARIO") == "encode":
         bench_encode()
         return
