@@ -71,30 +71,33 @@ def bench_encode() -> None:
             carry = (jnp.abs(out[0, 0]) * 1e6).astype(jnp.int32) % 7
         return float(carry)
 
+    from outline_rag_tpu.utils.benchproto import (
+        encoder_matmul_flops,
+        two_point_dt,
+    )
+
     chained(1, 0)  # compile + warm
     iters = 8
     # FLOPs roofline guard: a reading implying more than the chip's peak
-    # is a tunnel artifact — retry. Count MATMUL weights only: the 256M-
-    # param embedding table is a gather, and including it inflated the
-    # implied TFLOP/s ~1.8x (mis-calibrating this very filter).
-    n_matmul = cfg.layers * (
-        4 * cfg.hidden**2 + 2 * cfg.hidden * cfg.intermediate
-    )
-    # + the attention score/context matmuls (~8% at seq 256)
-    attn_flops = cfg.layers * 4.0 * s * cfg.hidden
-    flops_per_iter = (2.0 * n_matmul + attn_flops) * b * s
+    # is a tunnel artifact — retry (shared model: benchproto).
+    flops_per_iter = encoder_matmul_flops(cfg, b, s)
     peak_flops = 500e12  # above any v5e bf16 peak
     dt = None
+    cand = None
     for attempt in range(3):
         t0 = time.perf_counter()
         chained(1, 100 + attempt)
-        t_one = time.perf_counter() - t0
+        t_short = time.perf_counter() - t0
         t0 = time.perf_counter()
-        chained(iters, 200 + attempt)
-        t_many = time.perf_counter() - t0
-        cand = max(
-            t_many - max(t_one - t_many / iters, 0.0), t_many / iters
-        ) / iters
+        chained(1 + iters, 200 + attempt)
+        t_long = time.perf_counter() - t0
+        cand = two_point_dt(t_short, t_long, 1, 1 + iters)
+        if cand is None:
+            print(
+                "# tunnel window shifted mid-round: encoder pair discarded",
+                file=sys.stderr,
+            )
+            continue
         if flops_per_iter / cand <= peak_flops:
             dt = cand
             break
@@ -104,7 +107,11 @@ def bench_encode() -> None:
             file=sys.stderr,
         )
     if dt is None:
-        dt = cand  # all attempts impossible: report, labeled
+        if cand is None:  # every pair swung: overhead-inclusive fallback
+            t0 = time.perf_counter()
+            chained(iters, 300)
+            cand = (time.perf_counter() - t0) / iters
+        dt = cand  # no plausible pair: report, labeled below
     print(
         json.dumps(
             {
@@ -142,9 +149,15 @@ def _tunnel_alive(timeout_s: int = 240) -> bool:
             [
                 sys.executable,
                 "-c",
+                # default_backend() is always a non-empty string once
+                # init succeeds, so "is it truthy" was vacuous: a fast-
+                # failing axon plugin silently falls back to CPU and the
+                # probe child would pass, recording CPU throughput as a
+                # TPU result. Require a non-CPU backend explicitly.
                 "import jax, jax.numpy as jnp; "
                 "x = jnp.ones((64, 64)); float(jnp.sum(x @ x)); "
-                "import sys; sys.exit(0 if jax.default_backend() else 1)",
+                "import sys; "
+                "sys.exit(0 if jax.default_backend() != 'cpu' else 1)",
             ],
             timeout=timeout_s,
             capture_output=True,
@@ -170,13 +183,17 @@ def main() -> None:
         and not os.environ.get("BENCH_SKIP_PROBE")
         and not _tunnel_alive()
     ):
+        _enc = os.environ.get("BENCH_SCENARIO") == "encode"
         print(
             json.dumps(
                 {
-                    "metric": "retrieval benchmark not run: TPU tunnel dead "
-                    "(backend init probe timed out)",
+                    "metric": (
+                        ("encoder" if _enc else "retrieval")
+                        + " benchmark not run: TPU tunnel dead (backend "
+                        "probe timed out or fell back to CPU)"
+                    ),
                     "value": 0,
-                    "unit": "queries/s",
+                    "unit": "chunks/s" if _enc else "queries/s",
                     "vs_baseline": None,
                     "window": "tunnel-dead",
                 }

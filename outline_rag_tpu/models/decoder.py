@@ -269,9 +269,11 @@ def _mm_int4(x: jax.Array, q4: jax.Array, s4: jax.Array, dt) -> jax.Array:
 def _mm(x: jax.Array, w, dt) -> jax.Array:
     """x @ w for dense weights ([K, N]) or int8 ``{"q": [N,K], "s": [N]}``.
 
-    int8 path: small-M calls (decode steps) use the _INT8_MODE strategy;
-    large-M calls (prefill, where the weight read is amortized over many
-    tokens) dequantize through the MXU-fused XLA path.
+    int8 path: the default w8a8 mode serves EVERY M through the shared
+    ``w8a8_matmul`` (decode steps and prefill alike — see the comment
+    below). The non-w8a8 strategies are the measured-and-kept
+    alternatives: the Pallas ``int8_linear`` at small M, and a
+    dequantize-to-bf16 (w8a16) XLA fallback at large M.
     """
     if not isinstance(w, dict):
         return x @ w.astype(dt)
@@ -283,7 +285,6 @@ def _mm(x: jax.Array, w, dt) -> jax.Array:
     m = 1
     for d in lead:
         m *= d
-    block_n = _pick_block_n(q.shape[0])
     # w8a8 serves EVERY M: at decode (M=8) the win is halved weight HBM;
     # at prefill (M up to the 2048 prompt bucket) it is the int8 MXU's
     # ~2x bf16 peak — the dequant-to-bf16 fallback below paid O(N*K) VPU
@@ -297,6 +298,7 @@ def _mm(x: jax.Array, w, dt) -> jax.Array:
 
         out = w8a8_matmul(x.reshape(m, k), q, s)
         return out.reshape(*lead, q.shape[0]).astype(dt)
+    block_n = _pick_block_n(q.shape[0])
     if block_n is not None and m <= 256:
         from outline_rag_tpu.ops.int8_linear import int8_linear
 

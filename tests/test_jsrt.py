@@ -460,6 +460,20 @@ def test_set_map_samevaluezero_keys(interp):
     """) is True
 
 
+def test_set_add_normalizes_negative_zero(interp):
+    """Set.prototype.add stores -0 as +0 (spec step "If value is -0F,
+    set value to +0F") — observable through iteration. A first-insert-
+    wins implementation kept -0, diverging from Node exactly on the
+    only SameValueZero pair with distinct observable values."""
+    assert run(interp, "1 / [...new Set([-0, 0])][0]") == float("inf")
+    assert run(interp, "1 / [...new Set([-0])][0]") == float("inf")
+    assert run(interp, "new Set([-0, 0]).size") == 1
+    assert run(interp, """
+      (() => { const s = new Set(); s.add(-0);
+               let got = null; s.forEach(v => got = 1 / v); return got; })()
+    """) == float("inf")
+
+
 def test_set_iteration_yields_values_not_tag_tuples(interp):
     """The SameValueZero key tags are an implementation detail: for-of,
     spread, and forEach over a Set must yield the ORIGINAL values (a

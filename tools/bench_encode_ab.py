@@ -75,14 +75,12 @@ def main() -> None:
     e_q = np.asarray(fwd(params_q, ids, mask), np.float32)
     cos = float(np.min(np.sum(e_b * e_q, axis=1)))
 
-    # matmul FLOPs only (the embedding table is a gather; counting its
-    # 256M params inflated TFLOP/s ~1.8x and made the impossibility
-    # filter drop legitimate int8 rounds): trunk dense projections plus
-    # the attention score/context matmuls (~8% at seq 256)
-    n_matmul = cfg.layers * (
-        4 * cfg.hidden**2 + 2 * cfg.hidden * cfg.intermediate
+    from outline_rag_tpu.utils.benchproto import (
+        encoder_matmul_flops,
+        two_point_dt,
     )
-    flops_per_iter = (2.0 * n_matmul + cfg.layers * 4.0 * s * cfg.hidden) * b * s
+
+    flops_per_iter = encoder_matmul_flops(cfg, b, s)
     peak = 500e12  # above v5e bf16 peak; int8 peak (~394 TOPS) also below
     best = {name: float("inf") for name in variants}
     dropped = {name: 0 for name in variants}
@@ -91,14 +89,16 @@ def main() -> None:
         for name, p in variants.items():
             t0 = time.perf_counter()
             chained(p, 1)
-            t_one = time.perf_counter() - t0
+            t_short = time.perf_counter() - t0
             t0 = time.perf_counter()
-            chained(p, iters)
-            t_many = time.perf_counter() - t0
-            dt = max(
-                t_many - max(t_one - t_many / iters, 0.0), t_many / iters
-            ) / iters
-            if flops_per_iter / dt > peak:
+            chained(p, 1 + iters)
+            t_long = time.perf_counter() - t0
+            # shared two-point form: None = the window shifted between
+            # the pair (or the reading is otherwise inconsistent) —
+            # DROP the round; the old local floor latched values up to
+            # iters x too fast that still passed the roofline filter
+            dt = two_point_dt(t_short, t_long, 1, 1 + iters)
+            if dt is None or flops_per_iter / dt > peak:
                 dropped[name] += 1
                 continue
             best[name] = min(best[name], dt)

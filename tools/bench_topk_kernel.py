@@ -199,9 +199,6 @@ if DT == jnp.float32:
                 interpret=False, unroll_merge=u,
             )
         )
-    queries_x2 = jax.block_until_ready(
-        split_f32_bf16x2(queries.astype(jnp.float32))
-    )
     # split the PERTURBED q (not a cached split plus zero): `x + sum(q)*0`
     # is bit-identical every iteration — the exact caching artifact the
     # chained salt exists to defeat

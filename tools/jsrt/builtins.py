@@ -13,7 +13,7 @@ import re as _pyre
 from .interp import (
     NAN, UNDEF, HostObject, Interpreter, JSArray, JSClass, JSException,
     JSFunction, JSHost, JSMap, JSObject, JSPromise, JSRegExp, JSSet,
-    _hashable, _replacement_to_py, js_num_to_str, js_to_number,
+    _canon_zero, _hashable, _replacement_to_py, js_num_to_str, js_to_number,
     js_to_string, js_truthy,
 )
 
@@ -618,8 +618,8 @@ def primitive_member(interp: Interpreter, base, name: str):
         if name == "add":
             def _add(i_, t, a):
                 v = a[0] if a else UNDEF
-                # no-op on re-insert: JS keeps the first-inserted value
-                base.d.setdefault(_hashable(v), v)
+                # no-op on re-insert; -0 stored as +0 (spec: add step 1)
+                base.d.setdefault(_hashable(v), _canon_zero(v))
                 return base
             return JSHost("add", _add)
         if name == "delete":
@@ -643,7 +643,9 @@ def primitive_member(interp: Interpreter, base, name: str):
         if name == "set":
             def _set(i_, t, a):
                 k = a[0] if a else UNDEF
-                base.d[_hashable(k)] = (k, a[1] if len(a) > 1 else UNDEF)
+                # stored key normalizes -0 to +0 (spec: Map.set step 1)
+                base.d[_hashable(k)] = (
+                    _canon_zero(k), a[1] if len(a) > 1 else UNDEF)
                 return base
             return JSHost("set", _set)
         if name == "has":

@@ -218,12 +218,13 @@ class JSSet:
     def __init__(self, items=()):
         # tag -> ORIGINAL value: the tagged key gives SameValueZero
         # semantics, but iteration (for-of, spread, forEach) must yield
-        # the original values, not ('n', 1.0)-style tag tuples. First
-        # insert wins (JS: re-adding an existing member is a no-op on
-        # the stored value — observable for the +0/-0 pair).
+        # the original values, not ('n', 1.0)-style tag tuples.
+        # Re-adding an existing member is a no-op on the stored value;
+        # the only pair SameValueZero collapses with distinct values is
+        # +0/-0, which Set.prototype.add stores as +0 (_canon_zero).
         self.d = {}
         for v in items:
-            self.d.setdefault(_hashable(v), v)
+            self.d.setdefault(_hashable(v), _canon_zero(v))
 
     def __repr__(self):
         return f"JSSet({list(self.d.values())!r})"
@@ -232,6 +233,13 @@ class JSSet:
 class JSMap:
     def __init__(self):
         self.d = {}
+
+
+def _canon_zero(v):
+    # JS Set.prototype.add / Map.prototype.set normalize -0 to +0
+    # before storing ("If value is -0F, set value to +0F") — observable
+    # via iteration: 1/[...new Set([-0])][0] is +Infinity in JS.
+    return 0.0 if isinstance(v, float) and v == 0.0 else v
 
 
 def _hashable(v):
