@@ -202,13 +202,15 @@ def _use_flash(cfg: EncoderConfig, batch: int, seq_len: int) -> bool:
         return True
     if cfg.attn_impl == "einsum":
         return False
-    # auto: XLA's fused attention wins through S=4096 on v5e (measured
-    # 18-34 TFLOP/s vs the kernel's 11; tools/bench_attention.py). Flash
-    # takes over where the [B,H,S,S] f32 logits tensor threatens HBM —
-    # at S=8192 einsum OOMs a 16G chip while flash runs at ~52 TFLOP/s.
+    # auto: measured on v5e post tile-skip + 512/1024 mid-range blocks
+    # (tools/bench_attention.py, two interleaved windows each): flash
+    # wins S=2048 (2.2-3.1x) and S=4096 (1.6x); einsum wins S=1024
+    # (~1.5x, consistent); S=512 is a wash. At S=8192 einsum OOMs a 16G
+    # chip while flash runs at ~52 TFLOP/s — and fully-masked key tiles
+    # are skipped, so short docs in a long bucket cost ~proportionally.
     logits_bytes = batch * cfg.heads * seq_len * seq_len * 4
     return jax.default_backend() == "tpu" and (
-        seq_len > 4096 or logits_bytes > (4 << 30)
+        seq_len >= 2048 or logits_bytes > (4 << 30)
     )
 
 
