@@ -16,12 +16,20 @@ MDIR=measurements/r3
 mkdir -p "$MDIR"
 
 probe() {
-  # healthy threshold 0.5 s (verify skill); prints RTT or "dead"
-  timeout 120 python - <<'EOF' 2>/dev/null
-import time, jax, jax.numpy as jnp
-x = jnp.ones((256, 256)); (x @ x).block_until_ready()
-t0 = time.time(); float(jnp.sum(x @ x))
-print(f"{time.time()-t0:.3f}")
+  # Execution RTT of a WARM (already-compiled) program — the thing that
+  # actually bounds timed benchmark loops. The old probe timed
+  # jnp.sum(x@x), whose reduction program cold-compiles inside the timed
+  # section, so it measured remote-COMPILER latency (0.5 s..30 s swings)
+  # and deferred through perfectly healthy execution windows. Median of 3
+  # warm round trips; healthy threshold 0.15 s (healthy is ~0.02-0.05 s).
+  timeout 180 python - <<'EOF' 2>/dev/null
+import time, jax.numpy as jnp
+x = jnp.ones((256, 256))
+float(jnp.sum(x @ x))  # compile outside the timed section
+ts = []
+for _ in range(3):
+    t0 = time.time(); float(jnp.sum(x @ x)); ts.append(time.time() - t0)
+print(f"{sorted(ts)[1]:.3f}")
 EOF
 }
 
@@ -30,7 +38,7 @@ run_task() {  # run_task <name> <timeout_s> <cmd...>
   [ -e "$MDIR/$name.done" ] && return 0
   local rtt
   rtt=$(probe) || rtt=""
-  if [ -z "$rtt" ] || ! awk "BEGIN{exit !($rtt < 0.5)}"; then
+  if [ -z "$rtt" ] || ! awk "BEGIN{exit !($rtt < 0.15)}"; then
     echo "$(date -u +%H:%M:%S) $name: tunnel degraded (rtt=${rtt:-dead}), deferring"
     return 1
   fi
