@@ -10,14 +10,24 @@ allocation/backpressure).
 
 The naive XLA expression — gather the pages into a contiguous [B, KvH,
 C, Dh] view, then attend — materializes a full per-row cache copy every
-decode step, tripling attention HBM traffic. The Pallas kernel instead
-walks the page table with scalar prefetch: grid ``(B, KvH, n_pages)``,
-each step DMA-ing ONE page ``[page, Dh]`` into VMEM directly from its
-pooled location (the block index map reads the page table), with the
-online-softmax accumulator discipline of ``ops/attention.py``. KV bytes
-move exactly once, and pages beyond a row's live length are neither
-fetched nor computed (the index map re-targets them at the last live
-page — consecutive identical block indices skip the DMA).
+decode step, tripling attention HBM traffic. The Pallas kernels instead
+walk the page table with scalar prefetch and the online-softmax
+accumulator discipline of ``ops/attention.py``; KV bytes move exactly
+once, and pages beyond a row's live length are neither fetched nor
+computed. Three walks trade fixed overhead differently (decode-shape
+matmuls are far below MXU granularity, so per-grid-step sequencing +
+DMA-issue cost dominates the walk, not FLOPs):
+
+- ``head``: grid ``(B, KvH, n_pages)`` — one page x one head per step
+  (the block index map reads the page table; dead pages re-target the
+  last live page, and consecutive identical block indices skip the DMA);
+- ``page``: grid ``(B, n_pages)`` — one step fetches a page's whole
+  ``[KvH, page, Dh]`` slab (contiguous in the pool) and accumulates
+  every head: KvH-fold fewer grid steps;
+- ``dma``: grid ``(B,)`` — the kernel double-buffers its own page-slab
+  ``make_async_copy`` DMAs over a ``fori_loop`` of the row's LIVE pages
+  only: no grid step or DMA at all for dead table entries, and the next
+  page's fetch overlaps the current page's softmax block.
 
 Quantized pools (``k_scale``/``v_scale`` given): pages are int8 with
 per-token per-head f32 scales. The kernel dequantizes in VMEM —
@@ -245,6 +255,204 @@ def _paged_kernel(
         o_ref[0, 0] = (acc_scr[:] / l).astype(o_ref.dtype)
 
 
+def _paged_kernel_page(
+    table_ref,  # scalar prefetch [B, MAXP]
+    pos_ref,  # scalar prefetch [B]
+    q_ref,  # [1, KvH, GT, Dh] — the row's full grouped query
+    k_ref,  # [1, KvH, S, Dh] — ALL kv heads of the page this step walks
+    v_ref,  # [1, KvH, S, Dh]
+    *rest,  # (ks_ref [1,KvH,1,S], vs_ref when quant) + o_ref + scratch
+    scale: float,
+    t_len: int,
+    page: int,
+    kvh: int,
+    quant: bool,
+):
+    """Grid ``(B, MAXP)`` page walk: one grid step fetches a page's whole
+    ``[KvH, S, Dh]`` slab (contiguous in the pool) in ONE DMA and
+    accumulates every kv head — ``KvH``x fewer grid steps than the
+    per-head walk. At decode shapes the per-head matmuls are far below
+    MXU granularity, so the walk is bound by fixed per-grid-step cost
+    (sequencing + DMA issue), which this variant amortizes across heads.
+    """
+    if quant:
+        ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        o_ref, m_scr, l_scr, acc_scr = rest
+        ks_ref = vs_ref = None
+    b = pl.program_id(0)
+    pp = pl.program_id(1)
+    npg = pl.num_programs(1)
+
+    @pl.when(pp == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, -1e30)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    last_live = (pos_ref[b] + t_len - 1) // page
+
+    @pl.when(pp <= last_live)
+    def _accumulate():
+        gt = q_ref.shape[2]
+        # mask is head-independent: row r is decode offset r % T, page pp
+        # covers absolute slots [pp*page, (pp+1)*page)
+        row_t = jax.lax.broadcasted_iota(jnp.int32, (gt, page), 0) % t_len
+        slot = pp * page + jax.lax.broadcasted_iota(jnp.int32, (gt, page), 1)
+        allowed = slot <= pos_ref[b] + row_t
+        for hh in range(kvh):  # static unroll: all heads, one grid step
+            q = q_ref[0, hh]  # [GT, Dh]
+            k = k_ref[0, hh]  # [S, Dh] (int8 when quant)
+            s = jax.lax.dot_general(
+                q, k.astype(q.dtype),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # [GT, S]
+            if quant:
+                s = s * ks_ref[0, hh, 0][None, :]
+            s = jnp.where(allowed, s, -1e9)
+            m_prev = m_scr[hh, :, :1]
+            l_prev = l_scr[hh, :, :1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            l_scr[hh] = (
+                l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+            ) + jnp.zeros((gt, _LANE), jnp.float32)
+            if quant:
+                pv = jax.lax.dot_general(
+                    p * vs_ref[0, hh, 0][None, :],
+                    v_ref[0, hh].astype(jnp.float32),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                pv = jax.lax.dot_general(
+                    p.astype(v_ref.dtype), v_ref[0, hh],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            acc_scr[hh] = acc_scr[hh] * alpha + pv
+            m_scr[hh] = m_new + jnp.zeros((gt, _LANE), jnp.float32)
+
+    @pl.when(pp == npg - 1)
+    def _emit():
+        for hh in range(kvh):
+            l = l_scr[hh, :, :1]
+            l = jnp.where(l <= 0.0, 1.0, l)
+            o_ref[0, hh] = (acc_scr[hh] / l).astype(o_ref.dtype)
+
+
+def _paged_kernel_dma(
+    table_ref,  # scalar prefetch [B, MAXP]
+    pos_ref,  # scalar prefetch [B]
+    q_ref,  # [1, KvH, GT, Dh]
+    k_hbm,  # [P, KvH, S, Dh] — full pool, stays in HBM
+    v_hbm,
+    *rest,  # (ks_hbm [P,KvH,1,S], vs_hbm when quant) + o_ref + scratch
+    scale: float,
+    t_len: int,
+    page: int,
+    kvh: int,
+    quant: bool,
+):
+    """Grid ``(B,)`` page walk: the kernel DMAs each live page's slab
+    from HBM itself (double-buffered ``make_async_copy``), so a row
+    costs exactly its live pages — no grid step, no DMA, no compute for
+    dead table entries, and the next page's fetch overlaps the current
+    page's softmax block. Lowest fixed overhead of the three walks:
+    ``B`` grid steps total.
+    """
+    if quant:
+        ks_hbm, vs_hbm, o_ref, m_scr, l_scr, acc_scr, kbuf, vbuf, ksbuf, vsbuf, sem = rest
+    else:
+        o_ref, m_scr, l_scr, acc_scr, kbuf, vbuf, sem = rest
+        ks_hbm = vs_hbm = ksbuf = vsbuf = None
+    b = pl.program_id(0)
+    gt = q_ref.shape[2]
+    nlive = (pos_ref[b] + t_len - 1) // page + 1
+
+    def copies(i, slot):
+        pg = table_ref[b, i]
+        cps = [
+            pltpu.make_async_copy(k_hbm.at[pg], kbuf.at[slot], sem.at[slot, 0]),
+            pltpu.make_async_copy(v_hbm.at[pg], vbuf.at[slot], sem.at[slot, 1]),
+        ]
+        if quant:
+            cps += [
+                pltpu.make_async_copy(
+                    ks_hbm.at[pg], ksbuf.at[slot], sem.at[slot, 2]
+                ),
+                pltpu.make_async_copy(
+                    vs_hbm.at[pg], vsbuf.at[slot], sem.at[slot, 3]
+                ),
+            ]
+        return cps
+
+    m_scr[:] = jnp.full_like(m_scr, -1e30)
+    l_scr[:] = jnp.zeros_like(l_scr)
+    acc_scr[:] = jnp.zeros_like(acc_scr)
+    for cp in copies(0, 0):  # nlive >= 1 always (pos >= 0)
+        cp.start()
+
+    def walk(i, _):
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < nlive)
+        def _prefetch():
+            for cp in copies(i + 1, jax.lax.rem(i + 1, 2)):
+                cp.start()
+
+        for cp in copies(i, slot):
+            cp.wait()
+        row_t = jax.lax.broadcasted_iota(jnp.int32, (gt, page), 0) % t_len
+        slot_pos = i * page + jax.lax.broadcasted_iota(
+            jnp.int32, (gt, page), 1
+        )
+        allowed = slot_pos <= pos_ref[b] + row_t
+        for hh in range(kvh):
+            q = q_ref[0, hh]  # [GT, Dh]
+            k = kbuf[slot, hh]  # [S, Dh]
+            s = jax.lax.dot_general(
+                q, k.astype(q.dtype),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            if quant:
+                s = s * ksbuf[slot, hh, 0][None, :]
+            s = jnp.where(allowed, s, -1e9)
+            m_prev = m_scr[hh, :, :1]
+            l_prev = l_scr[hh, :, :1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            l_scr[hh] = (
+                l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+            ) + jnp.zeros((gt, _LANE), jnp.float32)
+            if quant:
+                pv = jax.lax.dot_general(
+                    p * vsbuf[slot, hh, 0][None, :],
+                    vbuf[slot, hh].astype(jnp.float32),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                pv = jax.lax.dot_general(
+                    p.astype(vbuf.dtype), vbuf[slot, hh],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            acc_scr[hh] = acc_scr[hh] * alpha + pv
+            m_scr[hh] = m_new + jnp.zeros((gt, _LANE), jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, nlive, walk, 0)
+    for hh in range(kvh):
+        l = l_scr[hh, :, :1]
+        l = jnp.where(l <= 0.0, 1.0, l)
+        o_ref[0, hh] = (acc_scr[hh] / l).astype(o_ref.dtype)
+
+
 def paged_attention(
     q: jax.Array,  # [B, T, H, Dh] (already rotary-embedded)
     pool_k: jax.Array,  # [P, KvH, S, Dh]
@@ -255,12 +463,18 @@ def paged_attention(
     v_scale: jax.Array | None = None,
     *,
     interpret: bool | None = None,
+    variant: str | None = None,  # "head" | "page" | "dma" (None -> env/default)
 ) -> jax.Array:
     """Paged decode attention. Returns [B, T, H, Dh] in q's dtype.
 
     Dispatches the Pallas page-walk kernel on TPU and the XLA gather
     reference elsewhere (or under ``interpret=True`` for kernel-logic
-    tests on CPU).
+    tests on CPU). ``variant`` picks the walk (``ORT_PAGED_VARIANT``
+    env overrides the default): "head" = grid (B, KvH, MAXP), one page
+    x one head per step; "page" = grid (B, MAXP), a page's whole KvH
+    slab per step; "dma" = grid (B,), kernel-issued double-buffered
+    page DMAs. All three are oracle-pinned to the XLA gather reference;
+    they differ only in fixed walk overhead.
     """
     if interpret is None:
         if jax.default_backend() != "tpu":
@@ -268,6 +482,12 @@ def paged_attention(
                 q, pool_k, pool_v, table, pos, k_scale, v_scale
             )
         interpret = False
+    if variant is None:
+        import os
+
+        variant = os.environ.get("ORT_PAGED_VARIANT", "head")
+    if variant not in ("head", "page", "dma"):
+        raise ValueError(f"unknown paged-attention variant {variant!r}")
     quant = k_scale is not None
     b, t, h, dh = q.shape
     p_, kvh, s_pg, _ = pool_k.shape
@@ -283,55 +503,125 @@ def paged_attention(
         .reshape(b, kvh, gt, dh)
     )
 
-    kernel = functools.partial(
-        _paged_kernel, scale=scale, t_len=t, page=s_pg, quant=quant
-    )
-
-    def kv_index(bb, hh, pp, tbl, ps):
-        # dead pages (beyond the row's live length) re-target the last
-        # live page: same block index as the previous grid step, so
-        # Pallas skips the DMA and the kernel skips the compute
-        live = jnp.minimum(pp, (ps[bb] + t - 1) // s_pg)
-        return (tbl[bb, live], hh, 0, 0)
-
-    in_specs = [
-        pl.BlockSpec(
-            (1, 1, gt, dh), lambda bb, hh, pp, tbl, ps: (bb, hh, 0, 0)
-        ),
-        pl.BlockSpec((1, 1, s_pg, dh), kv_index),
-        pl.BlockSpec((1, 1, s_pg, dh), kv_index),
-    ]
     operands = [q_g, pool_k, pool_v]
     if quant:
-        # scale views are 4-d like k/v, so the same index map serves both
-        in_specs += [
-            pl.BlockSpec((1, 1, 1, s_pg), kv_index),
-            pl.BlockSpec((1, 1, 1, s_pg), kv_index),
-        ]
+        # scale views are 4-d like k/v, so the kv index maps serve both
         operands += [
             k_scale.reshape(p_, kvh, 1, s_pg),
             v_scale.reshape(p_, kvh, 1, s_pg),
         ]
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(b, kvh, maxp),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (1, 1, gt, dh), lambda bb, hh, pp, tbl, ps: (bb, hh, 0, 0)
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((gt, _LANE), jnp.float32),
-            pltpu.VMEM((gt, _LANE), jnp.float32),
-            pltpu.VMEM((gt, dh), jnp.float32),
-        ],
-    )
+    if variant == "head":
+        kernel = functools.partial(
+            _paged_kernel, scale=scale, t_len=t, page=s_pg, quant=quant
+        )
+
+        def kv_index(bb, hh, pp, tbl, ps):
+            # dead pages (beyond the row's live length) re-target the last
+            # live page: same block index as the previous grid step, so
+            # Pallas skips the DMA and the kernel skips the compute
+            live = jnp.minimum(pp, (ps[bb] + t - 1) // s_pg)
+            return (tbl[bb, live], hh, 0, 0)
+
+        in_specs = [
+            pl.BlockSpec(
+                (1, 1, gt, dh), lambda bb, hh, pp, tbl, ps: (bb, hh, 0, 0)
+            ),
+            pl.BlockSpec((1, 1, s_pg, dh), kv_index),
+            pl.BlockSpec((1, 1, s_pg, dh), kv_index),
+        ]
+        if quant:
+            in_specs += [
+                pl.BlockSpec((1, 1, 1, s_pg), kv_index),
+                pl.BlockSpec((1, 1, 1, s_pg), kv_index),
+            ]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, kvh, maxp),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, 1, gt, dh), lambda bb, hh, pp, tbl, ps: (bb, hh, 0, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((gt, _LANE), jnp.float32),
+                pltpu.VMEM((gt, _LANE), jnp.float32),
+                pltpu.VMEM((gt, dh), jnp.float32),
+            ],
+        )
+        semantics = ("parallel", "parallel", "arbitrary")
+    elif variant == "page":
+        kernel = functools.partial(
+            _paged_kernel_page,
+            scale=scale, t_len=t, page=s_pg, kvh=kvh, quant=quant,
+        )
+
+        def kv_index2(bb, pp, tbl, ps):
+            live = jnp.minimum(pp, (ps[bb] + t - 1) // s_pg)
+            return (tbl[bb, live], 0, 0, 0)
+
+        q_index2 = lambda bb, pp, tbl, ps: (bb, 0, 0, 0)  # noqa: E731
+        in_specs = [
+            pl.BlockSpec((1, kvh, gt, dh), q_index2),
+            pl.BlockSpec((1, kvh, s_pg, dh), kv_index2),
+            pl.BlockSpec((1, kvh, s_pg, dh), kv_index2),
+        ]
+        if quant:
+            in_specs += [
+                pl.BlockSpec((1, kvh, 1, s_pg), kv_index2),
+                pl.BlockSpec((1, kvh, 1, s_pg), kv_index2),
+            ]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, maxp),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, kvh, gt, dh), q_index2),
+            scratch_shapes=[
+                pltpu.VMEM((kvh, gt, _LANE), jnp.float32),
+                pltpu.VMEM((kvh, gt, _LANE), jnp.float32),
+                pltpu.VMEM((kvh, gt, dh), jnp.float32),
+            ],
+        )
+        semantics = ("parallel", "arbitrary")
+    else:  # "dma"
+        kernel = functools.partial(
+            _paged_kernel_dma,
+            scale=scale, t_len=t, page=s_pg, kvh=kvh, quant=quant,
+        )
+        q_index1 = lambda bb, tbl, ps: (bb, 0, 0, 0)  # noqa: E731
+        any_spec = pl.BlockSpec(memory_space=pl.ANY)
+        in_specs = [
+            pl.BlockSpec((1, kvh, gt, dh), q_index1),
+            any_spec,
+            any_spec,
+        ]
+        scratch = [
+            pltpu.VMEM((kvh, gt, _LANE), jnp.float32),
+            pltpu.VMEM((kvh, gt, _LANE), jnp.float32),
+            pltpu.VMEM((kvh, gt, dh), jnp.float32),
+            pltpu.VMEM((2, kvh, s_pg, dh), pool_k.dtype),  # kbuf
+            pltpu.VMEM((2, kvh, s_pg, dh), pool_v.dtype),  # vbuf
+        ]
+        if quant:
+            in_specs += [any_spec, any_spec]
+            scratch += [
+                pltpu.VMEM((2, kvh, 1, s_pg), jnp.float32),  # ksbuf
+                pltpu.VMEM((2, kvh, 1, s_pg), jnp.float32),  # vsbuf
+            ]
+        scratch += [pltpu.SemaphoreType.DMA((2, 4 if quant else 2))]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, kvh, gt, dh), q_index1),
+            scratch_shapes=scratch,
+        )
+        semantics = ("arbitrary",)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, kvh, gt, dh), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=semantics,
         ),
         interpret=interpret,
     )(table, pos, *operands)

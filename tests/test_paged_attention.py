@@ -58,20 +58,39 @@ def test_xla_reference_matches_dense_oracle():
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
 
 
+VARIANTS = ["head", "page", "dma"]
+
+
+@pytest.mark.parametrize("variant", VARIANTS)
 @pytest.mark.parametrize("t", [1, 4])
-def test_kernel_interpret_matches_reference(t):
+def test_kernel_interpret_matches_reference(t, variant):
     args = _setup(t=t, seed=t)
-    got = np.asarray(paged_attention(*args, interpret=True))
+    got = np.asarray(paged_attention(*args, interpret=True, variant=variant))
     want = np.asarray(paged_attention_xla(*args))
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
 
 
-def test_kernel_scattered_pages_and_row_divergence():
+@pytest.mark.parametrize("variant", VARIANTS)
+def test_kernel_scattered_pages_and_row_divergence(variant):
     """Rows with different positions and wildly different page layouts:
     the walk must follow each row's own table."""
     args = _setup(b=3, t=2, pages=32, maxp=6, seed=7)
-    got = np.asarray(paged_attention(*args, interpret=True))
+    got = np.asarray(paged_attention(*args, interpret=True, variant=variant))
     want = np.asarray(paged_attention_xla(*args))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("variant", VARIANTS)
+def test_kernel_rows_shorter_than_one_page(variant):
+    """Every row's live length is inside page 0: dead table entries must
+    contribute nothing (the dma walk must not even touch them)."""
+    q, pool_k, pool_v, table, _ = _setup(b=3, t=2, pages=32, maxp=6, seed=9)
+    pos = jnp.asarray([0, 5, 117], jnp.int32)
+    got = np.asarray(
+        paged_attention(q, pool_k, pool_v, table, pos,
+                        interpret=True, variant=variant)
+    )
+    want = np.asarray(paged_attention_xla(q, pool_k, pool_v, table, pos))
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
 
 
@@ -188,13 +207,15 @@ def test_xla_reference_int8_matches_dequantized_oracle():
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=3e-5)
 
 
+@pytest.mark.parametrize("variant", VARIANTS)
 @pytest.mark.parametrize("t", [1, 4])
-def test_kernel_interpret_int8_matches_reference(t):
+def test_kernel_interpret_int8_matches_reference(t, variant):
     q, pool_k, pool_v, table, pos = _setup(t=t, seed=20 + t)
     k_q, k_s = _quantize_pool(pool_k)
     v_q, v_s = _quantize_pool(pool_v)
     got = np.asarray(
-        paged_attention(q, k_q, v_q, table, pos, k_s, v_s, interpret=True)
+        paged_attention(q, k_q, v_q, table, pos, k_s, v_s,
+                        interpret=True, variant=variant)
     )
     want = np.asarray(paged_attention_xla(q, k_q, v_q, table, pos, k_s, v_s))
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=3e-5)
