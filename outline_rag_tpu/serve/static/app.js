@@ -388,6 +388,71 @@ async function loadMe() {
     picker.appendChild(opt);
   });
   syncModelIcon();
+  buildAccountMenu();
+}
+
+/* avatar + account dropdown (reference topbar.css .avatar/.menu): the
+ * user's initial in a circle; the menu carries identity, a theme
+ * radio group, and sign-out */
+function buildAccountMenu() {
+  const av = $("#avatar");
+  const menu = $("#account-menu");
+  if (!av || !menu) return;
+  const name = (state.me?.name || "").trim();
+  av.textContent = (name || "?").slice(0, 1).toUpperCase();
+  av.title = name || "Account";
+  menu.innerHTML = "";
+  const label = document.createElement("div");
+  label.className = "menu-label";
+  label.textContent = name || "Signed in";
+  menu.appendChild(label);
+  if (state.me?.email) {
+    const mail = document.createElement("div");
+    mail.className = "menu-sub";
+    mail.textContent = state.me.email;
+    menu.appendChild(mail);
+  }
+  const div1 = document.createElement("div");
+  div1.className = "menu-divider";
+  menu.appendChild(div1);
+  const section = document.createElement("div");
+  section.className = "menu-label";
+  section.textContent = "Theme";
+  menu.appendChild(section);
+  ["dark", "light", "system"].forEach((choice) => {
+    const r = document.createElement("div");
+    r.className = "menu-radio";
+    r.dataset.choice = choice;
+    r.textContent = choice[0].toUpperCase() + choice.slice(1);
+    r.onclick = (e) => {
+      e.stopPropagation();
+      applyTheme(choice);
+      syncThemeRadios();
+    };
+    menu.appendChild(r);
+  });
+  const div2 = document.createElement("div");
+  div2.className = "menu-divider";
+  menu.appendChild(div2);
+  const out = document.createElement("a");
+  out.setAttribute("href", "/chat/logout");
+  out.textContent = "Sign out";
+  menu.appendChild(out);
+  syncThemeRadios();
+  av.onclick = (e) => {
+    e.stopPropagation();
+    const open = menu.classList.contains("visible");
+    closePopovers();
+    if (!open) menu.classList.add("visible");
+  };
+}
+
+function syncThemeRadios() {
+  let choice = "dark";
+  try { choice = localStorage.getItem("theme") || "dark"; } catch (e) {}
+  document.querySelectorAll("#account-menu .menu-radio").forEach((r) => {
+    r.classList.toggle("active", r.dataset.choice === choice);
+  });
 }
 
 async function loadConversations() {
@@ -402,9 +467,20 @@ async function loadConversations() {
     const title = document.createElement("span");
     title.textContent = c.title || "Untitled";
     title.onclick = () => selectConversation(c.id);
-    const ren = document.createElement("button");
-    ren.textContent = "✎";
-    ren.onclick = async () => {
+    /* per-conversation "⋯" menu: one trigger opening a Rename/Delete
+     * popover (reference sidebar.css conv-menu + conv-menu-pop) instead
+     * of a row of always-present action buttons */
+    const menuBtn = document.createElement("button");
+    menuBtn.className = "conv-menu";
+    menuBtn.textContent = "⋯";
+    menuBtn.title = "Conversation actions";
+    const pop = document.createElement("div");
+    pop.className = "conv-menu-pop";
+    const rename = document.createElement("div");
+    rename.textContent = "Rename";
+    rename.onclick = async (e) => {
+      e.stopPropagation();
+      pop.classList.remove("visible");
       const t = await uiPrompt("Rename conversation", c.title);
       if (t) {
         await api(`/conversations/${c.id}`, { method: "PUT", body: JSON.stringify({ title: t }) });
@@ -412,18 +488,37 @@ async function loadConversations() {
         loadConversations();
       }
     };
-    const del = document.createElement("button");
-    del.textContent = "×";
-    del.onclick = async () => {
+    const del = document.createElement("div");
+    del.className = "danger";
+    del.textContent = "Delete";
+    del.onclick = async (e) => {
+      e.stopPropagation();
+      pop.classList.remove("visible");
       if (!(await uiConfirm("Delete this conversation? This cannot be undone."))) return;
       await api(`/conversations/${c.id}`, { method: "DELETE" });
       if (state.current === c.id) { state.current = null; $("#messages").innerHTML = ""; }
       toast("Conversation deleted");
       loadConversations();
     };
-    li.append(title, ren, del);
+    pop.append(rename, del);
+    menuBtn.onclick = (e) => {
+      e.stopPropagation();
+      const open = pop.classList.contains("visible");
+      closePopovers();
+      if (!open) pop.classList.add("visible");
+    };
+    li.append(title, menuBtn, pop);
     ul.appendChild(li);
   });
+}
+
+/* close every floating popover (conv menus, account menu) — called by
+ * the global outside-click handler and before opening another one */
+function closePopovers() {
+  document.querySelectorAll(".conv-menu-pop.visible")
+    .forEach((el) => el.classList.remove("visible"));
+  document.querySelectorAll(".menu.visible")
+    .forEach((el) => el.classList.remove("visible"));
 }
 
 async function selectConversation(id, { push = true } = {}) {
@@ -930,13 +1025,23 @@ window.addEventListener("DOMContentLoaded", async () => {
   };
   $("#refresh-kb").onclick = triggerRefresh;
   $("#model-picker").onchange = syncModelIcon;
-  $("#menu-toggle").onclick = () => $("#sidebar").classList.toggle("open");
+  /* mobile sidebar: a veil behind the open drawer closes it on tap
+   * (reference sidebar.css .sidebar-veil) */
+  const sideToggle = (open) => {
+    $("#sidebar").classList.toggle("open", open);
+    document.body.classList.toggle("side-open", open);
+  };
+  $("#menu-toggle").onclick = () =>
+    sideToggle(!$("#sidebar").classList.contains("open"));
+  $("#side-veil").onclick = () => sideToggle(false);
   $("#theme-toggle").onclick = () => {
     let choice = "dark";
     try { choice = localStorage.getItem("theme") || "dark"; } catch (e) {}
     const order = ["dark", "light", "system"];
     applyTheme(order[(order.indexOf(choice) + 1) % order.length]);
+    syncThemeRadios();
   };
+  document.addEventListener("click", () => closePopovers());
 
   // sampling-params popover; becomes a bottom sheet on mobile
   // (reference: model/temp/top-p popovers + mobile sheet, main.js:204-473)

@@ -152,6 +152,68 @@ def test_theme_cycles_dark_light_system(browser):
     assert browser.local_storage["theme"] == "dark"
 
 
+def test_avatar_and_account_menu(browser):
+    """Avatar circle carries the user's initial; its dropdown has the
+    identity block, a theme radio group, and sign-out (reference
+    topbar.css .avatar/.menu)."""
+    av = browser.q("#avatar")
+    assert av.text() == "T"  # Testa
+    assert av.props.get("title") == "Testa"
+    menu = browser.q("#account-menu")
+    assert "visible" not in menu.classes()
+    browser.click("#avatar")
+    assert "visible" in menu.classes()
+    assert "Testa" in menu.text() and "t@example.com" in menu.text()
+    out = menu.query_all("a")[-1]
+    assert out.attrs.get("href") == "/chat/logout"
+    # the persisted choice is marked active
+    radios = menu.query_all(".menu-radio")
+    assert [r.text() for r in radios] == ["Dark", "Light", "System"]
+    assert "active" in radios[0].classes()  # default dark
+    # picking a radio applies the theme, re-marks, keeps the menu open
+    browser.dispatch(radios[1], "click")
+    assert browser.q("html").attrs.get("data-theme") == "light"
+    assert browser.local_storage["theme"] == "light"
+    assert "active" in radios[1].classes()
+    assert "active" not in radios[0].classes()
+    assert "visible" in menu.classes()
+    # clicking anywhere outside closes the dropdown
+    browser.click("#messages")
+    assert "visible" not in menu.classes()
+    # the topbar cycle button keeps the radios in sync
+    browser.click("#theme-toggle")  # light -> system
+    assert "active" in browser.q("#account-menu").query_all(".menu-radio")[2].classes()
+
+
+def test_sidebar_veil_opens_and_closes(browser):
+    """Hamburger opens the drawer + veil; tapping the veil closes both
+    (reference sidebar.css .sidebar-veil)."""
+    assert "open" not in browser.q("#sidebar").classes()
+    browser.click("#menu-toggle")
+    assert "open" in browser.q("#sidebar").classes()
+    assert "side-open" in browser.q("body").classes()
+    browser.click("#side-veil")
+    assert "open" not in browser.q("#sidebar").classes()
+    assert "side-open" not in browser.q("body").classes()
+
+
+def test_conv_menu_closes_on_outside_click_and_is_exclusive(browser, routes):
+    routes.conversations.append({"id": CONV_ID.replace("1", "9"),
+                                 "title": "Second chat"})
+    browser.click("#new-conv")  # re-render the list with two rows
+    lis = browser.q("#conv-list").query_all("li")
+    assert len(lis) == 2
+    browser.dispatch(lis[0].query("button.conv-menu"), "click")
+    assert "visible" in lis[0].query(".conv-menu-pop").classes()
+    # opening the second closes the first (one popover at a time)
+    browser.dispatch(lis[1].query("button.conv-menu"), "click")
+    assert "visible" not in lis[0].query(".conv-menu-pop").classes()
+    assert "visible" in lis[1].query(".conv-menu-pop").classes()
+    # outside click closes everything
+    browser.click("#messages")
+    assert "visible" not in lis[1].query(".conv-menu-pop").classes()
+
+
 # ---------------------------------------------------------------------------
 # conversations
 
@@ -172,11 +234,23 @@ def test_select_conversation_loads_messages_and_pushes_history(
     assert browser.maybe("#messages .msg.assistant button.copy") is not None
 
 
+def open_conv_menu(browser):
+    """Open the per-conversation '⋯' actions popover; returns its
+    [Rename, Delete] items (reference sidebar conv-menu behavior)."""
+    browser.click("#conv-list li button.conv-menu")
+    pop = browser.q("#conv-list li .conv-menu-pop")
+    assert "visible" in pop.classes()
+    items = pop.query_all("div")
+    assert [i.text() for i in items] == ["Rename", "Delete"]
+    return items
+
+
 def test_rename_dialog_flow(browser, routes):
     browser.q("#conv-list li")  # exists
-    # the ✎ button is the first <button> in the li
-    buttons = browser.q("#conv-list li").query_all("button")
-    browser.dispatch(buttons[0], "click")
+    items = open_conv_menu(browser)
+    browser.dispatch(items[0], "click")
+    # choosing an action closes the popover before the dialog opens
+    assert "visible" not in browser.q("#conv-list li .conv-menu-pop").classes()
     modal = browser.q(".modal-overlay .modal")
     assert "Rename conversation" in modal.text()
     field = browser.q(".modal-overlay .modal-input")
@@ -192,14 +266,16 @@ def test_rename_dialog_flow(browser, routes):
 
 
 def test_delete_dialog_cancel_then_confirm(browser, routes):
-    buttons = browser.q("#conv-list li").query_all("button")
-    delete_btn = buttons[1]
-    browser.dispatch(delete_btn, "click")
+    items = open_conv_menu(browser)
+    delete_item = items[1]
+    assert "danger" in delete_item.classes()  # destructive styling in menu
+    browser.dispatch(delete_item, "click")
     assert browser.maybe(".modal-overlay") is not None
     browser.click(".modal-overlay .modal-btn")  # Cancel (non-primary)
     assert routes.calls(f"/conversations/{CONV_ID}", "DELETE") == []
     assert browser.maybe(".modal-overlay") is None
-    browser.dispatch(delete_btn, "click")
+    items = open_conv_menu(browser)
+    browser.dispatch(items[1], "click")
     ok = browser.q(".modal-overlay .modal-btn.primary")
     assert "danger" in ok.classes()  # destructive styling
     browser.dispatch(ok, "click")
@@ -207,8 +283,8 @@ def test_delete_dialog_cancel_then_confirm(browser, routes):
 
 
 def test_dialog_escape_key_cancels(browser, routes):
-    buttons = browser.q("#conv-list li").query_all("button")
-    browser.dispatch(buttons[1], "click")
+    items = open_conv_menu(browser)
+    browser.dispatch(items[1], "click")
     assert browser.maybe(".modal-overlay") is not None
     browser.dispatch(browser.q("body"), "keydown", {"key": "Escape"})
     assert browser.maybe(".modal-overlay") is None
@@ -558,9 +634,8 @@ def test_citation_urls_are_scheme_checked_and_quote_escaped(browser, routes):
 def test_dialog_enter_on_focused_cancel_cancels(browser, routes):
     """Enter with the Cancel button focused must activate Cancel — it
     used to resolve(true) and delete the conversation anyway."""
-    li = browser.q("#conv-list li")
-    delete_btn = li.query_all("button")[1]
-    browser.dispatch(delete_btn, "click")
+    items = open_conv_menu(browser)
+    browser.dispatch(items[1], "click")
     cancel = browser.q(".modal-overlay .modal-btn")  # first = Cancel
     browser.active_element = cancel
     browser.dispatch(browser.q("body"), "keydown", {"key": "Enter"})

@@ -154,17 +154,19 @@ def test_conversation_crud_against_real_app(stack):
     browser.boot()
     browser.type_text("#input", "tell me about rivers")
     browser.press("#input", "Enter")
-    li = browser.q("#conv-list li")
-    buttons = li.query_all("button")
+    def conv_menu_items():
+        # the '⋯' actions popover (reference sidebar conv-menu)
+        browser.click("#conv-list li button.conv-menu")
+        return browser.q("#conv-list li .conv-menu-pop").query_all("div")
+
     # rename through the real PUT
-    browser.dispatch(buttons[0], "click")
+    browser.dispatch(conv_menu_items()[0], "click")
     field = browser.q(".modal-overlay .modal-input")
     field.props["value"] = "Renamed via UI"
     browser.click(".modal-overlay .modal-btn.primary")
     assert "Renamed via UI" in browser.text("#conv-list")
     # delete through the real DELETE
-    buttons = browser.q("#conv-list li").query_all("button")
-    browser.dispatch(buttons[1], "click")
+    browser.dispatch(conv_menu_items()[1], "click")
     browser.click(".modal-overlay .modal-btn.primary")
     assert "Renamed via UI" not in browser.text("#conv-list")
 

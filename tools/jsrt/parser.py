@@ -167,8 +167,15 @@ class Parser:
                 return ("throw", e, t.line)
             if v == "try":
                 return self.try_stmt()
-            if v in ("switch", "with", "label"):
+            if v in ("switch", "with"):
                 raise self.error(f"unsupported statement {v!r} (jsrt subset)")
+            # labeled statement: IDENT ':' STMT — detect by lookahead
+            # (the old check keyed on the literal identifier "label",
+            # which rejected any variable of that name)
+            if t.type == "name" and self.at("punct", ":", off=1):
+                raise self.error(
+                    "unsupported labeled statement (jsrt subset)"
+                )
         e = self.expression()
         self.semi()
         return ("expr", e)
