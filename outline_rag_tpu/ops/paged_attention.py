@@ -118,6 +118,7 @@ def paged_attention_sharded(
     *,
     mesh: jax.sharding.Mesh,
     axis: str = "model",
+    variant: str | None = None,
 ) -> jax.Array:
     """Tensor-parallel page walk: :func:`paged_attention` under shard_map.
 
@@ -138,7 +139,8 @@ def paged_attention_sharded(
     if quant:
 
         def local(q, pk, pv, tbl, ps, ks, vs):
-            return paged_attention(q, pk, pv, tbl, ps, ks, vs)
+            return paged_attention(q, pk, pv, tbl, ps, ks, vs,
+                                   variant=variant)
 
         in_specs = (
             P(None, None, axis, None), kv_spec, kv_spec, P(None, None),
@@ -148,7 +150,7 @@ def paged_attention_sharded(
     else:
 
         def local(q, pk, pv, tbl, ps):
-            return paged_attention(q, pk, pv, tbl, ps)
+            return paged_attention(q, pk, pv, tbl, ps, variant=variant)
 
         in_specs = (
             P(None, None, axis, None), kv_spec, kv_spec, P(None, None),
@@ -370,7 +372,11 @@ def _paged_kernel_dma(
         ks_hbm = vs_hbm = ksbuf = vsbuf = None
     b = pl.program_id(0)
     gt = q_ref.shape[2]
-    nlive = (pos_ref[b] + t_len - 1) // page + 1
+    maxp = table_ref.shape[1]
+    # clamp like the grid-bounded walks: a position at the capacity edge
+    # must not read past the page table (the caller contract keeps
+    # pos + t < maxp*page, but the ring path clamps its cap too)
+    nlive = jnp.minimum((pos_ref[b] + t_len - 1) // page + 1, maxp)
 
     def copies(i, slot):
         pg = table_ref[b, i]
