@@ -167,6 +167,73 @@ def paged_attention_sharded(
     )(*args)
 
 
+def _accumulate_page(
+    q,  # [GT, Dh] query rows (one kv head's group)
+    k,  # [S, Dh] the page's keys (int8 when quant)
+    v,  # [S, Dh]
+    ks,  # [S] per-token k-scales or None
+    vs,  # [S] per-token v-scales or None
+    allowed,  # [GT, S] validity mask
+    scale: float,
+    m_ref,  # [GT, LANE] running max (ref or ref view)
+    l_ref,  # [GT, LANE] running sum
+    acc_ref,  # [GT, Dh] running context
+) -> None:
+    """ONE implementation of the online-softmax page accumulate shared by
+    every walk variant (head / page / dma) — the mask value, the quant
+    rescale ordering, and the accumulator dtypes are the oracle-pinned
+    numerics contract; forking them per kernel is how variants silently
+    diverge."""
+    s = jax.lax.dot_general(
+        q, k.astype(q.dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # [GT, S]
+    if ks is not None:
+        # column j of s used k-token j: rescale by its k-scale
+        s = s * ks[None, :]
+    s = jnp.where(allowed, s, -1e9)
+
+    m_prev = m_ref[:, :1]
+    l_prev = l_ref[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_ref[:, :] = (
+        l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+    ) + jnp.zeros(l_ref.shape, jnp.float32)
+    if vs is not None:
+        # p·v with per-token v-scales folded into p's columns; keep
+        # the product in f32 (int8 v has no meaningful low precision)
+        pv = jax.lax.dot_general(
+            p * vs[None, :], v.astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    acc_ref[:, :] = acc_ref[:, :] * alpha + pv
+    m_ref[:, :] = m_new + jnp.zeros(m_ref.shape, jnp.float32)
+
+
+def _page_mask(pos, pp, t_len: int, gt: int, page: int):
+    """Validity mask for page ``pp``: row r is decode offset r % T, the
+    page covers absolute slots [pp*page, (pp+1)*page)."""
+    row_t = jax.lax.broadcasted_iota(jnp.int32, (gt, page), 0) % t_len
+    slot = pp * page + jax.lax.broadcasted_iota(jnp.int32, (gt, page), 1)
+    return slot <= pos + row_t
+
+
+def _normalized(l_ref, acc_ref):
+    l = l_ref[:, :1]
+    l = jnp.where(l <= 0.0, 1.0, l)
+    return acc_ref[:, :] / l
+
+
 def _paged_kernel(
     table_ref,  # scalar prefetch [B, MAXP]
     pos_ref,  # scalar prefetch [B]
@@ -205,56 +272,18 @@ def _paged_kernel(
 
     @pl.when(pp <= last_live)
     def _accumulate():
-        q = q_ref[0, 0]  # [GT, Dh]
-        k = k_ref[0, 0]  # [S, Dh] (int8 when quant)
-        s = jax.lax.dot_general(
-            q, k.astype(q.dtype),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale  # [GT, S]
-        if quant:
-            # column j of s used k-token j: rescale by its k-scale
-            s = s * ks_ref[0, 0, 0][None, :]
-
-        # causal/validity mask from positions: row r is decode offset
-        # r % T, page pp covers absolute slots [pp*page, (pp+1)*page)
-        gt = s.shape[0]
-        row_t = jax.lax.broadcasted_iota(jnp.int32, (gt, page), 0) % t_len
-        slot = pp * page + jax.lax.broadcasted_iota(jnp.int32, (gt, page), 1)
-        allowed = slot <= pos_ref[b] + row_t
-        s = jnp.where(allowed, s, -1e9)
-
-        m_prev = m_scr[:, :1]
-        l_prev = l_scr[:, :1]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)
-        l_scr[:] = (
-            l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
-        ) + jnp.zeros_like(l_scr)
-        if quant:
-            # p·v with per-token v-scales folded into p's columns; keep
-            # the product in f32 (int8 v has no meaningful low precision)
-            pv = jax.lax.dot_general(
-                p * vs_ref[0, 0, 0][None, :],
-                v_ref[0, 0].astype(jnp.float32),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        else:
-            pv = jax.lax.dot_general(
-                p.astype(v_ref.dtype), v_ref[0, 0],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        acc_scr[:] = acc_scr[:] * alpha + pv
-        m_scr[:] = m_new + jnp.zeros_like(m_scr)
+        gt = q_ref.shape[2]
+        _accumulate_page(
+            q_ref[0, 0], k_ref[0, 0], v_ref[0, 0],
+            ks_ref[0, 0, 0] if quant else None,
+            vs_ref[0, 0, 0] if quant else None,
+            _page_mask(pos_ref[b], pp, t_len, gt, page),
+            scale, m_scr, l_scr, acc_scr,
+        )
 
     @pl.when(pp == npg - 1)
     def _emit():
-        l = l_scr[:, :1]
-        l = jnp.where(l <= 0.0, 1.0, l)
-        o_ref[0, 0] = (acc_scr[:] / l).astype(o_ref.dtype)
+        o_ref[0, 0] = _normalized(l_scr, acc_scr).astype(o_ref.dtype)
 
 
 def _paged_kernel_page(
@@ -297,52 +326,23 @@ def _paged_kernel_page(
     @pl.when(pp <= last_live)
     def _accumulate():
         gt = q_ref.shape[2]
-        # mask is head-independent: row r is decode offset r % T, page pp
-        # covers absolute slots [pp*page, (pp+1)*page)
-        row_t = jax.lax.broadcasted_iota(jnp.int32, (gt, page), 0) % t_len
-        slot = pp * page + jax.lax.broadcasted_iota(jnp.int32, (gt, page), 1)
-        allowed = slot <= pos_ref[b] + row_t
+        # mask is head-independent: compute once, share across heads
+        allowed = _page_mask(pos_ref[b], pp, t_len, gt, page)
         for hh in range(kvh):  # static unroll: all heads, one grid step
-            q = q_ref[0, hh]  # [GT, Dh]
-            k = k_ref[0, hh]  # [S, Dh] (int8 when quant)
-            s = jax.lax.dot_general(
-                q, k.astype(q.dtype),
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale  # [GT, S]
-            if quant:
-                s = s * ks_ref[0, hh, 0][None, :]
-            s = jnp.where(allowed, s, -1e9)
-            m_prev = m_scr[hh, :, :1]
-            l_prev = l_scr[hh, :, :1]
-            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-            alpha = jnp.exp(m_prev - m_new)
-            p = jnp.exp(s - m_new)
-            l_scr[hh] = (
-                l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
-            ) + jnp.zeros((gt, _LANE), jnp.float32)
-            if quant:
-                pv = jax.lax.dot_general(
-                    p * vs_ref[0, hh, 0][None, :],
-                    v_ref[0, hh].astype(jnp.float32),
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            else:
-                pv = jax.lax.dot_general(
-                    p.astype(v_ref.dtype), v_ref[0, hh],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            acc_scr[hh] = acc_scr[hh] * alpha + pv
-            m_scr[hh] = m_new + jnp.zeros((gt, _LANE), jnp.float32)
+            _accumulate_page(
+                q_ref[0, hh], k_ref[0, hh], v_ref[0, hh],
+                ks_ref[0, hh, 0] if quant else None,
+                vs_ref[0, hh, 0] if quant else None,
+                allowed, scale,
+                m_scr.at[hh], l_scr.at[hh], acc_scr.at[hh],
+            )
 
     @pl.when(pp == npg - 1)
     def _emit():
         for hh in range(kvh):
-            l = l_scr[hh, :, :1]
-            l = jnp.where(l <= 0.0, 1.0, l)
-            o_ref[0, hh] = (acc_scr[hh] / l).astype(o_ref.dtype)
+            o_ref[0, hh] = _normalized(
+                l_scr.at[hh], acc_scr.at[hh]
+            ).astype(o_ref.dtype)
 
 
 def _paged_kernel_dma(
@@ -411,52 +411,22 @@ def _paged_kernel_dma(
 
         for cp in copies(i, slot):
             cp.wait()
-        row_t = jax.lax.broadcasted_iota(jnp.int32, (gt, page), 0) % t_len
-        slot_pos = i * page + jax.lax.broadcasted_iota(
-            jnp.int32, (gt, page), 1
-        )
-        allowed = slot_pos <= pos_ref[b] + row_t
+        allowed = _page_mask(pos_ref[b], i, t_len, gt, page)
         for hh in range(kvh):
-            q = q_ref[0, hh]  # [GT, Dh]
-            k = kbuf[slot, hh]  # [S, Dh]
-            s = jax.lax.dot_general(
-                q, k.astype(q.dtype),
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale
-            if quant:
-                s = s * ksbuf[slot, hh, 0][None, :]
-            s = jnp.where(allowed, s, -1e9)
-            m_prev = m_scr[hh, :, :1]
-            l_prev = l_scr[hh, :, :1]
-            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-            alpha = jnp.exp(m_prev - m_new)
-            p = jnp.exp(s - m_new)
-            l_scr[hh] = (
-                l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
-            ) + jnp.zeros((gt, _LANE), jnp.float32)
-            if quant:
-                pv = jax.lax.dot_general(
-                    p * vsbuf[slot, hh, 0][None, :],
-                    vbuf[slot, hh].astype(jnp.float32),
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            else:
-                pv = jax.lax.dot_general(
-                    p.astype(vbuf.dtype), vbuf[slot, hh],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            acc_scr[hh] = acc_scr[hh] * alpha + pv
-            m_scr[hh] = m_new + jnp.zeros((gt, _LANE), jnp.float32)
+            _accumulate_page(
+                q_ref[0, hh], kbuf[slot, hh], vbuf[slot, hh],
+                ksbuf[slot, hh, 0] if quant else None,
+                vsbuf[slot, hh, 0] if quant else None,
+                allowed, scale,
+                m_scr.at[hh], l_scr.at[hh], acc_scr.at[hh],
+            )
         return 0
 
     jax.lax.fori_loop(0, nlive, walk, 0)
     for hh in range(kvh):
-        l = l_scr[hh, :, :1]
-        l = jnp.where(l <= 0.0, 1.0, l)
-        o_ref[0, hh] = (acc_scr[hh] / l).astype(o_ref.dtype)
+        o_ref[0, hh] = _normalized(
+            l_scr.at[hh], acc_scr.at[hh]
+        ).astype(o_ref.dtype)
 
 
 def paged_attention(

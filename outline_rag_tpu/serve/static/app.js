@@ -402,6 +402,7 @@ function buildAccountMenu() {
   av.textContent = (name || "?").slice(0, 1).toUpperCase();
   av.title = name || "Account";
   menu.innerHTML = "";
+  menu.onclick = (e) => e.stopPropagation();
   const label = document.createElement("div");
   label.className = "menu-label";
   label.textContent = name || "Signed in";
@@ -420,12 +421,11 @@ function buildAccountMenu() {
   section.textContent = "Theme";
   menu.appendChild(section);
   ["dark", "light", "system"].forEach((choice) => {
-    const r = document.createElement("div");
+    const r = document.createElement("button");
     r.className = "menu-radio";
     r.dataset.choice = choice;
     r.textContent = choice[0].toUpperCase() + choice.slice(1);
-    r.onclick = (e) => {
-      e.stopPropagation();
+    r.onclick = () => {
       applyTheme(choice);
       syncThemeRadios();
     };
@@ -469,18 +469,19 @@ async function loadConversations() {
     title.onclick = () => selectConversation(c.id);
     /* per-conversation "⋯" menu: one trigger opening a Rename/Delete
      * popover (reference sidebar.css conv-menu + conv-menu-pop) instead
-     * of a row of always-present action buttons */
+     * of a row of always-present action buttons; items are real
+     * <button>s so keyboard users can Tab + Enter them */
     const menuBtn = document.createElement("button");
     menuBtn.className = "conv-menu";
     menuBtn.textContent = "⋯";
     menuBtn.title = "Conversation actions";
     const pop = document.createElement("div");
     pop.className = "conv-menu-pop";
-    const rename = document.createElement("div");
+    pop.onclick = (e) => e.stopPropagation();
+    const rename = document.createElement("button");
     rename.textContent = "Rename";
-    rename.onclick = async (e) => {
-      e.stopPropagation();
-      pop.classList.remove("visible");
+    rename.onclick = async () => {
+      closePopovers();
       const t = await uiPrompt("Rename conversation", c.title);
       if (t) {
         await api(`/conversations/${c.id}`, { method: "PUT", body: JSON.stringify({ title: t }) });
@@ -488,12 +489,11 @@ async function loadConversations() {
         loadConversations();
       }
     };
-    const del = document.createElement("div");
+    const del = document.createElement("button");
     del.className = "danger";
     del.textContent = "Delete";
-    del.onclick = async (e) => {
-      e.stopPropagation();
-      pop.classList.remove("visible");
+    del.onclick = async () => {
+      closePopovers();
       if (!(await uiConfirm("Delete this conversation? This cannot be undone."))) return;
       await api(`/conversations/${c.id}`, { method: "DELETE" });
       if (state.current === c.id) { state.current = null; $("#messages").innerHTML = ""; }
@@ -505,20 +505,44 @@ async function loadConversations() {
       e.stopPropagation();
       const open = pop.classList.contains("visible");
       closePopovers();
-      if (!open) pop.classList.add("visible");
+      if (open) return;
+      /* real browsers: fixed-position at the trigger so the popover is
+       * never clipped by #conv-list's scroll container, flipped upward
+       * near the viewport bottom (jsrt has no layout — the guard keeps
+       * the default CSS anchoring there) */
+      if (menuBtn.getBoundingClientRect && window.innerHeight) {
+        const r = menuBtn.getBoundingClientRect();
+        pop.style.position = "fixed";
+        pop.style.right = "auto";
+        pop.style.left = Math.max(8, r.right - 130) + "px";
+        if (r.bottom + 96 > window.innerHeight) {
+          pop.style.top = "auto";
+          pop.style.bottom = (window.innerHeight - r.top + 4) + "px";
+        } else {
+          pop.style.bottom = "auto";
+          pop.style.top = (r.bottom + 4) + "px";
+        }
+      }
+      pop.classList.add("visible");
     };
     li.append(title, menuBtn, pop);
     ul.appendChild(li);
   });
 }
 
-/* close every floating popover (conv menus, account menu) — called by
- * the global outside-click handler and before opening another one */
+/* close every floating popover (conv menus, account menu, params
+ * sheet) — ONE manager, called by the global outside-click/Escape
+ * handlers and before opening any popover, so two can never stack */
 function closePopovers() {
   document.querySelectorAll(".conv-menu-pop.visible")
     .forEach((el) => el.classList.remove("visible"));
   document.querySelectorAll(".menu.visible")
     .forEach((el) => el.classList.remove("visible"));
+  const pop = document.querySelector("#params-pop");
+  if (pop && pop.classList.contains("open")) {
+    pop.classList.remove("open");
+    document.body.classList.remove("sheet-open");
+  }
 }
 
 async function selectConversation(id, { push = true } = {}) {
@@ -1042,21 +1066,25 @@ window.addEventListener("DOMContentLoaded", async () => {
     syncThemeRadios();
   };
   document.addEventListener("click", () => closePopovers());
+  document.addEventListener("keydown", (e) => {
+    if (e.key === "Escape") closePopovers();
+  });
 
   // sampling-params popover; becomes a bottom sheet on mobile
   // (reference: model/temp/top-p popovers + mobile sheet, main.js:204-473)
+  // — opened through the one popover manager so it can never stack with
+  // the account menu or a conversation menu
   const pop = $("#params-pop");
+  pop.onclick = (e) => e.stopPropagation();
   $("#params-toggle").onclick = (e) => {
     e.stopPropagation();
-    pop.classList.toggle("open");
-    document.body.classList.toggle("sheet-open", pop.classList.contains("open"));
-  };
-  document.addEventListener("click", (e) => {
-    if (pop.classList.contains("open") && !pop.contains(e.target)) {
-      pop.classList.remove("open");
-      document.body.classList.remove("sheet-open");
+    const open = pop.classList.contains("open");
+    closePopovers();
+    if (!open) {
+      pop.classList.add("open");
+      document.body.classList.add("sheet-open");
     }
-  });
+  };
   const tempSlider = $("#temp-slider"), topPSlider = $("#top-p-slider");
   const sync = () => {
     state.params.temperature = tempSlider.value === "" ? null : parseFloat(tempSlider.value);

@@ -185,6 +185,23 @@ def test_avatar_and_account_menu(browser):
     assert "active" in browser.q("#account-menu").query_all(".menu-radio")[2].classes()
 
 
+def test_popovers_are_mutually_exclusive_and_escape_closes(browser):
+    """One popover manager: params sheet, account menu, and conv menus
+    can never stack; Escape closes whatever is open."""
+    browser.click("#params-toggle")
+    assert "open" in browser.q("#params-pop").classes()
+    browser.click("#avatar")  # opening the account menu closes params
+    assert "open" not in browser.q("#params-pop").classes()
+    assert "sheet-open" not in browser.q("body").classes()
+    assert "visible" in browser.q("#account-menu").classes()
+    browser.click("#params-toggle")  # and vice versa
+    assert "visible" not in browser.q("#account-menu").classes()
+    assert "open" in browser.q("#params-pop").classes()
+    browser.dispatch(browser.q("body"), "keydown", {"key": "Escape"})
+    assert "open" not in browser.q("#params-pop").classes()
+    assert "sheet-open" not in browser.q("body").classes()
+
+
 def test_sidebar_veil_opens_and_closes(browser):
     """Hamburger opens the drawer + veil; tapping the veil closes both
     (reference sidebar.css .sidebar-veil)."""
@@ -240,7 +257,8 @@ def open_conv_menu(browser):
     browser.click("#conv-list li button.conv-menu")
     pop = browser.q("#conv-list li .conv-menu-pop")
     assert "visible" in pop.classes()
-    items = pop.query_all("div")
+    # real <button>s: keyboard users can Tab + Enter the actions
+    items = pop.query_all("button")
     assert [i.text() for i in items] == ["Rename", "Delete"]
     return items
 

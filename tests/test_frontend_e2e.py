@@ -157,7 +157,7 @@ def test_conversation_crud_against_real_app(stack):
     def conv_menu_items():
         # the '⋯' actions popover (reference sidebar conv-menu)
         browser.click("#conv-list li button.conv-menu")
-        return browser.q("#conv-list li .conv-menu-pop").query_all("div")
+        return browser.q("#conv-list li .conv-menu-pop").query_all("button")
 
     # rename through the real PUT
     browser.dispatch(conv_menu_items()[0], "click")

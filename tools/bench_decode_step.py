@@ -224,7 +224,8 @@ def main() -> None:
         "metric": (
             f"batched decode step, B={b} chunk={chunk} pos~{prompt} "
             f"{'int8' if w_int8 else 'bf16'} weights, "
-            f"{'int8' if kv_int8 else 'bf16'} KV, 1.1B shape"
+            f"{'int8' if kv_int8 else 'bf16'} KV, "
+            f"L{cfg.layers}/h{cfg.hidden}/v{cfg.vocab_size} shape"
         ),
         "ms_per_step": {n: round(best[n] * 1e3, 2) for n in best},
         "tunnel_rtt_s": round(rtt, 3),

@@ -114,7 +114,10 @@ def main() -> None:
         @jax.jit
         def run(q, seed):
             def body(carry, i):
-                qq = carry + (seed * 0 + i).astype(carry.dtype) * 1e-6
+                # seed + i: every round AND every chained call sees fresh
+                # inputs (the tunnel can short-circuit repeated identical
+                # executions — CLAUDE.md measurement caveat)
+                qq = carry + (seed + i).astype(carry.dtype) * 1e-6
                 o = fn(qq, pk, pv, table, pos, ks, vs)
                 return carry + o[:, :, :, :1] * 1e-6, ()
 
