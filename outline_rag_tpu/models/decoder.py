@@ -26,6 +26,7 @@ TPU shape discipline:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any
 
 import jax
@@ -193,11 +194,22 @@ def quantize_decoder_params_int4(
             scale[:, :, 0].astype(jnp.float32),
         )
 
+    # One-time setup, but it must stay within HBM: eager full-tensor
+    # math over the stacked [L, K, N] leaves materializes multi-GB f32
+    # temporaries per op (the fused MLP leaf alone OOM'd the 16 GB chip
+    # quantizing a 1.1B tree). jit fuses the chain and lax.map bounds
+    # the live temporaries to ONE layer's projection at a time.
+    @functools.partial(jax.jit, static_argnums=1)
+    def _quant2d(w, _gsz_key):
+        return quant_one(w)
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def _quant3d(w, _gsz_key):
+        return jax.lax.map(quant_one, w)
+
     def quant(w):
-        if w.ndim == 3:
-            q, s = jax.vmap(quant_one)(w)
-        else:
-            q, s = quant_one(w)
+        key = (w.shape[-2], group_size)
+        q, s = (_quant3d if w.ndim == 3 else _quant2d)(w, key)
         return {"q4": q, "s4": s}
 
     out = dict(params)

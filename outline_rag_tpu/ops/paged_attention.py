@@ -465,6 +465,13 @@ def paged_attention(
     if variant not in ("head", "page", "dma"):
         raise ValueError(f"unknown paged-attention variant {variant!r}")
     quant = k_scale is not None
+    if variant == "dma" and quant and pool_k.shape[2] % 128:
+        # the dma walk issues kernel-side copies of the [.., 1, S] f32
+        # scale slabs; Mosaic requires HBM slices 128-aligned in the
+        # minor dim, so int8 pools with page < 128 can't take this walk
+        # (verified on-chip: "Slice shape along dimension 3 must be
+        # aligned to tiling (128)"). Fall back to the default walk.
+        variant = "head"
     b, t, h, dh = q.shape
     p_, kvh, s_pg, _ = pool_k.shape
     maxp = table.shape[1]
