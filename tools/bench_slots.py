@@ -116,6 +116,14 @@ def main() -> None:
 
     results = []
     for slots in slots_list:
+        # keep an all-rows-live steady window: admission stages
+        # ceil(prompt/256)-chunk prefills at <=8 chunks per worker
+        # iteration, and each iteration decodes a 16-token chunk — so
+        # the last row starts ~slots*2/8 iterations (= slots*4 tokens)
+        # into the run. Give rows enough tokens that the overlapped
+        # window dominates; tok/s is a rate, so a longer run at high
+        # slot counts is still the same curve point.
+        new_tokens_pt = max(new_tokens, slots * 8)
         pool = slots * maxp + 1
         b = DecodeBatcher(
             params, cfg, slots=slots, chunk_tokens=16, eos_id=-1,
@@ -158,7 +166,7 @@ def main() -> None:
 
             t0 = time.perf_counter()
             qs = [
-                b.submit(p, 0.7, 0.95, new_tokens, seed=j + 1)
+                b.submit(p, 0.7, 0.95, new_tokens_pt, seed=j + 1)
                 for j, p in enumerate(prompts)
             ]
             threads = [
@@ -173,14 +181,28 @@ def main() -> None:
                 raise errors[0]
             end = time.perf_counter()
             n = sum(cnt for ev in events for _, cnt in ev)
+            # steady state = the window where ALL rows are concurrently
+            # live: [last row's first token, first row's last token].
+            # The earlier definition (everything after all_started) was
+            # vacuous at high slot counts — with staged 512-token-prefill
+            # admission, early rows can FINISH before the last row starts,
+            # and the "steady" window then times a near-empty tail burst
+            # (it once reported a physically implausible 1,080 tok/s bf16
+            # point, 2x the int8 curve). If the window is empty the burst
+            # never fully overlapped: report the overall rate instead.
             all_started = max(ev[0][0] for ev in events if ev)
+            first_done = min(ev[-1][0] for ev in events if ev)
             steady_tokens = sum(
-                cnt for ev in events for t, cnt in ev if t > all_started
+                cnt
+                for ev in events
+                for t, cnt in ev
+                if all_started < t <= first_done
             )
-            steady_dt = end - all_started
+            steady_dt = first_done - all_started
             overall = n / (end - t0)
             steady = (
-                steady_tokens / steady_dt if steady_dt > 0 and steady_tokens
+                steady_tokens / steady_dt
+                if steady_dt > 0 and steady_tokens
                 else overall
             )
             return steady, n, overall
@@ -202,11 +224,12 @@ def main() -> None:
         # live KV prefix of every row (~prompt + half the new tokens)
         steps_per_s = best / slots
         w_gbs = pbytes * steps_per_s / 1e9
-        avg_ctx = prompt_len + new_tokens / 2
+        avg_ctx = prompt_len + new_tokens_pt / 2
         kv_gbs = kv_per_pos * avg_ctx * slots * steps_per_s / 1e9
         results.append(
             dict(
-                slots=slots, tok_s=round(best, 1),
+                slots=slots, new_tokens=new_tokens_pt,
+                tok_s=round(best, 1),
                 tok_s_with_ramp=round(best_overall, 1),
                 weight_gbs=round(w_gbs, 1), kv_gbs=round(kv_gbs, 1),
             )
@@ -221,7 +244,7 @@ def main() -> None:
         "metric": (
             f"decode slot scaling ({'int8' if w_int8 else 'int4' if w_int4 else 'bf16'} weights, "
             f"{'int8' if kv_int8 else 'bf16'} paged KV, prompt {prompt_len}, "
-            f"+{new_tokens} tokens)"
+            f"+{new_tokens}+ tokens, scaled to slots*8)"
         ),
         "points": results,
         "tunnel_rtt_s": round(rtt, 3),
