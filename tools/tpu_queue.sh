@@ -47,7 +47,8 @@ run_task() {  # run_task <name> <timeout_s> <cmd...>
     echo "rtt_at_start=$rtt" > "$MDIR/$name.done"
     echo "$(date -u +%H:%M:%S) $name: DONE"
   else
-    echo "$(date -u +%H:%M:%S) $name: FAILED (exit $?) — will retry next pass"
+    local rc=$?  # read BEFORE $(date): command substitution resets $?
+    echo "$(date -u +%H:%M:%S) $name: FAILED (exit $rc) — will retry next pass"
     mv "$MDIR/$name.out" "$MDIR/$name.out.fail" 2>/dev/null || true
   fi
   return 0
