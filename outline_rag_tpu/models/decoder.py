@@ -145,11 +145,15 @@ def quantize_decoder_params(params: Params) -> Params:
 
     params = stack_decoder_params(params)
 
+    # same HBM discipline as the int4 quantizer below: jit fuses the
+    # abs/max/round chain and lax.map bounds the f32 temporaries to one
+    # layer's projection (eager vmap materialized them for the whole
+    # stacked [L, K, N] leaf at once)
+    _q2d = jax.jit(quantize_linear_weight)
+    _q3d = jax.jit(lambda w: jax.lax.map(quantize_linear_weight, w))
+
     def quant(w):  # [K, N] (or [L, K, N] stacked) -> {"q", "s"}
-        if w.ndim == 3:
-            q, s = jax.vmap(quantize_linear_weight)(w)
-        else:
-            q, s = quantize_linear_weight(w)
+        q, s = (_q3d if w.ndim == 3 else _q2d)(w)
         return {"q": q, "s": s}
 
     out = dict(params)
@@ -168,20 +172,31 @@ def quantize_decoder_params_int4(
 ) -> Params:
     """int4-quantize the decode-bandwidth-dominant weights (w4a16).
 
-    Every projection matrix becomes ``{"q4": [N, K] int4, "s4":
-    [N, K//gsz] f32}`` with symmetric group-wise scales along the
-    contraction dim (GPTQ/AWQ-style groups, default 128). Decode is
-    weight-HBM-bound, so streaming int4 halves the bytes of the int8
-    path again; the forward upcasts groups to the activation dtype in
-    registers and runs a group-batched MXU dot (``_mm``). Per-channel
-    int8 scales can't survive 4-bit rounding — group-wise keeps each
-    128-wide block's dynamic range local, which is what makes w4
-    usable. Same application order as :func:`quantize_decoder_params`
-    (after stack/cast/fuse; never cast again)."""
+    Every projection matrix becomes ``{"q4": [N, K//2] uint8
+    nibble-packed, "s4": [N, K//gsz] f32}`` with symmetric group-wise
+    scales along the contraction dim (GPTQ/AWQ-style groups, default
+    128); byte ``j`` packs elements ``2j`` (low nibble) and ``2j+1``
+    (high nibble), two's-complement in [-8, 7]. Decode is
+    weight-HBM-bound, so streaming 4-bit weights halves the bytes of
+    the int8 path again; the forward unpacks + upcasts groups to the
+    activation dtype and runs a group-batched MXU dot (``_mm``).
+    Packed uint8 rather than ``jnp.int4`` deliberately: sub-byte
+    arrays crossing jit boundaries break this TPU backend (the
+    producing executable reports its int4 output layout with
+    ``sub_byte_element_size_in_bits=0``, every consumer compiles
+    expecting 4, and the dispatch-time relayout dies in a
+    ``RecursionError`` — and even eager scalar int4 ops fail the same
+    way), while bytes-on-HBM are identical. Per-channel int8 scales
+    can't survive 4-bit rounding — group-wise keeps each 128-wide
+    block's dynamic range local, which is what makes w4 usable. Same
+    application order as :func:`quantize_decoder_params` (after
+    stack/cast/fuse; never cast again)."""
     params = stack_decoder_params(params)
 
-    def quant_one(w):  # [K, N] -> ({"q4": [N, K]}, {"s4": [N, G]})
+    def quant_one(w):  # [K, N] -> ({"q4": [N, K//2]}, {"s4": [N, G]})
         k = w.shape[0]
+        if k % 2:
+            raise ValueError(f"int4 packing needs an even K, got {k}")
         gsz = group_size if k % group_size == 0 else k
         wt = jnp.asarray(w, jnp.float32).T  # [N, K]
         n = wt.shape[0]
@@ -189,8 +204,10 @@ def quantize_decoder_params_int4(
         amax = jnp.max(jnp.abs(wg), axis=2, keepdims=True)
         scale = jnp.maximum(amax / 7.0, 1e-12)
         q = jnp.clip(jnp.round(wg / scale), -8, 7)
+        q = q.reshape(n, k).astype(jnp.int32)
+        packed = (q[:, 0::2] & 15) | ((q[:, 1::2] & 15) << 4)
         return (
-            q.reshape(n, k).astype(jnp.int4),
+            packed.astype(jnp.uint8),
             scale[:, :, 0].astype(jnp.float32),
         )
 
@@ -241,16 +258,32 @@ import os as _os
 _INT8_MODE = _os.environ.get("DECODER_INT8_MODE", "w8a8")
 
 
+def _unpack_int4(p: jax.Array) -> jax.Array:
+    """[..., Kp] uint8 nibble-packed -> [..., 2*Kp] int8 in [-8, 7].
+
+    Byte j holds elements (2j, 2j+1) as (low, high) two's-complement
+    nibbles — the inverse of quantize_decoder_params_int4's packing."""
+    lo = (p & 15).astype(jnp.int8)
+    hi = (p >> 4).astype(jnp.int8)
+    lo = lo - ((lo & 8) << 1)  # sign-extend the nibble
+    hi = hi - ((hi & 8) << 1)
+    return jnp.stack([lo, hi], axis=-1).reshape(
+        *p.shape[:-1], p.shape[-1] * 2
+    )
+
+
 def _mm_int4(x: jax.Array, q4: jax.Array, s4: jax.Array, dt) -> jax.Array:
     """x @ dequant(q4) with group-wise scales (w4a16).
 
-    q4: [N, K] int4 (transposed, like the int8 layout); s4: [N, G] f32,
-    G groups along K. Decode-size calls (small M) contract each group
-    separately — a G-batched MXU dot on register-upcast bf16 weights —
-    then apply the per-(N, group) scale on the [G, M, N] partials, so
-    the only HBM read of the weight is the packed int4 stream. Prefill
-    (large M) amortizes one full dequant instead."""
-    n, k = q4.shape
+    q4: [N, K//2] nibble-packed uint8 (transposed like the int8
+    layout); s4: [N, G] f32, G groups along K. Decode-size calls
+    (small M) contract each group separately — a G-batched MXU dot on
+    unpacked+upcast weights — then apply the per-(N, group) scale on
+    the [G, M, N] partials, so the weight's HBM stream is the 4-bit
+    packed bytes. Prefill (large M) amortizes one full dequant
+    instead."""
+    n, kp = q4.shape
+    k = kp * 2
     g = s4.shape[-1]
     gsz = k // g
     lead = x.shape[:-1]
@@ -263,7 +296,7 @@ def _mm_int4(x: jax.Array, q4: jax.Array, s4: jax.Array, dt) -> jax.Array:
         # the model runs f32 (keeps this path equal to the prefill-path
         # dequant); int4 values are exact in either
         lhs = x2.reshape(m, g, gsz).astype(dt)
-        rhs = q4.reshape(n, g, gsz).astype(dt)
+        rhs = _unpack_int4(q4).reshape(n, g, gsz).astype(dt)
         # [G, M, N] partial products, one batch entry per scale group
         raw = jax.lax.dot_general(
             lhs, rhs,
@@ -273,7 +306,8 @@ def _mm_int4(x: jax.Array, q4: jax.Array, s4: jax.Array, dt) -> jax.Array:
         out = jnp.sum(raw * s4.T[:, None, :], axis=0)
         return out.reshape(*lead, n).astype(dt)
     wd = (
-        q4.reshape(n, g, gsz).astype(dt) * s4.astype(dt)[:, :, None]
+        _unpack_int4(q4).reshape(n, g, gsz).astype(dt)
+        * s4.astype(dt)[:, :, None]
     ).reshape(n, k)
     return x @ wd.T
 

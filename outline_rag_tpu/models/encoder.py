@@ -152,11 +152,15 @@ def quantize_encoder_params(params: Params) -> Params:
 
     params = stack_layer_params(params)
 
+    # jit + lax.map keep the quantizer's f32 temporaries bounded to one
+    # layer's projection (eager vmap materialized the whole stacked
+    # leaf's worth — the decoder-side version of this OOM'd a 16 GB
+    # chip; see models/decoder.py::quantize_decoder_params)
+    _q2d = jax.jit(quantize_linear_weight)
+    _q3d = jax.jit(lambda w: jax.lax.map(quantize_linear_weight, w))
+
     def quant(w):  # [L, K, N] (or [K, N]) -> {"q": [..., N, K], "s": [..., N]}
-        if w.ndim == 3:
-            q, s = jax.vmap(quantize_linear_weight)(w)
-        else:
-            q, s = quantize_linear_weight(w)
+        q, s = (_q3d if w.ndim == 3 else _q2d)(w)
         return {"q": q, "s": s}
 
     out = dict(params)

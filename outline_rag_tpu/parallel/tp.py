@@ -65,11 +65,13 @@ _LAYER_QSPECS = {
     "wd": {"q": P(None, None, MODEL_AXIS), "s": P()},
 }
 
-# int4 leaves ({"q4": [L, N, K] int4, "s4": [L, N, G] f32} — group-wise
-# scales along the contraction dim K, models/decoder.py::
-# quantize_decoder_params_int4): column-parallel weights shard the
-# output dim N of q4 and s4; row-parallel weights shard the contraction
-# K of q4 while the scales replicate — the grouped dot keeps its [G]
+# int4 leaves ({"q4": [L, N, K//2] nibble-packed uint8, "s4":
+# [L, N, G] f32} — group-wise scales along the contraction dim K,
+# models/decoder.py::quantize_decoder_params_int4): column-parallel
+# weights shard the output dim N of q4 and s4; row-parallel weights
+# shard the packed contraction dim of q4 (byte j = elements 2j, 2j+1,
+# so any even split along K/2 lands on element+group boundaries for
+# pow-2 shapes) while the scales replicate — the grouped dot keeps its [G]
 # batch dim aligned with the K sharding, GSPMD slices the replicated
 # scales to the local groups and inserts the psum over G (when G is not
 # divisible by the mesh it all-gathers instead: correct, just slower —

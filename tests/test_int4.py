@@ -58,18 +58,26 @@ class StubTok:
 
 def test_int4_quantize_structure(grouped):
     cfg, params = grouped
+    from outline_rag_tpu.models.decoder import _unpack_int4
+
     q = quantize_decoder_params_int4(fused(cfg, params))
     lm = q["lm_head"]
-    assert lm["q4"].dtype == jnp.int4
-    n, k = lm["q4"].shape
-    assert (n, k) == (cfg.vocab_size, cfg.hidden)
-    assert lm["s4"].shape == (n, k // 128)
+    # nibble-packed uint8, NOT jnp.int4: sub-byte arrays crossing jit
+    # boundaries break the TPU backend (see the quantizer's docstring)
+    assert lm["q4"].dtype == jnp.uint8
+    n, kp = lm["q4"].shape
+    assert (n, kp * 2) == (cfg.vocab_size, cfg.hidden)
+    assert lm["s4"].shape == (n, kp * 2 // 128)
     wqkv = q["layers"]["wqkv"]
-    assert wqkv["q4"].ndim == 3 and wqkv["q4"].dtype == jnp.int4
-    assert wqkv["s4"].shape[-1] == wqkv["q4"].shape[-1] // 128
-    # values are true 4-bit
-    assert int(jnp.max(wqkv["q4"].astype(jnp.int32))) <= 7
-    assert int(jnp.min(wqkv["q4"].astype(jnp.int32))) >= -8
+    assert wqkv["q4"].ndim == 3 and wqkv["q4"].dtype == jnp.uint8
+    assert wqkv["s4"].shape[-1] == wqkv["q4"].shape[-1] * 2 // 128
+    # unpacked values are true 4-bit two's-complement
+    vals = _unpack_int4(wqkv["q4"]).astype(jnp.int32)
+    assert int(jnp.max(vals)) <= 7
+    assert int(jnp.min(vals)) >= -8
+    # pack/unpack round-trips exactly: repack the unpacked nibbles
+    repacked = (vals[..., 0::2] & 15) | ((vals[..., 1::2] & 15) << 4)
+    assert bool(jnp.all(repacked.astype(jnp.uint8) == wqkv["q4"]))
 
 
 def test_int4_logit_parity(grouped):
@@ -145,7 +153,7 @@ def test_int4_provider_stream_and_exclusivity(grouped):
         params, cfg, StubTok(), chunk_tokens=4, max_new_tokens=8,
         int4_weights=True,
     )
-    assert prov.params["layers"]["wqkv"]["q4"].dtype == jnp.int4
+    assert prov.params["layers"]["wqkv"]["q4"].dtype == jnp.uint8
 
     async def run():
         out = []
