@@ -62,12 +62,23 @@ async def run() -> None:
     n_seq = int(os.environ.get("BENCH_SEQ", 3 if smoke else 10))
     tok_w = 64
 
-    # tunnel health marker FIRST (memory/tpu-tunnel-degradation)
+    # tunnel health marker FIRST (memory/tpu-tunnel-degradation). The
+    # lazy tunnel makes block_until_ready a no-op — only a host FETCH
+    # executes, so warm by fetching (otherwise the timed probe pays the
+    # cold compile and labels a healthy window degraded), then take the
+    # median of 3 warm round trips (the thing that bounds timed loops).
     x = jnp.ones((256, 256))
-    (x @ x).block_until_ready()
-    t0 = time.perf_counter()
-    float(jnp.sum(x @ x))
-    rtt = time.perf_counter() - t0
+
+    def _probe_rtt():
+        float(jnp.sum(x @ x))  # compile/warm outside the timed fetches
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(jnp.sum(x @ x))
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[1]
+
+    rtt = _probe_rtt()
     print(f"# backend={jax.default_backend()} tunnel rtt {rtt:.3f}s",
           file=sys.stderr)
 
@@ -207,9 +218,7 @@ async def run() -> None:
     p50_ttfr, p95_ttfr = pct(ttfrs, 0.5), pct(ttfrs, 0.95)
     p50, p95 = pct(totals, 0.5), pct(totals, 0.95)
 
-    t0 = time.perf_counter()
-    float(jnp.sum(x @ x))
-    rtt_after = time.perf_counter() - t0
+    rtt_after = _probe_rtt()
 
     print(
         json.dumps(
