@@ -257,6 +257,12 @@ import os as _os
 #             (ops/int8_linear.py Pallas kernel).
 _INT8_MODE = _os.environ.get("DECODER_INT8_MODE", "w8a8")
 
+# int4 decode-path strategy: "xla" = grouped-dot with XLA-materialized
+# nibble unpack (slow — kept as the oracle and the CPU path), "kernel" =
+# Pallas w4a16 tile dequant (ops/int4_linear.py; TPU only, shapes must
+# block on 128s — non-qualifying shapes fall back to "xla" silently).
+_INT4_MODE = _os.environ.get("DECODER_INT4_MODE", "kernel")
+
 
 def _unpack_int4(p: jax.Array) -> jax.Array:
     """[..., Kp] uint8 nibble-packed -> [..., 2*Kp] int8 in [-8, 7].
@@ -291,6 +297,23 @@ def _mm_int4(x: jax.Array, q4: jax.Array, s4: jax.Array, dt) -> jax.Array:
     for d in lead:
         m *= d
     x2 = x.reshape(m, k)
+    if (
+        m <= 32
+        and _INT4_MODE == "kernel"
+        and jax.default_backend() == "tpu"
+        and k % 256 == 0
+        and (gsz == 128 or gsz % 256 == 0)
+        and n % 128 == 0
+        and (k // 2) % 128 == 0
+    ):
+        # decode-size M: the Pallas w4a16 kernel streams the packed
+        # 4-bit bytes from HBM and dequantizes tiles in VMEM — the XLA
+        # grouped path below materializes the whole unpacked weight
+        # per step (measured 46 tok/s vs bf16's 248, BENCHMARKS.md)
+        from outline_rag_tpu.ops.int4_linear import w4a16_matmul
+
+        out = w4a16_matmul(x2, q4, s4, dt)
+        return out.reshape(*lead, n).astype(dt)
     if m <= 256:
         # operands in the model dtype: bf16 MXU in production, f32 when
         # the model runs f32 (keeps this path equal to the prefill-path
