@@ -167,6 +167,30 @@ def quantize_decoder_params(params: Params) -> Params:
     return out
 
 
+def _quant_one_int4(w, group_size=128):
+    """[K, N] float -> ({"q4": [N, K//2] packed uint8}, {"s4": [N, G]}).
+
+    THE int4 numerics+packing contract (see
+    :func:`quantize_decoder_params_int4`); both the full-tree quantizer
+    and the layer-streamed builder route here."""
+    k = w.shape[0]
+    if k % 2:
+        raise ValueError(f"int4 packing needs an even K, got {k}")
+    gsz = group_size if k % group_size == 0 else k
+    wt = jnp.asarray(w, jnp.float32).T  # [N, K]
+    n = wt.shape[0]
+    wg = wt.reshape(n, k // gsz, gsz)
+    amax = jnp.max(jnp.abs(wg), axis=2, keepdims=True)
+    scale = jnp.maximum(amax / 7.0, 1e-12)
+    q = jnp.clip(jnp.round(wg / scale), -8, 7)
+    q = q.reshape(n, k).astype(jnp.int32)
+    packed = (q[:, 0::2] & 15) | ((q[:, 1::2] & 15) << 4)
+    return (
+        packed.astype(jnp.uint8),
+        scale[:, :, 0].astype(jnp.float32),
+    )
+
+
 def quantize_decoder_params_int4(
     params: Params, group_size: int = 128
 ) -> Params:
@@ -192,24 +216,7 @@ def quantize_decoder_params_int4(
     application order as :func:`quantize_decoder_params` (after
     stack/cast/fuse; never cast again)."""
     params = stack_decoder_params(params)
-
-    def quant_one(w):  # [K, N] -> ({"q4": [N, K//2]}, {"s4": [N, G]})
-        k = w.shape[0]
-        if k % 2:
-            raise ValueError(f"int4 packing needs an even K, got {k}")
-        gsz = group_size if k % group_size == 0 else k
-        wt = jnp.asarray(w, jnp.float32).T  # [N, K]
-        n = wt.shape[0]
-        wg = wt.reshape(n, k // gsz, gsz)
-        amax = jnp.max(jnp.abs(wg), axis=2, keepdims=True)
-        scale = jnp.maximum(amax / 7.0, 1e-12)
-        q = jnp.clip(jnp.round(wg / scale), -8, 7)
-        q = q.reshape(n, k).astype(jnp.int32)
-        packed = (q[:, 0::2] & 15) | ((q[:, 1::2] & 15) << 4)
-        return (
-            packed.astype(jnp.uint8),
-            scale[:, :, 0].astype(jnp.float32),
-        )
+    quant_one = functools.partial(_quant_one_int4, group_size=group_size)
 
     # One-time setup, but it must stay within HBM: eager full-tensor
     # math over the stacked [L, K, N] leaves materializes multi-GB f32
@@ -238,6 +245,98 @@ def quantize_decoder_params_int4(
             layers[name] = quant(layers[name])
     out["layers"] = layers
     return out
+
+
+def init_quantized_decoder_params(
+    key: jax.Array,
+    cfg: DecoderConfig,
+    *,
+    mode: str = "int4",
+    group_size: int = 128,
+) -> Params:
+    """Layer-streamed random init -> quantize, for models whose
+    full-precision tree exceeds HBM.
+
+    A 7B-class config on a 16 GB v5e: the bf16 tree alone is ~13.4 GB
+    and the f32 init tree ~27 GB, so ``init_decoder_params`` +
+    ``quantize_decoder_params*`` cannot run — but the int4 tree is
+    ~3.4 GB (int8 ~6.7 GB) and fits with room for the KV pool. This
+    builds one layer at a time (init f32 -> fuse -> quantize -> drop
+    the float leaves) and stacks the quantized leaves at the end, so
+    peak HBM is the quantized tree + one float layer + the stack copy.
+    Output layout matches ``fuse_decoder_params`` +
+    ``quantize_decoder_params{_int4}`` (fused wqkv/wgu, stacked [L,...]
+    leaves); randomness is NOT key-stream-compatible with
+    ``init_decoder_params`` (irrelevant for a random init)."""
+    if mode not in ("int4", "int8"):
+        raise ValueError(f"mode must be int4|int8, got {mode!r}")
+    from outline_rag_tpu.ops.int8_linear import quantize_linear_weight
+
+    if mode == "int4":
+        _q2d = jax.jit(
+            functools.partial(_quant_one_int4, group_size=group_size)
+        )
+        names = ("q4", "s4")
+    else:
+        _q2d = jax.jit(quantize_linear_weight)
+        names = ("q", "s")
+
+    def quant(w):
+        q, s = _q2d(w)
+        return {names[0]: q, names[1]: s}
+
+    hd = cfg.hd
+    kroot, key = jax.random.split(key)
+    p: Params = {
+        "embed": _init(kroot, (cfg.vocab_size, cfg.hidden)).astype(cfg.dtype),
+        "final_norm": jnp.ones((cfg.hidden,), jnp.float32),
+    }
+    if not cfg.tie_embeddings:
+        kroot, key = jax.random.split(key)
+        p["lm_head"] = quant(
+            _init(kroot, (cfg.hidden, cfg.vocab_size)).astype(cfg.dtype)
+        )
+    per_layer: list[Params] = []
+    for li in range(cfg.layers):
+        lkey = jax.random.fold_in(key, li)
+        ks = iter(jax.random.split(lkey, 8))
+        wq = _init(next(ks), (cfg.hidden, cfg.heads * hd))
+        wk = _init(next(ks), (cfg.hidden, cfg.kv_heads * hd))
+        wv = _init(next(ks), (cfg.hidden, cfg.kv_heads * hd))
+        layer: Params = {
+            "ln1": jnp.ones((cfg.hidden,), jnp.float32),
+            "ln2": jnp.ones((cfg.hidden,), jnp.float32),
+            "wqkv": quant(
+                jnp.concatenate([wq, wk, wv], axis=-1).astype(cfg.dtype)
+            ),
+            "wo": quant(
+                _init(next(ks), (cfg.heads * hd, cfg.hidden)).astype(cfg.dtype)
+            ),
+            "wgu": quant(
+                jnp.concatenate(
+                    [
+                        _init(next(ks), (cfg.hidden, cfg.intermediate)),
+                        _init(next(ks), (cfg.hidden, cfg.intermediate)),
+                    ],
+                    axis=-1,
+                ).astype(cfg.dtype)
+            ),
+            "wd": quant(
+                _init(next(ks), (cfg.intermediate, cfg.hidden)).astype(
+                    cfg.dtype
+                )
+            ),
+        }
+        if cfg.attn_bias:
+            layer["bqkv"] = jnp.zeros(
+                ((cfg.heads + 2 * cfg.kv_heads) * hd,), jnp.float32
+            )
+        jax.block_until_ready(layer)  # bound the float transients to one layer
+        per_layer.append(layer)
+    p["layers"] = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *per_layer
+    )
+    return p
 
 
 def _pick_block_n(n: int) -> int | None:

@@ -221,6 +221,9 @@ class LocalChatProvider:
         prefix_cache: bool = True,  # paged mode: share repeated prompt prefixes
         kv_int8: bool = False,  # paged mode: int8 KV pool
         tp_devices: int = 0,  # >1 -> Megatron-TP decode over a device mesh
+        prequantized: bool = False,  # params already stacked+fused+quantized
+        # (init_quantized_decoder_params — for models whose float tree
+        # exceeds HBM; int8_weights/int4_weights must still say which)
     ):
         import functools
 
@@ -271,6 +274,11 @@ class LocalChatProvider:
                     "DECODER_INT8_MODE=w8a8 (the in-VMEM dequant kernel "
                     "is a single-device program)"
                 )
+            if prequantized:
+                raise ValueError(
+                    "prequantized trees are fused; DECODER_TP shards the "
+                    "unfused names — quantize under TP instead"
+                )
             self.mesh = model_mesh(int(tp_devices))
             p = stack_decoder_params(cast_decoder_params(params, cfg.dtype))
             if int8_weights:
@@ -278,6 +286,15 @@ class LocalChatProvider:
             elif int4_weights:
                 p = quantize_decoder_params_int4(p)
             self.params = shard_decoder_params(p, self.mesh)
+        elif prequantized:
+            if not (int8_weights or int4_weights):
+                raise ValueError(
+                    "prequantized=True needs int8_weights or int4_weights "
+                    "to say which layout the tree carries"
+                )
+            # already stacked+fused+quantized — casting/re-quantizing a
+            # {'q','s'}/{'q4','s4'} tree would clobber the integer leaves
+            self.params = params
         else:
             self.params = fuse_decoder_params(
                 stack_decoder_params(cast_decoder_params(params, cfg.dtype))
