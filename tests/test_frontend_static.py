@@ -65,6 +65,12 @@ def test_frontend_js_is_structurally_clean():
 
 
 def test_bundled_assets_are_clean_too():
+    if not (STATIC / "script.min.js").exists():
+        # the min bundles are gitignored build artifacts — regenerate on
+        # a fresh checkout instead of failing on a missing file
+        import build_assets
+
+        build_assets.main()
     bundle = (STATIC / "script.min.js").read_text()
     assert lint_js(bundle, "script.min.js") == []
 

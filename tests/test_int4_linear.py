@@ -48,12 +48,38 @@ def test_kernel_matches_xla_grouped_path(m, k, n, gsz):
     np.testing.assert_allclose(got, want, atol=1e-5 * scale, rtol=1e-5)
 
 
-def test_kernel_rejects_straddling_group_size():
+def test_v1_rejects_straddling_group_size_v2_handles_it():
+    """gsz=384 straddles v1's 256-element chunks; v2's static lane-64
+    select handles any gsz%128==0, so auto routes it to v2 and matches
+    the oracle."""
     w = jax.random.normal(jax.random.key(0), (768, 256), jnp.float32)
-    q4, s4 = _quant(w, 384)  # 384 straddles the 256-element chunks
-    x = jnp.zeros((2, 768), jnp.float32)
+    q4, s4 = _quant(w, 384)
+    x = jax.random.normal(jax.random.key(5), (2, 768), jnp.float32)
     with pytest.raises(ValueError, match="straddles"):
-        w4a16_matmul(x, q4, s4, jnp.float32, interpret=True)
+        w4a16_matmul(x, q4, s4, jnp.float32, interpret=True, variant="v1")
+    want = np.asarray(_mm_int4(x, q4, s4, jnp.float32), np.float32)
+    got = np.asarray(
+        w4a16_matmul(x, q4, s4, jnp.float32, interpret=True), np.float32
+    )
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=1e-5 * scale, rtol=1e-5)
+
+
+@pytest.mark.parametrize("m,k,n,gsz", [(1, 512, 256, 128), (16, 2048, 512, 512)])
+def test_v1_and_v2_agree(m, k, n, gsz):
+    w = jax.random.normal(jax.random.key(7), (k, n), jnp.float32)
+    q4, s4 = _quant(w, gsz)
+    x = jax.random.normal(jax.random.key(8), (m, k), jnp.float32)
+    v1 = np.asarray(
+        w4a16_matmul(x, q4, s4, jnp.float32, interpret=True, variant="v1"),
+        np.float32,
+    )
+    v2 = np.asarray(
+        w4a16_matmul(x, q4, s4, jnp.float32, interpret=True, variant="v2"),
+        np.float32,
+    )
+    scale = np.abs(v1).max()
+    np.testing.assert_allclose(v2, v1, atol=1e-5 * scale, rtol=1e-5)
 
 
 def test_kernel_pads_sub_tile_batch():
