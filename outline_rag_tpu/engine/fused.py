@@ -189,7 +189,9 @@ def fused_query(
         from outline_rag_tpu.ops.quant import int8_topk, quantize_rows_int8
 
         qq, qs = quantize_rows_int8(q_emb)
-        vals, idx = int8_topk(qq, qs, vectors, scales, top_k, penalty)
+        vals, idx = int8_topk(
+            qq, qs, vectors, scales, top_k, penalty, rescore_queries=q_emb
+        )
     else:
         vals, idx = cosine_topk(q_emb, vectors, top_k, penalty, block_n=block_n)
 

@@ -111,10 +111,16 @@ class VectorIndex:
         token_width: int | None = None,
         token_pad_id: int = 1,
         colbert_rank: int = 0,
+        rescore_m: int = 64,
     ):
         self.dim = dim
         self.dtype = dtype
         self.block_n = block_n
+        # int8 mode: fp32-rescore the top-`rescore_m` quantized
+        # candidates before taking the final k (0 disables) — closes
+        # the quantized ranking to pgvector-exact semantics
+        # (ops/quant.py::int8_topk rescore docstring)
+        self.rescore_m = rescore_m if dtype == "int8" else 0
         self._sharding = sharding
         self._shard = DeviceShard(capacity, dim, dtype, sharding)
         self.token_width = token_width
@@ -520,7 +526,8 @@ class VectorIndex:
             if self.dtype == "int8":
                 from outline_rag_tpu.ops.quant import int8_topk
 
-                qq, qs = quantize_rows_int8(jnp.asarray(q))
+                qf = jnp.asarray(q)
+                qq, qs = quantize_rows_int8(qf)
                 if mesh is not None:
                     from outline_rag_tpu.parallel.query import sharded_topk_int8
 
@@ -528,11 +535,15 @@ class VectorIndex:
                         qq, qs, state.vectors, state.scales, k_eff,
                         state.penalty, mesh=mesh, impl=impl,
                         block_n=self.block_n,
+                        rescore_queries=qf if self.rescore_m else None,
+                        rescore_m=self.rescore_m,
                     )
                 else:
                     vals, idx = int8_topk(
                         qq, qs, state.vectors, state.scales, k_eff,
                         state.penalty,
+                        rescore_queries=qf if self.rescore_m else None,
+                        rescore_m=self.rescore_m,
                     )
             elif mesh is not None:
                 from outline_rag_tpu.parallel.query import sharded_topk

@@ -79,10 +79,13 @@ def _merge_gathered(vals, gidx, k, axis, extras=()):
     return out_vals, out_idx, merged_extras
 
 
-def _local_topk_int8(q_codes, q_scale, c, c_scale, pen, *, k: int, impl: str, block_n: int):
+def _local_topk_int8(q_codes, q_scale, q_f32, c, c_scale, pen, *, k: int, impl: str, block_n: int, rescore_m: int):
     from outline_rag_tpu.ops.quant import int8_topk
 
-    vals, idx = int8_topk(q_codes, q_scale, c, c_scale, k, pen, impl=impl, block_n=block_n)
+    vals, idx = int8_topk(
+        q_codes, q_scale, c, c_scale, k, pen, impl=impl, block_n=block_n,
+        rescore_queries=q_f32 if rescore_m else None, rescore_m=rescore_m,
+    )
     shard = jax.lax.axis_index(DATA_AXIS)
     gidx = idx + (shard * c.shape[0]).astype(jnp.int32)
     out_vals, out_idx, _ = _merge_gathered(vals, gidx, k, DATA_AXIS)
@@ -100,20 +103,34 @@ def sharded_topk_int8(
     mesh: Mesh,
     impl: str = "auto",
     block_n: int = 1024,
+    rescore_queries: jax.Array | None = None,  # [B, D] f32, replicated
+    rescore_m: int = 64,
 ) -> tuple[jax.Array, jax.Array]:
     """Quantized row-parallel top-K: per-shard fused int8 kernel, then the
-    same tiny all-gather merge as :func:`sharded_topk`."""
+    same tiny all-gather merge as :func:`sharded_topk`. With
+    ``rescore_queries`` each shard fp32-rescores its own candidates
+    *before* the merge (local gather — candidate rows never cross the
+    interconnect), so the merged ranking equals the single-device
+    rescored ranking."""
     if penalty is None:
         penalty = jnp.zeros((corpus.shape[0],), jnp.float32)
-    body = functools.partial(_local_topk_int8, k=k, impl=impl, block_n=block_n)
+    q_f32 = (
+        rescore_queries.astype(jnp.float32)
+        if rescore_queries is not None
+        else jnp.zeros((q_codes.shape[0], corpus.shape[1]), jnp.float32)
+    )
+    body = functools.partial(
+        _local_topk_int8, k=k, impl=impl, block_n=block_n,
+        rescore_m=rescore_m if rescore_queries is not None else 0,
+    )
     fn = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(), P(), P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS)),
+        in_specs=(P(), P(), P(), P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS)),
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return fn(q_codes, q_scale, corpus, c_scale, penalty)
+    return fn(q_codes, q_scale, q_f32, corpus, c_scale, penalty)
 
 
 def _local_retrieve_tokens(
@@ -132,7 +149,10 @@ def _local_retrieve_tokens(
     if quantized:
         from outline_rag_tpu.ops.quant import int8_topk
 
-        vals, idx = int8_topk(q_codes, q_scale, c, c_scale, k, pen, impl=impl, block_n=block_n)
+        vals, idx = int8_topk(
+            q_codes, q_scale, c, c_scale, k, pen, impl=impl, block_n=block_n,
+            rescore_queries=q,
+        )
     else:
         vals, idx = cosine_topk(q, c, k, pen, impl=impl, block_n=block_n)
     shard = jax.lax.axis_index(DATA_AXIS)

@@ -170,6 +170,48 @@ def test_int8_pallas_respects_penalty(data):
     assert not np.any(invalid[np.asarray(ip)])
 
 
+def test_int8_rescore_matches_dequant_oracle(data):
+    """With the fp32 candidate rescore on, the int8 ranking must EQUAL
+    the oracle ranking of ``f32 query . dequant(int8 row)`` — query-side
+    quantization error is fully removed, so the only residual vs true
+    fp32 is corpus rounding (SURVEY section 7's pgvector-exact hard
+    part; wiring per VERDICT r3 item 3)."""
+    q, c = data
+    qq, qs = quantize_rows_int8(jnp.asarray(q))
+    cq, cs = quantize_rows_int8(jnp.asarray(c))
+    vals, idx = int8_topk(
+        qq, qs, cq, cs, 12, rescore_queries=jnp.asarray(q), rescore_m=64
+    )
+    cd = np.asarray(cq, np.float32) * np.asarray(cs)[:, None]
+    ovals, oidx = _oracle_topk(q, cd, 12)
+    np.testing.assert_array_equal(np.asarray(idx), oidx)
+    np.testing.assert_allclose(np.asarray(vals), ovals, rtol=1e-5, atol=1e-6)
+
+
+def test_int8_rescore_respects_penalty_and_ties(data):
+    """Tombstoned rows must never resurface through the rescore, and an
+    exact duplicate pair must break to the lower corpus index (the
+    candidate list is re-sorted by index before the final top_k)."""
+    rng = np.random.default_rng(11)
+    c = _normalize(rng.standard_normal((256, 128)).astype(np.float32))
+    c[100] = c[7]  # duplicate -> int8 codes identical -> fp32 tie
+    q = c[[7, 42]]
+    qq, qs = quantize_rows_int8(jnp.asarray(q))
+    cq, cs = quantize_rows_int8(jnp.asarray(c))
+    invalid = np.zeros(256, dtype=bool)
+    invalid[::3] = True
+    invalid[7] = invalid[100] = False
+    penalty = jnp.asarray(np.where(invalid, NEG, 0.0).astype(np.float32))
+    vals, idx = int8_topk(
+        qq, qs, cq, cs, 8, penalty,
+        rescore_queries=jnp.asarray(q), rescore_m=64,
+    )
+    idx = np.asarray(idx)
+    assert not np.any(invalid[idx])
+    assert idx[0, 0] == 7  # lower twin wins the exact tie
+    assert 100 == idx[0, 1]
+
+
 def test_compensated_f32x2_exact_parity(data):
     """The bf16x2 compensated path (pallas AND the XLA fallback) must
     return exactly the fp32 oracle's indices — it is the fast exact mode
