@@ -243,6 +243,11 @@ def register_auth_routes(app: App, settings, bus, meta, prefix: str = "/chat",
             "id": str(payload.get("sub")),
             "name": payload.get("name") or payload.get("preferred_username") or "",
             "email": payload.get("email") or "",
+            # identity-provider avatar (standard OIDC `picture` claim);
+            # the frontend renders it in the account button, falling
+            # back to the initial monogram (reference parity:
+            # app/static/js/app.js:108 avatar_url)
+            "picture": payload.get("picture") or "",
         }
         meta.upsert_user(user["id"], user["name"], user["email"])
         # session rotation: fresh dict, nothing carried over

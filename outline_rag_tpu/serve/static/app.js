@@ -336,7 +336,40 @@ function renderMarkdown(text) {
 /* kept as an alias: user bubbles + thinking blocks share the renderer */
 const renderMarkdownLite = renderMarkdown;
 
-/* Extract hidden sources map + thinking block, linkify [source n]. */
+/* Tolerant citation linkifier (parity with the reference's
+ * looseCitationRegex walk, app/static/js/app.js:55-109): models and
+ * non-English prompt overrides emit citations in many shapes —
+ * [source 3], [来源 3], 【参考 1, 2】, (Source 4), bare [3] — so any
+ * bracket family around a token containing digits linkifies, one
+ * anchor per number that exists in the sources map; tokens with no
+ * mapped number stay verbatim. We render markdown to an HTML string
+ * (not a DOM), so the reference's skip-code TreeWalker becomes a
+ * segment split: <pre>/<code> bodies and tag internals pass through
+ * untouched. */
+function linkifyCitations(html, sources) {
+  const loose = /[\[【(]\s*([^\]】)]*?(?:来源|参考|source|\d+)[^\]】)]*?)[\]】)]/gi;
+  const seg = /(<pre[\s\S]*?<\/pre>|<code[\s\S]*?<\/code>|<[^>]*>)/g;
+  return html
+    .split(seg)
+    .map((part, i) => {
+      if (i % 2 === 1) return part; // tags + code segments
+      return part.replace(loose, (m, inner) => {
+        const nums = inner.match(/\d+/g);
+        if (!nums) return m;
+        const valid = nums.filter((n) => sources[n]);
+        if (!valid.length) return m;
+        return valid
+          .map((n) => {
+            const src = sources[n];
+            return `<a class="citation" href="${safeHref(src.url)}" target="_blank" title="${esc(src.title || "")}">[${n}]</a>`;
+          })
+          .join("");
+      });
+    })
+    .join("");
+}
+
+/* Extract hidden sources map + thinking block, linkify citations. */
 function renderAssistant(content) {
   let thinking = null;
   const tOpen = "\n<!--thinking-->\n", tClose = "\n<!--/thinking-->\n";
@@ -358,13 +391,7 @@ function renderAssistant(content) {
     })
     .join("\n");
   let html = renderMarkdownLite(content.trim());
-  if (sources) {
-    html = html.replace(/\[source (\d+)\]/g, (m, n) => {
-      const src = sources[n];
-      if (!src) return m;
-      return `<a class="citation" href="${safeHref(src.url)}" target="_blank" title="${esc(src.title || "")}">[${n}]</a>`;
-    });
-  }
+  if (sources) html = linkifyCitations(html, sources);
   let out = "";
   if (thinking) {
     out += `<details class="thinking"><summary>thinking</summary><div>${renderMarkdownLite(thinking.trim())}</div></details>`;
@@ -399,7 +426,12 @@ function buildAccountMenu() {
   const menu = $("#account-menu");
   if (!av || !menu) return;
   const name = (state.me?.name || "").trim();
-  av.textContent = (name || "?").slice(0, 1).toUpperCase();
+  const pic = safeHref(state.me?.picture || "");
+  if (pic && pic !== "#") {
+    av.innerHTML = `<img class="avatar-img" src="${pic}" alt="">`;
+  } else {
+    av.textContent = (name || "?").slice(0, 1).toUpperCase();
+  }
   av.title = name || "Account";
   menu.innerHTML = "";
   menu.onclick = (e) => e.stopPropagation();
