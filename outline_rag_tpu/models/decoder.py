@@ -172,7 +172,14 @@ def _quant_one_int4(w, group_size=128):
 
     THE int4 numerics+packing contract (see
     :func:`quantize_decoder_params_int4`); both the full-tree quantizer
-    and the layer-streamed builder route here."""
+    and the layer-streamed builder route here. Block-pair layout with
+    asymmetric nibble encoding — packed lane ``128c + j`` holds element
+    ``256c + j`` as the BIASED value ``v + 8`` in the low nibble and
+    element ``256c + 128 + j`` two's-complement in the high nibble
+    (ops/int4_linear.py explains why Mosaic's vector-op support forces
+    exactly this shape). K not divisible by 256 degenerates to one
+    K/2-wide pair block (kernel-ineligible shapes; the XLA path
+    handles them)."""
     k = w.shape[0]
     if k % 2:
         raise ValueError(f"int4 packing needs an even K, got {k}")
@@ -184,7 +191,11 @@ def _quant_one_int4(w, group_size=128):
     scale = jnp.maximum(amax / 7.0, 1e-12)
     q = jnp.clip(jnp.round(wg / scale), -8, 7)
     q = q.reshape(n, k).astype(jnp.int32)
-    packed = (q[:, 0::2] & 15) | ((q[:, 1::2] & 15) << 4)
+    pw = 128 if k % 256 == 0 else k // 2  # pair-block width
+    qb = q.reshape(n, k // (2 * pw), 2, pw)
+    lo = (qb[:, :, 0, :] + 8) & 15  # biased low nibble
+    hi = qb[:, :, 1, :] & 15  # two's-complement high nibble
+    packed = (lo | (hi << 4)).reshape(n, k // 2)
     return (
         packed.astype(jnp.uint8),
         scale[:, :, 0].astype(jnp.float32),
@@ -358,23 +369,34 @@ _INT8_MODE = _os.environ.get("DECODER_INT8_MODE", "w8a8")
 
 # int4 decode-path strategy: "xla" = grouped-dot with XLA-materialized
 # nibble unpack (slow — kept as the oracle and the CPU path), "kernel" =
-# Pallas w4a16 tile dequant (ops/int4_linear.py; TPU only, shapes must
-# block on 128s — non-qualifying shapes fall back to "xla" silently).
-_INT4_MODE = _os.environ.get("DECODER_INT4_MODE", "kernel")
+# Pallas w4a16 tile dequant (float decode, exact activation numerics),
+# "w4a8" (default) = Pallas int8-dot kernel with per-row int8 activation
+# quantization — the same activation treatment as the production int8
+# w8a8 mode, and ~5x the w4a16 kernel's effective weight bandwidth
+# (ops/int4_linear.py module docstring). TPU only; shapes must block on
+# 128s — non-qualifying shapes fall back to "xla" silently.
+_INT4_MODE = _os.environ.get("DECODER_INT4_MODE", "w4a8")
 
 
 def _unpack_int4(p: jax.Array) -> jax.Array:
     """[..., Kp] uint8 nibble-packed -> [..., 2*Kp] int8 in [-8, 7].
 
-    Byte j holds elements (2j, 2j+1) as (low, high) two's-complement
-    nibbles — the inverse of quantize_decoder_params_int4's packing."""
-    lo = (p & 15).astype(jnp.int8)
+    Inverse of _quant_one_int4's block-pair layout: packed lane
+    ``128c + j`` holds element ``256c + j`` (low nibble, BIASED by +8)
+    and element ``256c + 128 + j`` (high nibble, two's complement)."""
+    kp = p.shape[-1]
+    pw = 128 if kp % 128 == 0 else kp
+    lo = (p & 15).astype(jnp.int8) - 8  # debias
     hi = (p >> 4).astype(jnp.int8)
-    lo = lo - ((lo & 8) << 1)  # sign-extend the nibble
-    hi = hi - ((hi & 8) << 1)
-    return jnp.stack([lo, hi], axis=-1).reshape(
-        *p.shape[:-1], p.shape[-1] * 2
+    hi = hi - ((hi & 8) << 1)  # sign-extend the nibble
+    st = jnp.stack(
+        [
+            lo.reshape(*p.shape[:-1], kp // pw, pw),
+            hi.reshape(*p.shape[:-1], kp // pw, pw),
+        ],
+        axis=-2,
     )
+    return st.reshape(*p.shape[:-1], kp * 2)
 
 
 def _mm_int4(x: jax.Array, q4: jax.Array, s4: jax.Array, dt) -> jax.Array:
@@ -398,20 +420,28 @@ def _mm_int4(x: jax.Array, q4: jax.Array, s4: jax.Array, dt) -> jax.Array:
     x2 = x.reshape(m, k)
     if (
         m <= 32
-        and _INT4_MODE == "kernel"
+        and _INT4_MODE in ("kernel", "w4a8")
         and jax.default_backend() == "tpu"
         and k % 256 == 0
-        and (gsz == 128 or gsz % 256 == 0)
+        and gsz % 128 == 0
         and n % 128 == 0
         and (k // 2) % 128 == 0
     ):
-        # decode-size M: the Pallas w4a16 kernel streams the packed
-        # 4-bit bytes from HBM and dequantizes tiles in VMEM — the XLA
-        # grouped path below materializes the whole unpacked weight
-        # per step (measured 46 tok/s vs bf16's 248, BENCHMARKS.md)
-        from outline_rag_tpu.ops.int4_linear import w4a16_matmul
+        # decode-size M: the Pallas kernels stream the packed 4-bit
+        # bytes from HBM and dequantize tiles in VMEM — the XLA grouped
+        # path below materializes the whole unpacked weight per step
+        # (measured 46 tok/s vs bf16's 248, BENCHMARKS.md). "w4a8"
+        # decodes nibbles straight to int8 MXU operands (two vector ops
+        # per byte) with w8a8-style per-row activation quantization;
+        # "kernel" keeps the float decode (exact w4a16 numerics).
+        if _INT4_MODE == "w4a8":
+            from outline_rag_tpu.ops.int4_linear import w4a8_matmul
 
-        out = w4a16_matmul(x2, q4, s4, dt)
+            out = w4a8_matmul(x2, q4, s4)
+        else:
+            from outline_rag_tpu.ops.int4_linear import w4a16_matmul
+
+            out = w4a16_matmul(x2, q4, s4, dt)
         return out.reshape(*lead, n).astype(dt)
     if m <= 256:
         # operands in the model dtype: bf16 MXU in production, f32 when

@@ -1,26 +1,51 @@
-"""Pallas w4a16 matmul: nibble-packed int4 weights dequantized in VMEM.
+"""Pallas int4-weight matmuls: nibble-packed weights dequantized in VMEM.
 
 Decode is weight-HBM-bound, so 4-bit weights are the highest rung of the
 quantized ladder — but the XLA unpack path (``models/decoder.py::
 _mm_int4``) materializes the elementwise nibble unpack of the WHOLE
-weight every step, which is why it measured 46 tok/s single-stream
-against bf16's 248 (docs/BENCHMARKS.md, 2026-08-18). This kernel makes
-the byte win real: the only HBM read of the weight is the packed uint8
-stream; unpack + group dequant happen on tiles in VMEM and feed the MXU
-directly.
+weight every step (46 tok/s single-stream vs bf16's 248,
+docs/BENCHMARKS.md). These kernels make the byte win real: the only HBM
+read of the weight is the packed uint8 stream; unpack + group dequant
+happen on tiles in VMEM and feed the MXU directly.
+
+Two kernels, one storage format:
+
+- :func:`w4a8_matmul` (the fast path) — decodes nibbles STRAIGHT to int8
+  MXU operands in two vector ops per packed byte and runs int8 x int8
+  dots with the group scales applied post-dot in f32. Activations are
+  per-row int8-quantized (same recipe as ``ops/int8_linear.w8a8_matmul``,
+  the production int8 mode), so this is w4a8: the v1/v2 w4a16 VPU decode
+  (widen -> mask/shift -> sign-fix -> convert -> scale -> downcast, ~11
+  vector ops per byte) was measured purely VPU-bound at ~85 GB/s
+  effective — an order of magnitude under the chip's HBM stream.
+- :func:`w4a16_matmul` — the float-decode kernels (v1 2-D grid fallback,
+  v2 whole-K), kept for the exact w4a16 numerics (no activation
+  quantization) and for A/B measurement (tools/bench_int4_kernel.py).
 
 Layout contract (must match ``quantize_decoder_params_int4``):
-- ``q4``: [N, K//2] uint8, byte j packs elements (2j, 2j+1) as
-  (low, high) two's-complement nibbles in [-8, 7];
+- ``q4``: [N, K//2] uint8 in *block-pair* layout: packed lane ``128*c +
+  j`` (j in [0, 128)) holds elements ``256*c + j`` (LOW nibble) and
+  ``256*c + 128 + j`` (HIGH nibble). The LOW nibble stores the BIASED
+  value ``v + 8`` in [0, 15]; the HIGH nibble stores ``v`` two's
+  complement in [-8, 7].
 - ``s4``: [N, G] f32 group scales, group size ``gsz = K // G`` along K.
 
-The interleaved packing is what makes the kernel's scale logic cheap:
-a 128-packed-lane chunk covers 256 consecutive elements = exactly two
-128-element groups, so the per-element scale tile is a lane-position
-select between two scale columns (no gathers, no lane reshapes — both
-are Mosaic pain). ``gsz`` must be a multiple of 128 and the chunk pair
-(2 groups) must not straddle a block boundary, i.e. ``gsz in (128,
-256, ...)`` with the default 128 fully supported.
+Why that asymmetric layout: Mosaic has no sub-32-bit vector shifts or
+multiplies (``arith.shrui``/``arith.muli`` on vector<i8/i16> fail to
+legalize), but bitwise AND on u8 vectors and same-width bitcasts DO
+work — so the two cheapest possible decodes are
+
+  ``bitcast_i8(q & 0x0F)`` =  v_lo + 8   (biased low nibble), and
+  ``bitcast_i8(q & 0xF0)`` = 16 * v_hi   (two's-complement high nibble:
+                              the sign bit lands in the byte's sign bit),
+
+one AND each, no widening. The ``+8`` bias is linear in x and folds into
+one tiny correction dot per grid step; the ``16x`` folds into the high
+groups' post-dot scale. The block-pair layout makes every 128-lane
+chunk's two halves live in single whole scale groups (constant group
+index per chunk — no lane selects), and keeps contiguous packed-lane
+shards equal to contiguous element shards for any 256-element-aligned
+split (TP row-parallel sharding, ``parallel/tp.py``).
 
 Reference seam: the reference delegates generation to an external API
 (``app/llm_services.py:146-173``); the quantized decode ladder is this
@@ -44,9 +69,168 @@ def _pick_block(dim: int, candidates=(512, 256, 128)) -> int:
     return 0
 
 
+# ---------------------------------------------------------------------------
+# w4a8: int8-MXU kernel (the fast path)
+# ---------------------------------------------------------------------------
+
+
+def _w4a8_kernel_v3(
+    xq_ref,  # [MP, K] int8 activations (per-row quantized)
+    xs2_ref,  # [MP, G] f32: -8 * per-group sums of xq over LO elements
+    q_ref,  # [BN, KP] packed uint8 (the WHOLE contraction dim)
+    s_ref,  # [BN, G] f32 group scales
+    o_ref,  # [MP, BN] f32 out
+    *,
+    chunks: int,
+    gsz: int,
+):
+    """Single-k-step w4a8 tile: grid over N only, whole K resident.
+
+    Decode is TWO u8 ANDs per 128-lane chunk (see module docstring);
+    the int8 x int8 dots hit the MXU's native int8 path with exact i32
+    accumulation, and the f32 group scales multiply the [MP, BN] dot
+    RESULTS (cheap: M rides the sublane axis), not the weight tiles.
+    The scale rows come from one in-kernel transpose of the [BN, G]
+    scale block per grid step; HIGHEST on the correction dot because
+    its f32 operands would otherwise be bf16-truncated by the MXU (the
+    repo-wide f32 score-path rule — bit this kernel's first compile)."""
+    s_all = s_ref[...]  # [BN, G] f32
+    # lo-bias correction: acc starts at sum_g s[n,g] * xs2[m,g]
+    acc = jax.lax.dot_general(
+        xs2_ref[...],
+        s_all,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [MP, BN]
+    st = s_all.T  # [G, BN]: scale rows broadcast over sublanes
+    if gsz == 128:
+        # group == 128-block: odd groups hold HIGH halves -> their rows
+        # carry the 1/16 from the 16*v_hi decode (built once per step)
+        gi = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
+        st = jnp.where(gi % 2 == 1, st * (1.0 / 16.0), st)
+        hi_scaled = True
+    else:
+        hi_scaled = False
+    for c in range(chunks):
+        sl = slice(c * 128, (c + 1) * 128)
+        q = q_ref[:, sl]  # [BN, 128] u8
+        lo8 = jax.lax.bitcast_convert_type(q & jnp.uint8(0x0F), jnp.int8)
+        hi8 = jax.lax.bitcast_convert_type(q & jnp.uint8(0xF0), jnp.int8)
+        xa = xq_ref[:, 256 * c : 256 * c + 128]  # [MP, 128] i8
+        xb = xq_ref[:, 256 * c + 128 : 256 * c + 256]
+        dlo = jax.lax.dot_general(
+            xa, lo8,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # [MP, BN]
+        dhi = jax.lax.dot_general(
+            xb, hi8,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        gl = (256 * c) // gsz
+        gh = (256 * c + 128) // gsz
+        rl = st[gl : gl + 1, :]  # [1, BN]
+        rh = st[gh : gh + 1, :]
+        if not hi_scaled:
+            rh = rh * (1.0 / 16.0)
+        acc = acc + dlo.astype(jnp.float32) * rl + dhi.astype(jnp.float32) * rh
+    o_ref[...] = acc
+
+
+# VMEM budget for the double-buffered packed-weight block (bytes); the
+# whole-K block is 2*bn*kp on a ~16 MB VMEM alongside x/out/temps
+_Q_BUDGET = 8 * 1024 * 1024
+
+
+def _shrink_bn(bn: int, kp: int) -> int:
+    while bn > 128 and 2 * bn * kp > _Q_BUDGET:
+        bn //= 2
+    return bn
+
+
+def w4a8_matmul(
+    x: jax.Array,  # [M, K] activations (bf16/f32)
+    q4: jax.Array,  # [N, K//2] block-pair packed uint8
+    s4: jax.Array,  # [N, G] f32 group scales
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """``quant8(x) @ dequant(q4, s4).T -> [M, N] f32``, weight HBM = 4
+    bits/elem, int8 MXU dots.
+
+    w4a8 numerics: activations are per-row absmax int8 (the
+    ``w8a8_matmul`` recipe — same rounding, same eps), weights are the
+    stored int4 groups; every integer product and accumulation is
+    exact, scales apply in f32. Logit-cosine parity vs the float
+    forward is pinned in tests/test_int4.py alongside the w4a16 path.
+    """
+    m, k = x.shape
+    n, kp = q4.shape
+    g = s4.shape[1]
+    gsz = k // g
+    if kp * 2 != k:
+        raise ValueError(f"packed K mismatch: x K={k}, q4 Kp={kp}")
+    if gsz % 128 or k % 256:
+        raise ValueError(
+            f"kernel needs gsz%128==0 and K%256==0, got gsz={gsz}, K={k}"
+        )
+    bn = _pick_block(n)
+    if not bn:
+        raise ValueError(f"N={n} has no 128-multiple block split")
+    bn = _shrink_bn(bn, kp)
+    if 2 * bn * kp > _Q_BUDGET:
+        raise ValueError(
+            f"packed block [{bn}, {kp}] exceeds the VMEM budget even at "
+            f"bn=128; use the XLA path for K={k}"
+        )
+
+    # per-row activation quantization (w8a8_matmul's exact recipe)
+    x32 = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=1, keepdims=True)
+    sx = jnp.maximum(amax / 127.0, 1e-12)
+    xq = jnp.clip(jnp.round(x32 / sx), -127, 127).astype(jnp.int8)
+    mp = -(-max(m, 32) // 32) * 32  # int8 sublane tile floor
+    if mp != m:
+        xq = jnp.concatenate([xq, jnp.zeros((mp - m, k), jnp.int8)], axis=0)
+    # -8 * per-group sums of xq over LOW-nibble elements (even 128-blocks)
+    kb = k // 128
+    bs = xq.astype(jnp.float32).reshape(mp, kb, 128).sum(-1)
+    bs = bs * ((jnp.arange(kb) % 2) == 0).astype(jnp.float32)[None, :]
+    xs2 = -8.0 * bs.reshape(mp, g, gsz // 128).sum(-1)
+
+    out = pl.pallas_call(
+        functools.partial(_w4a8_kernel_v3, chunks=kp // 128, gsz=gsz),
+        grid=(n // bn,),
+        in_specs=[
+            pl.BlockSpec((mp, k), lambda nb: (0, 0)),
+            pl.BlockSpec((mp, g), lambda nb: (0, 0)),
+            pl.BlockSpec((bn, kp), lambda nb: (nb, 0)),
+            pl.BlockSpec((bn, g), lambda nb: (nb, 0)),
+        ],
+        out_specs=pl.BlockSpec((mp, bn), lambda nb: (0, nb)),
+        out_shape=jax.ShapeDtypeStruct((mp, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * n * k,
+            bytes_accessed=n * kp + mp * k + 4 * mp * n,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xq, xs2, q4, s4)
+    return out[:m] * sx[:m]
+
+
+# ---------------------------------------------------------------------------
+# w4a16: float-decode kernels (exact activation numerics; A/B baselines)
+# ---------------------------------------------------------------------------
+
+
 def _w4a16_kernel_v2(
-    xe_ref,  # [MP, KP] activations at even element positions
-    xo_ref,  # [MP, KP] odd positions
+    x_ref,  # [MP, K] activations
     xs_ref,  # [MP, G] f32: per-group sums of x, pre-multiplied by -8
     q_ref,  # [BN, KP] packed uint8 (the WHOLE contraction dim)
     s_ref,  # [BN, G] f32 group scales
@@ -58,59 +242,39 @@ def _w4a16_kernel_v2(
 ):
     """Single-k-step w4a16 tile: one grid dim over N, whole K in VMEM.
 
-    Two ideas make this ~2x cheaper per byte than the v1 kernel:
-
-    - **XOR bias fold.** A two's-complement nibble ``raw`` decodes as
-      ``v = (raw ^ 8) - 8`` — one vector op for the biased value
-      ``u = v + 8`` instead of v1's mask/shift/subtract sign-extend
-      chain. The ``-8`` is linear in x, so it leaves the hot loop
-      entirely: ``sum_e x*v*s = sum_e x*u*s - 8*sum_g s_g*(sum_{e in g}
-      x_e)`` and the second term is ONE tiny MXU dot per grid step
-      against host-precomputed group sums of x (``xs``).
-    - **Static scale columns.** With the whole K resident, every
-      128-lane chunk's group indices are Python constants, so the
-      per-lane scale tile is a broadcast (or a fixed lane-64 select
-      when a 256-element chunk straddles two 128-wide groups) — v1
-      needed a one-hot MXU dot per chunk because its k-grid made the
-      group index dynamic.
-    """
+    Biased-value decode: the stored LOW nibble IS ``v + 8``; the HIGH
+    nibble is two's complement, one XOR from biased. The ``-8`` is
+    linear in x and leaves the hot loop entirely (``xs`` correction
+    dot). Note the bias fold rounds differently from v1: v2 casts the
+    biased product ``(v + 8) * s`` to ``dt`` where v1 casts ``v * s`` —
+    at dt=bfloat16 the effective weights can differ by up to ~2x the
+    per-element rounding ulp (small next to int4 quantization noise;
+    agreement is pinned in tests/test_int4_linear.py at bf16)."""
     s_all = s_ref[...].astype(jnp.float32)  # [BN, G]
-    # correction term: xs is -8 * group-sums, so acc STARTS at
-    # -8 * sum_g s[n,g] * sum_{e in g} x[m,e]
     acc = jax.lax.dot_general(
         xs_ref[...],
         s_all,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # [MP, BN]
-    lane_lo = (
-        jax.lax.broadcasted_iota(jnp.int32, (s_all.shape[0], 128), 1) < 64
-    )
     for c in range(chunks):
         sl = slice(c * 128, (c + 1) * 128)
-        qi = q_ref[:, sl].astype(jnp.int32)  # [BN, 128], top 24 bits 0
-        ulo = ((qi & 15) ^ 8).astype(jnp.float32)  # v_lo + 8 in [0, 15]
-        uhi = ((qi >> 4) ^ 8).astype(jnp.float32)
-        # chunk c covers elements [256c, 256c+256): group of each half
-        # is a Python constant; a straddle can only split at lane 64
-        # (group boundaries are multiples of 128 elements = 64 lanes)
-        g0 = (256 * c) // gsz
-        g1 = (256 * c + 128) // gsz
-        col0 = s_all[:, g0 : g0 + 1]  # [BN, 1] broadcasts along lanes
-        if g1 == g0:
-            sc = col0
-        else:
-            sc = jnp.where(lane_lo, col0, s_all[:, g1 : g1 + 1])
-        wlo = (ulo * sc).astype(dt)  # [BN, 128]
-        whi = (uhi * sc).astype(dt)
+        qi = q_ref[:, sl].astype(jnp.int32)  # top 24 bits 0
+        ulo = (qi & 15).astype(jnp.float32)  # stored biased: v_lo + 8
+        uhi = ((qi >> 4) ^ 8).astype(jnp.float32)  # signed -> v_hi + 8
+        gl = (256 * c) // gsz
+        gh = (256 * c + 128) // gsz
+        wlo = (ulo * s_all[:, gl : gl + 1]).astype(dt)  # [BN, 128]
+        whi = (uhi * s_all[:, gh : gh + 1]).astype(dt)
         acc += jax.lax.dot_general(
-            xe_ref[:, sl],
+            x_ref[:, 256 * c : 256 * c + 128],
             wlo,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         acc += jax.lax.dot_general(
-            xo_ref[:, sl],
+            x_ref[:, 256 * c + 128 : 256 * c + 256],
             whi,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -119,8 +283,7 @@ def _w4a16_kernel_v2(
 
 
 def _w4a16_kernel(
-    xe_ref,  # [MP, BKP] activations at even element positions
-    xo_ref,  # [MP, BKP] odd positions
+    x_ref,  # [MP, 2*BKP] activations for this k block
     q_ref,  # [BN, BKP] packed uint8
     s_ref,  # [BN, G_total] f32 group scales (whole G dim)
     o_ref,  # [MP, BN] out
@@ -131,74 +294,58 @@ def _w4a16_kernel(
     gsz: int,
     dt,
 ):
-    k = pl.program_id(1)
+    """v1: 2-D grid (N x K) fallback for K too large for a whole-K
+    block. Unbiased decode (``v * s`` in dt — the reference numerics
+    the XLA oracle uses)."""
+    kstep = pl.program_id(1)
 
-    @pl.when(k == 0)
+    @pl.when(kstep == 0)
     def _zero():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     s_all = s_ref[...].astype(jnp.float32)  # [BN, G_total]
-    g_total = s_all.shape[1]
     for c in range(chunks):
-        # unpack in i32: Mosaic has no i8 vector shifts (arith.shrui on
-        # vector<i8> fails to legalize); the widen is VPU-register-only
+        # unpack in i32: Mosaic has no i8/i16 vector shifts (arith.shrui
+        # fails to legalize below 32 bits); the widen is VPU-only
         qi = q_ref[:, c * 128 : (c + 1) * 128].astype(jnp.int32)
-        lo = qi & 15
-        hi = (qi >> 4) & 15
-        lo = lo - ((lo & 8) << 1)  # sign-extend the nibble
-        hi = hi - ((hi & 8) << 1)
-
-        # elements of this chunk: [C*256, (C+1)*256) for global chunk
-        # index C -> group g0 = C*256//gsz; at gsz=128 the chunk spans
-        # two groups (first 64 packed lanes -> g0, rest -> g0+1), at
-        # gsz>=256 one group covers it. Select per-lane between the two
-        # scale columns with a one-hot MXU dot — dynamic lane slicing
-        # and lane reshapes are what Mosaic punishes; iota compares and
-        # a [G_total, 128] one-hot dot are free.
-        cglob = k * chunks + c
-        g0 = cglob * 256 // gsz
-        dg = 1 if gsz == 128 else 0
-        lane = jax.lax.broadcasted_iota(jnp.int32, (g_total, 128), 1)
-        gidx = jax.lax.broadcasted_iota(jnp.int32, (g_total, 128), 0)
-        want = jnp.where(lane < 64, g0, g0 + dg)
-        onehot = (gidx == want).astype(jnp.float32)
-        sc = jax.lax.dot_general(
-            s_all,
-            onehot,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [BN, 128] per-lane scales
-
-        wlo = (lo.astype(jnp.float32) * sc).astype(dt)  # [BN, 128]
-        whi = (hi.astype(jnp.float32) * sc).astype(dt)
-        xe_c = xe_ref[:, c * 128 : (c + 1) * 128]  # [MP, 128]
-        xo_c = xo_ref[:, c * 128 : (c + 1) * 128]
+        vlo = (qi & 15) - 8  # stored biased -> signed
+        vhi = ((qi >> 4) ^ 8) - 8  # two's complement -> signed
+        # the group indices depend on the traced k-grid step, so the
+        # per-half scale columns come from a masked reduce over the
+        # (small) G axis rather than a (dynamic) lane slice
+        cglob = kstep * chunks + c
+        gl = (256 * cglob) // gsz
+        gh = (256 * cglob + 128) // gsz
+        gidx = jax.lax.broadcasted_iota(jnp.int32, s_all.shape, 1)
+        scl = jnp.sum(
+            jnp.where(gidx == gl, s_all, 0.0), axis=1, keepdims=True
+        )
+        sch = jnp.sum(
+            jnp.where(gidx == gh, s_all, 0.0), axis=1, keepdims=True
+        )
+        wlo = (vlo.astype(jnp.float32) * scl).astype(dt)
+        whi = (vhi.astype(jnp.float32) * sch).astype(dt)
         acc_ref[...] += jax.lax.dot_general(
-            xe_c,
+            x_ref[:, 256 * c : 256 * c + 128],
             wlo,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         acc_ref[...] += jax.lax.dot_general(
-            xo_c,
+            x_ref[:, 256 * c + 128 : 256 * c + 256],
             whi,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
-    @pl.when(k == n_k - 1)
+    @pl.when(kstep == n_k - 1)
     def _emit():
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
-# v2 budget for the double-buffered packed-weight block (bytes); the
-# whole-K block is 2*bn*kp on a ~16 MB VMEM alongside x/out/temps
-_V2_Q_BUDGET = 8 * 1024 * 1024
-
-
 def w4a16_matmul(
     x: jax.Array,  # [M, K] activations (bf16/f32)
-    q4: jax.Array,  # [N, K//2] nibble-packed uint8
+    q4: jax.Array,  # [N, K//2] block-pair packed uint8
     s4: jax.Array,  # [N, G] f32 group scales
     dt=jnp.bfloat16,
     *,
@@ -209,13 +356,19 @@ def w4a16_matmul(
 
     Same math as the XLA grouped path in ``models/decoder.py::_mm_int4``
     (unpack -> dt upcast -> group scale -> dot), so the two are
-    interchangeable up to dot-order rounding in ``dt``.
+    interchangeable up to dot-order rounding in ``dt`` (plus v2's
+    bias-fold rounding — see the kernel docstring).
 
     ``variant``: "v2" (default when it fits) grids over N only with the
-    whole K resident per step — static scale columns, XOR bias fold;
-    "v1" is the 2-D-grid kernel kept for K too large for VMEM and for
-    A/B measurement (tools/bench_int4_kernel.py).
+    whole K resident per step; "v1" is the 2-D-grid kernel kept for K
+    too large for VMEM and for A/B measurement
+    (tools/bench_int4_kernel.py). The faster int8-dot path is
+    :func:`w4a8_matmul` (different activation numerics).
     """
+    if variant not in ("auto", "v1", "v2"):
+        raise ValueError(
+            f"variant must be one of 'auto', 'v1', 'v2'; got {variant!r}"
+        )
     m, k = x.shape
     n, kp = q4.shape
     g = s4.shape[1]
@@ -223,33 +376,30 @@ def w4a16_matmul(
     if kp * 2 != k:
         raise ValueError(f"packed K mismatch: x K={k}, q4 Kp={kp}")
     if gsz % 128 or k % 256:
-        raise ValueError(f"kernel needs gsz%128==0 and K%256==0, got gsz={gsz}, K={k}")
+        raise ValueError(
+            f"kernel needs gsz%128==0 and K%256==0, got gsz={gsz}, K={k}"
+        )
 
     bn = _pick_block(n)
     if not bn:
         raise ValueError(f"N={n} has no 128-multiple block split")
-    if variant == "auto":
+    if variant in ("auto", "v2"):
         # shrink the N block before giving up on the single-k-step form
-        vbn = bn
-        while vbn > 128 and 2 * vbn * kp > _V2_Q_BUDGET:
-            vbn //= 2
-        variant = "v2" if 2 * vbn * kp <= _V2_Q_BUDGET else "v1"
-        if variant == "v2":
-            bn = vbn
-    if variant == "v1" and gsz != 128 and gsz % 256:
-        raise ValueError(
-            f"group size {gsz} straddles the 256-element packed chunks"
-        )
+        vbn = _shrink_bn(bn, kp)
+        if 2 * vbn * kp <= _Q_BUDGET:
+            variant, bn = "v2", vbn
+        elif variant == "v2":
+            raise ValueError(
+                f"variant='v2' forced but the packed block [{vbn}, {kp}] "
+                f"exceeds the {_Q_BUDGET}-byte VMEM budget even at bn=128"
+            )
+        else:
+            variant = "v1"
 
-    # activations split once by element parity (XLA, tiny) so the kernel
-    # contracts packed lanes directly: packed lane j <-> elements 2j/2j+1
-    xe = x[:, 0::2]
-    xo = x[:, 1::2]
     mp = max(16, m)  # bf16 sublane tile floor; harmless for f32
+    xk = x
     if mp != m:
-        pad = jnp.zeros((mp - m, kp), x.dtype)
-        xe = jnp.concatenate([xe, pad], axis=0)
-        xo = jnp.concatenate([xo, pad], axis=0)
+        xk = jnp.concatenate([xk, jnp.zeros((mp - m, k), x.dtype)], axis=0)
 
     if variant == "v2":
         # -8 * per-group sums of x, f32: seeds the bias-fold correction
@@ -262,8 +412,7 @@ def w4a16_matmul(
             ),
             grid=(n // bn,),
             in_specs=[
-                pl.BlockSpec((mp, kp), lambda nb: (0, 0)),
-                pl.BlockSpec((mp, kp), lambda nb: (0, 0)),
+                pl.BlockSpec((mp, k), lambda nb: (0, 0)),
                 pl.BlockSpec((mp, g), lambda nb: (0, 0)),
                 pl.BlockSpec((bn, kp), lambda nb: (nb, 0)),
                 pl.BlockSpec((bn, g), lambda nb: (nb, 0)),
@@ -274,7 +423,7 @@ def w4a16_matmul(
                 dimension_semantics=("parallel",),
             ),
             interpret=interpret,
-        )(xe, xo, xs, q4, s4)
+        )(xk, xs, q4, s4)
         return out[:m]
 
     bkp = _pick_block(kp)
@@ -292,8 +441,7 @@ def w4a16_matmul(
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((mp, bkp), lambda nb, kb: (0, kb)),
-            pl.BlockSpec((mp, bkp), lambda nb, kb: (0, kb)),
+            pl.BlockSpec((mp, 2 * bkp), lambda nb, kb: (0, kb)),
             pl.BlockSpec((bn, bkp), lambda nb, kb: (nb, kb)),
             pl.BlockSpec((bn, g), lambda nb, kb: (nb, 0)),
         ],
@@ -304,5 +452,5 @@ def w4a16_matmul(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(xe, xo, q4, s4)
+    )(xk, q4, s4)
     return out[:m]

@@ -69,11 +69,12 @@ _LAYER_QSPECS = {
 # [L, N, G] f32} — group-wise scales along the contraction dim K,
 # models/decoder.py::quantize_decoder_params_int4): column-parallel
 # weights shard the output dim N of q4 and s4; row-parallel weights
-# shard the packed contraction dim of q4 (byte j = elements 2j, 2j+1,
-# so any even split along K/2 lands on element+group boundaries for
-# pow-2 shapes) while the scales replicate — the grouped dot keeps its [G]
-# batch dim aligned with the K sharding, GSPMD slices the replicated
-# scales to the local groups and inserts the psum over G (when G is not
+# shard the packed contraction dim of q4 (block-pair layout: lane
+# 128c+j = elements 256c+j / 256c+128+j, so any 128-lane-aligned split
+# along K/2 lands on 256-element+group boundaries for pow-2 shapes)
+# while the scales replicate — the grouped dot keeps its [G] batch dim
+# aligned with the K sharding, GSPMD slices the replicated scales to
+# the local groups and inserts the psum over G (when G is not
 # divisible by the mesh it all-gathers instead: correct, just slower —
 # real shapes have K/devices a multiple of the 128-group).
 _LAYER_Q4SPECS = {

@@ -75,8 +75,14 @@ def test_int4_quantize_structure(grouped):
     vals = _unpack_int4(wqkv["q4"]).astype(jnp.int32)
     assert int(jnp.max(vals)) <= 7
     assert int(jnp.min(vals)) >= -8
-    # pack/unpack round-trips exactly: repack the unpacked nibbles
-    repacked = (vals[..., 0::2] & 15) | ((vals[..., 1::2] & 15) << 4)
+    # pack/unpack round-trips exactly: repack the unpacked values into
+    # the block-pair asymmetric layout (lo nibble biased, hi signed)
+    kp = wqkv["q4"].shape[-1]
+    pw = 128 if kp % 128 == 0 else kp
+    vb = vals.reshape(*vals.shape[:-1], kp // pw, 2, pw)
+    repacked = (
+        ((vb[..., 0, :] + 8) & 15) | ((vb[..., 1, :] & 15) << 4)
+    ).reshape(*vals.shape[:-1], kp)
     assert bool(jnp.all(repacked.astype(jnp.uint8) == wqkv["q4"]))
 
 

@@ -4,9 +4,11 @@ Variants per shape (all interleaved round-robin, min over rounds,
 two-point iteration counts so dispatch/RTT cancels — the protocol from
 tools/bench_topk_kernel.py):
 
-  v1   — the 2-D-grid kernel (ops/int4_linear.py _w4a16_kernel)
-  v2   — single-k-step kernel (whole K resident; XOR bias fold,
+  v1   — the 2-D-grid w4a16 kernel (ops/int4_linear.py _w4a16_kernel)
+  v2   — single-k-step w4a16 kernel (whole K resident; bias fold,
          static scale columns)
+  v3   — w4a8_matmul: 2-op nibble->int8 decode, int8 MXU dots,
+         post-dot group scales (the production int4 path)
   int8 — w8a8_matmul on the same [K, N]: the 557 GB/s-class bar,
          at 2x the weight bytes
   dma  — a pallas kernel that streams the same packed blocks but only
@@ -23,6 +25,7 @@ import functools
 import os
 import sys
 import time
+import zlib
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -32,7 +35,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from outline_rag_tpu.models.decoder import quantize_decoder_params_int4
-from outline_rag_tpu.ops.int4_linear import w4a16_matmul, _pick_block
+from outline_rag_tpu.ops.int4_linear import (
+    _pick_block,
+    w4a8_matmul,
+    w4a16_matmul,
+)
 from outline_rag_tpu.ops.int8_linear import (
     quantize_linear_weight,
     w8a8_matmul,
@@ -64,9 +71,11 @@ def _quant4(w, gsz=128):
 def _dma_kernel(x_ref, q_ref, o_ref):
     # the block DMA is driven by the BlockSpec pipeline regardless of
     # what the body reads; one column + the x dependency keeps the loop
-    # body live without VPU work
+    # body live without VPU work (vector ops only: Mosaic rejects
+    # sub-32-bit scalar extracts)
     o_ref[...] = (
-        q_ref[:, :1].astype(jnp.int32).astype(jnp.float32) * x_ref[0, 0]
+        q_ref[:, :1].astype(jnp.int32).astype(jnp.float32)
+        * x_ref[0:1, 0:1].astype(jnp.float32)
     )
 
 
@@ -110,7 +119,11 @@ def main():
     key = jax.random.key(0)
     for name in names:
         k, n = SHAPES[name]
-        kw, kx = jax.random.split(jax.random.fold_in(key, hash(name) % 2**31))
+        # stable per-shape fold (Python's str hash is PYTHONHASHSEED-
+        # randomized per process -> non-reproducible weights)
+        kw, kx = jax.random.split(
+            jax.random.fold_in(key, zlib.crc32(name.encode()) % 2**31)
+        )
         w = 0.02 * jax.random.normal(kw, (k, n), jnp.float32)
         q4, s4 = _quant4(w)
         q8, s8 = quantize_linear_weight(w)
@@ -123,6 +136,9 @@ def main():
         runners[name, "v2"] = make_chained(
             lambda x, q4=q4, s4=s4: w4a16_matmul(x, q4, s4, variant="v2"), x0
         )
+        runners[name, "v3"] = make_chained(
+            lambda x, q4=q4, s4=s4: w4a8_matmul(x, q4, s4), x0
+        )
         runners[name, "int8"] = make_chained(
             lambda x, q8=q8, s8=s8: w8a8_matmul(x, q8, s8), x0
         )
@@ -131,7 +147,7 @@ def main():
         )
         meta[name] = (k, n)
 
-    variants = ["dma", "v1", "v2", "int8"]
+    variants = ["dma", "v1", "v2", "v3", "int8"]
     # warm every executable (remote compiles are the slow part)
     for kk, fn in runners.items():
         t0 = time.time()
