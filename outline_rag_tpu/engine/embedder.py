@@ -17,6 +17,7 @@ import numpy as np
 from outline_rag_tpu.models.encoder import (
     EncoderConfig,
     cast_params,
+    fuse_encoder_params,
     pooled_embeddings,
     stack_layer_params,
 )
@@ -49,7 +50,9 @@ class EncoderEmbedder:
         self.cfg = cfg
         # stacked layers -> lax.scan forward: one traced layer, much
         # faster compiles for 24-layer configs
-        self.params = stack_layer_params(cast_params(params, cfg.dtype))
+        self.params = stack_layer_params(
+            fuse_encoder_params(cast_params(params, cfg.dtype))
+        )
         if int8:
             # w8a8 trunk (ENCODER_INT8): int8 MXU throughput at the
             # encoder's large-M shapes; heads/score paths stay full-prec

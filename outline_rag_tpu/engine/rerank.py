@@ -19,6 +19,7 @@ import numpy as np
 from outline_rag_tpu.models.encoder import (
     EncoderConfig,
     cast_params,
+    fuse_encoder_params,
     stack_layer_params,
 )
 from outline_rag_tpu.models.reranker import reranker_forward
@@ -47,7 +48,9 @@ class CrossEncoderReranker:
         int8: bool = False,
     ):
         self.cfg = cfg
-        self.params = stack_layer_params(cast_params(params, cfg.dtype))
+        self.params = stack_layer_params(
+            fuse_encoder_params(cast_params(params, cfg.dtype))
+        )
         if int8:
             # w8a8 trunk (ENCODER_INT8): the rerank forward is B*K pair
             # sequences per query batch — the framework's biggest

@@ -165,9 +165,13 @@ def quantize_encoder_params(params: Params) -> Params:
 
     out = dict(params)
     layers = {grp: dict(params["layers"][grp]) for grp in params["layers"]}
-    for grp, names in (("attn", ("wq", "wk", "wv", "wo")), ("mlp", ("wi", "wo"))):
+    for grp, names in (
+        ("attn", ("wq", "wk", "wv", "wqkv", "wo")),  # wqkv when fused
+        ("mlp", ("wi", "wo")),
+    ):
         for nm in names:
-            layers[grp][nm] = quant(layers[grp][nm])
+            if nm in layers[grp]:
+                layers[grp][nm] = quant(layers[grp][nm])
     out["layers"] = layers
     return out
 
@@ -222,9 +226,16 @@ def _attention(x, mask_bias, ap, cfg: EncoderConfig):
     b, s, h = x.shape
     nh, hd = cfg.heads, cfg.head_dim
     dt = x.dtype
-    q = (_emm(x, ap["wq"], dt) + ap["bq"].astype(dt)).reshape(b, s, nh, hd)
-    k = (_emm(x, ap["wk"], dt) + ap["bk"].astype(dt)).reshape(b, s, nh, hd)
-    v = (_emm(x, ap["wv"], dt) + ap["bv"].astype(dt)).reshape(b, s, nh, hd)
+    if "wqkv" in ap:
+        # fused projection (fuse_encoder_params): one [H, 3H] matmul
+        qkv = _emm(x, ap["wqkv"], dt) + ap["bqkv"].astype(dt)
+        q = qkv[..., :h].reshape(b, s, nh, hd)
+        k = qkv[..., h : 2 * h].reshape(b, s, nh, hd)
+        v = qkv[..., 2 * h :].reshape(b, s, nh, hd)
+    else:
+        q = (_emm(x, ap["wq"], dt) + ap["bq"].astype(dt)).reshape(b, s, nh, hd)
+        k = (_emm(x, ap["wk"], dt) + ap["bk"].astype(dt)).reshape(b, s, nh, hd)
+        v = (_emm(x, ap["wv"], dt) + ap["bv"].astype(dt)).reshape(b, s, nh, hd)
     if _use_flash(cfg, b, s):
         from outline_rag_tpu.ops.attention import flash_attention  # noqa: PLC0415
 
@@ -259,6 +270,34 @@ def _layer_apply(x, mask_bias, layer, cfg: EncoderConfig):
         layer["mlp"]["ln_bias"],
         cfg.layer_norm_eps,
     )
+
+
+def fuse_encoder_params(params: Params) -> Params:
+    """Fuse each layer's three attention projections into one
+    ``wqkv [H, 3H]`` / ``bqkv [3H]`` matmul (the decoder's measured
+    launch-count lever, ``fuse_decoder_params``). Output-channel
+    concatenation, so the per-channel int8 quantization of the fused
+    leaf is bit-identical to quantizing the three separately. Accepts
+    the per-layer list form (fuse BEFORE :func:`stack_layer_params`);
+    already-fused or stacked trees pass through unchanged."""
+    layers = params["layers"]
+    if isinstance(layers, dict) or not layers or "wqkv" in layers[0]["attn"]:
+        return params
+    out_layers = []
+    for layer in layers:
+        ap = layer["attn"]
+        fused_attn = {
+            "wqkv": jnp.concatenate([ap["wq"], ap["wk"], ap["wv"]], axis=1),
+            "bqkv": jnp.concatenate([ap["bq"], ap["bk"], ap["bv"]]),
+            "wo": ap["wo"],
+            "bo": ap["bo"],
+            "ln_scale": ap["ln_scale"],
+            "ln_bias": ap["ln_bias"],
+        }
+        out_layers.append({"attn": fused_attn, "mlp": layer["mlp"]})
+    out = dict(params)
+    out["layers"] = out_layers
+    return out
 
 
 def stack_layer_params(params: Params) -> Params:
