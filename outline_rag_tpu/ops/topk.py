@@ -484,7 +484,10 @@ def _fused_topk_kernel_qmajor(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "block_n", "interpret", "compensated", "unroll_merge"),
+    static_argnames=(
+        "k", "block_n", "interpret", "compensated", "unroll_merge",
+        "n_rows", "row_block_offset",
+    ),
 )
 def _topk_pallas_qmajor_jit(
     queries: jax.Array,
@@ -497,9 +500,17 @@ def _topk_pallas_qmajor_jit(
     interpret: bool,
     compensated: bool = False,
     unroll_merge: int = 0,
+    n_rows: int | None = None,  # rows to scan (defaults to all)
+    row_block_offset: int = 0,  # starting row block (units of block_n)
 ) -> tuple[jax.Array, jax.Array]:
+    """``n_rows``/``row_block_offset`` window the scan over a row range
+    of the FULL corpus buffer via the BlockSpec index maps — the
+    segmented >4M-row sweep launches one of these per segment against
+    the same buffers (no [seg, D] slice copies) inside one program.
+    Emitted indices are window-relative; the caller rebases."""
     b, d = queries.shape
-    n = corpus.shape[0]
+    n = n_rows if n_rows is not None else corpus.shape[0]
+    off = row_block_offset
     grid = (n // block_n,)
     kernel = functools.partial(
         _fused_topk_kernel_qmajor, k=k, block_n=block_n,
@@ -511,9 +522,9 @@ def _topk_pallas_qmajor_jit(
         grid=grid,
         in_specs=[
             pl.BlockSpec((b, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n, d), lambda j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_n), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_n), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, d), lambda j: (j + off, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda j: (0, j + off), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda j: (0, j + off), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -601,6 +612,49 @@ def _topk_pallas_jit(
     return out_vals.T, out_idx.T
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "block_n", "interpret", "compensated", "unroll_merge", "seg"
+    ),
+)
+def _topk_segmented_qmajor(
+    queries: jax.Array,
+    corpus: jax.Array,
+    pen_r: jax.Array,  # [1, N] f32
+    cscale_r: jax.Array,  # [1, N] f32
+    qscale_r: jax.Array,  # [B, 1] f32
+    *,
+    k: int,
+    block_n: int,
+    interpret: bool,
+    compensated: bool,
+    unroll_merge: int,
+    seg: int,
+) -> tuple[jax.Array, jax.Array]:
+    """One program for the whole >seg-row sweep: per-segment kernel
+    launches window the SAME full-size buffers via BlockSpec row
+    offsets, and the cross-segment merges run in between — segment
+    launches are independent, so the scheduler streams them back to
+    back with zero host round-trips."""
+    n = corpus.shape[0]
+    acc = None
+    for start in range(0, n, seg):
+        rows = min(seg, n - start)
+        sv, si = _topk_pallas_qmajor_jit(
+            queries, corpus, pen_r, cscale_r, qscale_r,
+            min(k, rows), block_n, interpret, compensated, unroll_merge,
+            n_rows=rows, row_block_offset=start // block_n,
+        )
+        si = si + start
+        acc = (
+            (sv, si)
+            if acc is None
+            else merge_topk(acc[0], acc[1], sv, si, k)
+        )
+    return acc
+
+
 def topk_pallas(
     queries: jax.Array,
     corpus: jax.Array,
@@ -677,9 +731,34 @@ def topk_pallas(
 
     # Very large corpora are processed in row segments (one kernel launch
     # each, merged on device): keeps per-launch grid sizes within what the
-    # compiler handles comfortably.
+    # compiler handles comfortably. The qmajor path runs ALL segment
+    # launches + merges as ONE jitted program over the full buffers
+    # (BlockSpec row offsets, no [seg, D] slice copies, no per-segment
+    # eager dispatch through the remote tunnel — the r3 10M rung lost
+    # ~6x to exactly that).
     seg = MAX_ROWS_PER_CALL - (MAX_ROWS_PER_CALL % block_n)
     if n > seg:
+        if orientation == "qmajor":
+            pen_r = penalty.reshape(1, n).astype(jnp.float32)
+            cscale_r = (
+                corpus_scales.reshape(1, n).astype(jnp.float32)
+                if corpus_scales is not None
+                else jnp.ones((1, n), jnp.float32)
+            )
+            qscale_r = (
+                query_scales.reshape(b, 1).astype(jnp.float32)
+                if query_scales is not None
+                else jnp.ones((b, 1), jnp.float32)
+            )
+            return _topk_segmented_qmajor(
+                queries
+                if queries.dtype == corpus.dtype
+                else queries.astype(corpus.dtype),
+                corpus, pen_r, cscale_r, qscale_r,
+                k=k, block_n=block_n, interpret=interpret,
+                compensated=compensated, unroll_merge=unroll_merge,
+                seg=seg,
+            )
         acc = None
         for start in range(0, n, seg):
             end = min(start + seg, n)

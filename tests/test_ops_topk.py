@@ -283,6 +283,48 @@ def test_topk_wide_matches_single_stage():
     np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
 
 
+def test_segmented_sweep_single_program_matches_oracle(monkeypatch):
+    """Corpora past MAX_ROWS_PER_CALL run as one jitted program of
+    per-segment windowed launches (BlockSpec row offsets over the full
+    buffers) + on-device merges; exact parity with lax.top_k incl. ties
+    at segment boundaries, penalties, and the int8-scales path."""
+    import jax
+
+    from outline_rag_tpu.ops import topk as topk_mod
+
+    monkeypatch.setattr(topk_mod, "MAX_ROWS_PER_CALL", 512)
+    rng = np.random.default_rng(17)
+    c = _normalize(rng.standard_normal((1280, 128)).astype(np.float32))
+    c[512] = c[511]  # exact duplicate pair straddling a segment boundary
+    q = _normalize(rng.standard_normal((8, 128)).astype(np.float32))
+    q[0] = c[511]
+    pen = np.zeros(1280, np.float32)
+    pen[::5] = NEG
+    pen[511] = pen[512] = 0.0
+    vals, idx = topk_mod.topk_pallas(
+        jnp.asarray(q), jnp.asarray(c), 12, jnp.asarray(pen), block_n=128
+    )
+    scores = q @ c.T + pen[None, :]
+    want_v, want_i = jax.lax.top_k(jnp.asarray(scores), 12)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(want_i))
+    np.testing.assert_allclose(
+        np.asarray(vals), np.asarray(want_v), rtol=1e-5, atol=1e-5
+    )
+    assert np.asarray(idx)[0, 0] == 511  # tie across segments breaks low
+
+    # int8 path (per-row scales ride the same windowed launches)
+    cq, cs = quantize_rows_int8(jnp.asarray(c))
+    qq, qs = quantize_rows_int8(jnp.asarray(q))
+    vi, ii = topk_mod.topk_pallas(
+        qq, cq, 12, jnp.asarray(pen),
+        corpus_scales=cs, query_scales=qs, block_n=128,
+    )
+    raw = np.asarray(qq, np.int32) @ np.asarray(cq, np.int32).T
+    qsc = np.asarray(qs)[:, None] * np.asarray(cs)[None, :]
+    wv, wi = jax.lax.top_k(jnp.asarray(raw * qsc + pen[None, :]), 12)
+    np.testing.assert_array_equal(np.asarray(ii), np.asarray(wi))
+
+
 def test_unrolled_merge_matches_oracle(data):
     """unroll_merge=u replaces the first u while_loop extraction passes
     with straight-line code (the small-N launch-overhead candidate fix);
