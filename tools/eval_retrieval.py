@@ -156,6 +156,169 @@ def evaluate_ladder(
     return out
 
 
+def evaluate_text(
+    n_chunks: int = 384,
+    n_queries: int = 64,
+    seed: int = 0,
+) -> dict:
+    """TEXT-path rung (VERDICT r3 item 8): tokenize -> encode -> fused
+    retrieve (+hybrid lexical / cached-ColBERT modes) -> rerank, end to
+    end over generated wiki-ish paragraphs — the pipeline real serving
+    runs, where the vector-space ladder above shortcuts the encoder.
+
+    Random-init tiny encoder + HashTokenizer (the no-network fallback
+    stack); the reranker is random too, so recall@1 is computed on the
+    RETRIEVAL ordering (each result row carries the retrieval score).
+    Reports per index dtype (float32 vs int8+rescore) and per mode
+    (dense / +lex / +colbert / hybrid): recall, top-12 agreement across
+    dtypes, and the mode-vs-dense overlap (how much the hybrid paths
+    actually move rankings on text)."""
+    import jax
+
+    from outline_rag_tpu.engine.embedder import EncoderEmbedder
+    from outline_rag_tpu.engine.fused import FusedEngine
+    from outline_rag_tpu.engine.rerank import CrossEncoderReranker
+    from outline_rag_tpu.models.encoder import (
+        EncoderConfig,
+        init_colbert_head,
+        init_encoder_params,
+        init_sparse_head,
+    )
+    from outline_rag_tpu.models.reranker import init_reranker_params
+    from outline_rag_tpu.models.tokenizer import HashTokenizer
+
+    rng = np.random.default_rng(seed)
+    cfg = EncoderConfig.tiny()
+    params = init_encoder_params(jax.random.key(seed), cfg)
+    rr_params = init_reranker_params(jax.random.key(seed + 1), cfg)
+    tok = HashTokenizer(vocab_size=cfg.vocab_size)
+
+    # A RANDOM-init tiny encoder maps every paragraph to ~0.99 cosine of
+    # every other (measured), so quantization noise would swamp the
+    # ranking gaps and the dtype comparison would be meaningless. A few
+    # hundred contrastive steps on (perturbed excerpt, chunk) pairs —
+    # the repo's own training loop — spreads the space the way a real
+    # checkpoint does.
+    from outline_rag_tpu.models.train import (
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    train_texts = make_corpus(rng, 256)
+    optimizer = make_optimizer(lr=3e-4)
+    state = init_train_state(params, optimizer)
+    train_step = make_train_step(cfg, optimizer)
+    for step in range(120):
+        lo = (step * 32) % len(train_texts)
+        chunk = [
+            train_texts[(lo + j) % len(train_texts)] for j in range(32)
+        ]
+        qtexts = [perturbed_query(rng, t) for t in chunk]
+        qb = tok.batch(qtexts, 32, buckets=(32,))
+        pb = tok.batch(chunk, 32, buckets=(32,))
+        batch = {
+            "q_ids": qb.input_ids, "q_mask": qb.attention_mask,
+            "p_ids": pb.input_ids, "p_mask": pb.attention_mask,
+        }
+        state, _metrics = train_step(state, batch)
+    params = jax.device_get(state.params)
+    params["sparse"] = init_sparse_head(jax.random.key(seed + 2), cfg)
+    params["colbert"] = init_colbert_head(jax.random.key(seed + 3), cfg)
+    emb = EncoderEmbedder(
+        params, cfg, tok, max_tokens=64, seq_buckets=(64,), name="tiny"
+    )
+    rr = CrossEncoderReranker(rr_params, cfg, tok, max_tokens=128)
+
+    texts = make_corpus(rng, n_chunks)
+    queries = [perturbed_query(rng, t) for t in texts[:n_queries]]
+    tw = 32
+    cb_rank = 8
+    hc = params["colbert"]["w"].shape[1]
+    vectors = emb.embed(texts)
+    tb = tok.batch(texts, tw, buckets=(tw,))
+    token_weights = emb.token_weights(tb.input_ids, tb.attention_mask)
+
+    modes = {
+        "dense": (0.0, 0.0),
+        "lex": (0.35, 0.0),
+        "colbert": (0.0, 0.35),
+        "hybrid": (0.35, 0.35),
+    }
+    out: dict = {
+        "protocol": (
+            f"text self-retrieval, n={n_chunks}, B={n_queries}, "
+            f"tiny encoder + hash tokenizer, token_width={tw}, "
+            f"colbert_rank={cb_rank}"
+        ),
+        "backend": jax.default_backend(),
+        "dtypes": {},
+    }
+    sets: dict = {}  # (dtype, mode) -> list of top-12 id sets
+    for dtype in ("float32", "int8"):
+        vidx = VectorIndex(
+            dim=cfg.hidden,
+            capacity=1024,
+            dtype=dtype,
+            token_width=tw,
+            colbert_rank=cb_rank,
+        )
+        cb_codes, cb_scales = emb.colbert_cache(
+            tb.input_ids, tb.attention_mask, cb_rank,
+            proj=vidx.colbert_projection_for(hc),
+        )
+        vidx.add_chunks(
+            [f"c{i}" for i in range(n_chunks)],
+            vectors,
+            source_id="eval",
+            token_ids=tb.input_ids,
+            token_mask=tb.attention_mask,
+            token_weights=token_weights,
+            colbert_codes=cb_codes,
+            colbert_scales=cb_scales,
+        )
+        dt_entry: dict = {}
+        for mode, (lw, cw) in modes.items():
+            eng = FusedEngine(
+                emb, rr, vidx, top_k=12, rerank_k=12,
+                lex_weight=lw, colbert_weight=cw,
+            )
+            res = eng.query(queries)
+            # retrieval ordering: sort each row by the retrieval score
+            # (random-init reranker scores would scramble recall@1)
+            ordered = [
+                [r[0] for r in sorted(row, key=lambda r: -r[2])]
+                for row in res
+            ]
+            r1 = float(np.mean(
+                [ordered[i][:1] == [f"c{i}"] for i in range(n_queries)]
+            ))
+            r12 = float(np.mean(
+                [f"c{i}" in ordered[i] for i in range(n_queries)]
+            ))
+            sets[dtype, mode] = [set(o) for o in ordered]
+            sets[dtype, mode, "order"] = ordered
+            entry = {"recall@1": round(r1, 4), "recall@12": round(r12, 4)}
+            if mode != "dense":
+                # the candidate SET is dense-chosen (top_k == 12), so
+                # the hybrid modes show up as ORDER changes: fraction
+                # of queries whose retrieval ranking moved at all
+                dense_o = sets[dtype, "dense", "order"]
+                entry["order_changed_vs_dense"] = round(float(np.mean([
+                    ordered[i] != dense_o[i] for i in range(n_queries)
+                ])), 4)
+            if dtype != "float32":
+                entry["agreement@12_vs_fp32"] = round(float(np.mean([
+                    len(sets[dtype, mode][i] & sets["float32", mode][i])
+                    / max(len(sets["float32", mode][i]), 1)
+                    for i in range(n_queries)
+                ])), 4)
+            dt_entry[mode] = entry
+        out["dtypes"][dtype] = dt_entry
+        del vidx
+    return out
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--ladder":
         rungs = tuple(
@@ -163,6 +326,9 @@ if __name__ == "__main__":
                              else "10000,100000,1000000".split(","))
         )
         print(json.dumps(evaluate_ladder(rungs=rungs), indent=2))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--text":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 384
+        print(json.dumps(evaluate_text(n_chunks=n), indent=2))
     else:
         n = int(sys.argv[1]) if len(sys.argv) > 1 else 500
         d = int(sys.argv[2]) if len(sys.argv) > 2 else 256
