@@ -40,9 +40,15 @@ def bench_encode() -> None:
 
     from outline_rag_tpu.models.encoder import stack_layer_params
 
+    from outline_rag_tpu.models.encoder import fuse_encoder_params
+
     cfg = EncoderConfig.bge_m3()
+    # QKV-fused trunk — the serving config (engine/embedder.py fuses at
+    # init); one [H, 3H] projection per layer instead of three
     params = stack_layer_params(
-        cast_params(init_encoder_params(jax.random.key(0), cfg), jnp.bfloat16)
+        fuse_encoder_params(
+            cast_params(init_encoder_params(jax.random.key(0), cfg), jnp.bfloat16)
+        )
     )
     # BENCH_INT8=1: w8a8 trunk (ENCODER_INT8 serving config) — int8 MXU
     # dots at the encoder's large-M shapes
@@ -242,7 +248,44 @@ def main() -> None:
     key = jax.random.key(0)
     kc, kq = jax.random.split(key)
     corpus_scales = None
-    if int8_mode:
+    # int8 sweep strategy: "oneprog" (default) stores the corpus as ONE
+    # contiguous [N, D] int8 buffer and lets topk_pallas's windowed
+    # segmentation run every >4M-row launch + merge inside one jitted
+    # program (zero per-segment host dispatches — the r3 10M rung lost
+    # ~6x to eager dispatch through the remote tunnel). "eager" keeps the
+    # r3 per-segment dispatch for A/B.
+    sweep_mode = os.environ.get("BENCH_SWEEP", "oneprog")
+    if int8_mode and sweep_mode == "oneprog":
+        import functools
+
+        from outline_rag_tpu.ops.quant import quantize_rows_int8
+
+        # generate+quantize straight into the donated contiguous buffer:
+        # peak device memory = int8 corpus + one generation segment's
+        # f32 staging (a 10M-row f32 staging matrix alone would be 40 GB)
+        GEN = 1024 * 512  # 2 GB f32 staging per step
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1),
+                           static_argnames=("rows",))
+        def gen_into(buf, scl, k_seg, off, *, rows):
+            seg = jax.random.normal(k_seg, (rows, d), jnp.float32)
+            seg = seg / jnp.linalg.norm(seg, axis=1, keepdims=True)
+            q8, s8 = quantize_rows_int8(seg)
+            return (
+                jax.lax.dynamic_update_slice(buf, q8, (off, 0)),
+                jax.lax.dynamic_update_slice(scl, s8, (off,)),
+            )
+
+        corpus = jnp.zeros((n, d), jnp.int8)
+        corpus_scales = jnp.zeros((n,), jnp.float32)
+        offs = list(range(0, n, GEN))
+        for k_seg, off in zip(jax.random.split(kc, len(offs)), offs):
+            corpus, corpus_scales = gen_into(
+                corpus, corpus_scales, k_seg, jnp.int32(off),
+                rows=min(GEN, n - off),
+            )
+        int8_segments = [(corpus, corpus_scales, 0)]
+    elif int8_mode:
         # quantize in segments: a 10M-row f32 staging matrix would be
         # 40 GB; int8 codes + scales fit a single chip at 10M rows
         from outline_rag_tpu.ops.quant import quantize_rows_int8
@@ -313,11 +356,32 @@ def main() -> None:
                 acc = (v, i) if acc is None else merge_topk(*acc, v, i, k)
             return acc
 
-        # eager per-segment dispatch: jitting the whole 10-launch sweep
-        # into one program takes the remote compiler many minutes, and
-        # per-call dispatch overhead is a tunnel artifact, not intrinsic
-        def int8_sweep(q, impl):
-            return _int8_sweep(q, int8_segments, impl)
+        if sweep_mode == "oneprog":
+            # the whole sweep (quantize + every windowed segment launch +
+            # on-device merges) traces into ONE program: topk_pallas's
+            # windowed segmentation reads the contiguous buffer via
+            # BlockSpec row offsets, so there are no slice copies and no
+            # per-segment dispatches through the remote tunnel
+            import functools as _ft
+
+            @_ft.partial(jax.jit, static_argnames=("impl",))
+            def _int8_oneprog(q, codes, scales, *, impl):
+                qq, qs = quantize_rows_int8(q)
+                if impl == "xla":
+                    return int8_topk_xla(qq, qs, codes, scales, k)
+                return int8_topk(qq, qs, codes, scales, k, impl=impl)
+
+            def int8_sweep(q, impl):
+                return _int8_oneprog(
+                    q, corpus, corpus_scales,
+                    impl="pallas" if impl == "auto" else impl,
+                )
+        else:
+            # eager per-segment dispatch (r3 behavior, BENCH_SWEEP=eager):
+            # each segment launch + rebase + merge is its own host
+            # round-trip through the remote tunnel
+            def int8_sweep(q, impl):
+                return _int8_sweep(q, int8_segments, impl)
 
     def run_fused_q(q):
         if int8_mode:

@@ -139,6 +139,55 @@ def make_reranker_train_step(cfg: EncoderConfig, optimizer, group: int):
     return step
 
 
+def lm_loss(
+    params: Any,
+    tokens: jax.Array,  # [B, S] int32
+    mask: jax.Array,  # [B, S] int32 — 1 for real tokens
+    cfg: Any,  # DecoderConfig
+) -> jax.Array:
+    """Next-token cross-entropy for the local decoder (causal LM).
+
+    Runs the full-sequence prefill forward (position 0, fresh cache) and
+    scores each position's prediction of the next REAL token; padded
+    positions are masked out of the mean. Used to fit the tiny local
+    decoder to a corpus (e.g. the realized-speculation rung, where a
+    random init never accepts prompt-lookup drafts)."""
+    from outline_rag_tpu.models.decoder import decoder_forward, init_cache
+
+    b, s = tokens.shape
+    assert s <= cfg.max_cache, (s, cfg.max_cache)
+    cache = init_cache(cfg, b)
+    logits, _ = decoder_forward(
+        params, tokens, cache, jnp.zeros((b,), jnp.int32), cfg
+    )
+    losses = optax.softmax_cross_entropy_with_integer_labels(
+        logits[:, :-1], tokens[:, 1:]
+    )
+    m = mask[:, 1:].astype(jnp.float32)
+    return jnp.sum(losses * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def make_lm_train_step(cfg: Any, optimizer):
+    """Jittable (state, batch) -> (state, metrics) causal-LM step for the
+    local decoder. ``batch`` = dict(tokens [B, S], mask [B, S])."""
+
+    def step(state: TrainState, batch: dict) -> tuple[TrainState, dict]:
+        def loss_fn(p):
+            return lm_loss(p, batch["tokens"], batch["mask"], cfg)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(params=params, opt_state=opt_state, step=state.step + 1),
+            {"loss": loss},
+        )
+
+    return step
+
+
 def make_train_step(
     cfg: EncoderConfig, optimizer, temperature: float = 0.05, remat: bool = False
 ):

@@ -1,4 +1,4 @@
-"""Same-run interleaved A/B: bf16 vs w8a8-int8 encoder trunk throughput.
+"""Same-run interleaved A/B: bf16 vs QKV-fused bf16 vs w8a8-int8 encoder.
 
 The encoder at serving batch sizes is MXU-compute-bound (~100 TFLOP/s
 bf16 at 64x256 — docs/BENCHMARKS.md), so the int8 trunk's headroom is
@@ -41,11 +41,16 @@ def main() -> None:
     iters = int(os.environ.get("ITERS", 6))
 
     cfg = EncoderConfig.bge_m3()
-    params = stack_layer_params(
-        cast_params(init_encoder_params(jax.random.key(0), cfg), jnp.bfloat16)
-    )
-    params_q = quantize_encoder_params(params)
-    variants = {"bf16": params, "int8": params_q}
+    from outline_rag_tpu.models.encoder import fuse_encoder_params
+
+    raw = cast_params(init_encoder_params(jax.random.key(0), cfg), jnp.bfloat16)
+    params = stack_layer_params(raw)  # round-3 baseline: six projections
+    fused = stack_layer_params(fuse_encoder_params(raw))  # serving config
+    # quantizing the fused leaf is bit-identical to quantizing the three
+    # separately (per-output-channel scales), so int8 is measured fused —
+    # the config ENCODER_INT8 serving actually runs
+    params_q = quantize_encoder_params(fused)
+    variants = {"bf16": params, "bf16_fused": fused, "int8_fused": params_q}
 
     fwd = jax.jit(lambda p, ids, mask: pooled_embeddings(p, ids, mask, cfg))
     rng = np.random.default_rng(0)
@@ -69,11 +74,13 @@ def main() -> None:
     for p in variants.values():
         chained(p, 1)  # compile both programs before any timing
 
-    # int8 parity check on-device (the A/B is meaningless if the int8
+    # parity checks on-device (the A/B is meaningless if a variant's
     # program computes something else)
     e_b = np.asarray(fwd(params, ids, mask), np.float32)
+    e_f = np.asarray(fwd(fused, ids, mask), np.float32)
     e_q = np.asarray(fwd(params_q, ids, mask), np.float32)
     cos = float(np.min(np.sum(e_b * e_q, axis=1)))
+    cos_fused = float(np.min(np.sum(e_b * e_f, axis=1)))
 
     from outline_rag_tpu.utils.benchproto import (
         encoder_matmul_flops,
@@ -110,9 +117,13 @@ def main() -> None:
             file=sys.stderr, flush=True,
         )
     out = {
-        "metric": f"encoder bf16-vs-int8 A/B (bge-m3-size, batch {b}, seq {s})",
+        "metric": (
+            f"encoder A/B: bf16 / bf16-QKV-fused / int8-fused "
+            f"(bge-m3-size, batch {b}, seq {s})"
+        ),
         "backend": jax.default_backend(),
         "min_cosine_int8_vs_bf16": round(cos, 5),
+        "min_cosine_fused_vs_bf16": round(cos_fused, 5),
         "dropped_impossible_rounds": dropped,
     }
     for name, dt in best.items():
@@ -120,8 +131,12 @@ def main() -> None:
         out[f"{name}_tflops"] = (
             round(flops_per_iter / dt / 1e12, 1) if np.isfinite(dt) else None
         )
-    if all(np.isfinite(v) for v in best.values()):
-        out["int8_speedup"] = round(best["bf16"] / best["int8"], 2)
+    if np.isfinite(best["bf16"]) and np.isfinite(best["bf16_fused"]):
+        out["fused_speedup"] = round(best["bf16"] / best["bf16_fused"], 2)
+    if np.isfinite(best["bf16_fused"]) and np.isfinite(best["int8_fused"]):
+        out["int8_speedup_vs_fused"] = round(
+            best["bf16_fused"] / best["int8_fused"], 2
+        )
     print(json.dumps(out))
 
 

@@ -7,9 +7,11 @@ default backend (the TPU via the axon tunnel on this VM):
 - bge-m3-size encoder (24L x 1024H, bf16, random init — no weights in
   this environment; identical FLOPs/bytes to the real checkpoint),
 - bge-reranker-v2-m3-size cross-encoder,
-- f32x2 VectorIndex at BENCH_N rows (default 100k) with the device
-  token cache, so each ask runs the fused embed -> score+top-12 ->
-  gather -> rerank program through the query micro-batcher,
+- VectorIndex at BENCH_N rows (default 100k; BENCH_N=1000000 is the
+  production rung) in BENCH_DTYPE storage (default float32 — the
+  round-3 headline default) with the device token cache, so each ask
+  runs the fused embed -> score+top-12 -> gather -> rerank program
+  through the query micro-batcher,
 - FakeChatProvider behind the provider seam (the reference's chat LLM
   is a remote API in both systems; its latency is not the rung).
 
@@ -18,7 +20,8 @@ BENCH_CONC concurrency, with the tunnel RTT marker the benchmarking
 protocol requires (docs/BENCHMARKS.md "Measurement caveat").
 
 Usage: python tools/bench_serve_tpu.py
-Env: BENCH_N (100000), BENCH_CONC (100), BENCH_SEQ (10), BENCH_CPU=1
+Env: BENCH_N (100000), BENCH_CONC (100), BENCH_SEQ (10),
+     BENCH_DTYPE (float32|f32x2|bfloat16|int8), BENCH_CPU=1
      (smoke-test the harness on the CPU backend with a tiny encoder).
 """
 
@@ -100,12 +103,15 @@ async def run() -> None:
     cap = 1024
     while cap < n:
         cap *= 2
+    # BENCH_DTYPE: float32 (default — the round-3 headline storage, fp32-
+    # exact with Precision.HIGHEST), or f32x2/bfloat16/int8 variants
+    dtype = os.environ.get("BENCH_DTYPE", "float32")
     index = VectorIndex(
-        dim=cfg.hidden, capacity=cap, dtype="f32x2", token_width=tok_w
+        dim=cfg.hidden, capacity=cap, dtype=dtype, token_width=tok_w
     )
 
     # synthesize the corpus directly through the real ingest mutation
-    # path (normalize + f32x2 split + token-cache write); encoding 100k
+    # path (normalize + dtype-specific store + token-cache write); encoding 100k
     # chunks through the encoder is the *build* rung, measured separately
     # (BENCH_SCENARIO=encode)
     rng = np.random.default_rng(0)
@@ -227,7 +233,7 @@ async def run() -> None:
                     f"north-star serve: {conc} concurrent asks, "
                     f"{'tiny-smoke' if smoke else 'bge-m3-size'} encoder+reranker"
                     f"{' (int8 trunks)' if int8 else ''}, "
-                    f"{n}x{cfg.hidden} f32x2 fused index, "
+                    f"{n}x{cfg.hidden} {dtype} fused index, "
                     f"backend={jax.default_backend()}"
                 ),
                 "seq_p50_ms": round(p50_seq, 1),
