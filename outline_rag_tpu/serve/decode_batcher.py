@@ -119,6 +119,7 @@ class DecodeBatcher:
         self._adm: dict | None = None  # staged paged admission in flight
         self.prefix_hits = 0  # prompt pages served from cache (stats)
         self.prefix_lookups = 0
+        self.backpressure_waits = 0  # admissions deferred for lack of pages
         # speculative acceptance (stats): tokens emitted per verify step
         # across active rows — 1.0 means drafts never help, K+1 is the
         # all-accepted ceiling
@@ -373,6 +374,7 @@ class DecodeBatcher:
                 pages_cached=len(self._prefix_map),
                 prefix_hits=self.prefix_hits,
                 prefix_lookups=self.prefix_lookups,
+                backpressure_waits=self.backpressure_waits,
             )
         return out
 
@@ -588,6 +590,7 @@ class DecodeBatcher:
             if not self._evict_one():
                 for pg in shared:  # roll back; hold for backpressure
                     self._page_ref[pg] -= 1
+                self.backpressure_waits += 1
                 return False
         fresh = [self._free_pages.pop() for _ in range(fresh_needed)]
         for pg in fresh:

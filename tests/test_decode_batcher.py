@@ -302,12 +302,20 @@ def test_paged_batcher_backpressure_and_reuse(setup):
         kv_pages=5, page_size=16,
     )
     prompts = [[5, 9, 13], [77, 78, 79], [200, 201, 202, 203]]
-    queues = [batcher.submit(p, 0.0, 1.0, 12) for p in prompts]
+    # the first two run long enough (6+ decode chunks) that they still
+    # hold their pages when the third's admission is attempted — the
+    # deferral itself must happen, not just resolve
+    max_news = [24, 24, 12]
+    queues = [
+        batcher.submit(p, 0.0, 1.0, mn) for p, mn in zip(prompts, max_news)
+    ]
     got = [collect(q) for q in queues]
-    for p, g in zip(prompts, got):
-        assert g == solo_greedy(cfg, params, p, 12), (p, g)
-    # all pages reclaimed after the last finish
+    for p, mn, g in zip(prompts, max_news, got):
+        assert g == solo_greedy(cfg, params, p, mn), (p, g)
+    # all pages reclaimed after the last finish, and the deferral was
+    # counted (the stats() signal the on-chip backpressure rung reads)
     assert len(batcher._free_pages) == 4
+    assert batcher.stats()["backpressure_waits"] >= 1
     batcher.close()
 
 

@@ -21,8 +21,13 @@ protocol requires (docs/BENCHMARKS.md "Measurement caveat").
 
 Usage: python tools/bench_serve_tpu.py
 Env: BENCH_N (100000), BENCH_CONC (100), BENCH_SEQ (10),
-     BENCH_DTYPE (float32|f32x2|bfloat16|int8), BENCH_CPU=1
-     (smoke-test the harness on the CPU backend with a tiny encoder).
+     BENCH_DTYPE (float32|f32x2|bfloat16|int8), BENCH_HYBRID=1
+     (lex_weight=0.3 + ColBERT late interaction from the int8 JL cache
+     at rank 64 — the full hybrid retrieval mode; cache contents are
+     synthetic like the corpus, so the rung measures the cost of the
+     extra gathers + MaxSim in the fused program, not ranking quality),
+     BENCH_CPU=1 (smoke-test the harness on the CPU backend with a
+     tiny encoder).
 """
 
 from __future__ import annotations
@@ -85,8 +90,14 @@ async def run() -> None:
     print(f"# backend={jax.default_backend()} tunnel rtt {rtt:.3f}s",
           file=sys.stderr)
 
+    hybrid = bool(os.environ.get("BENCH_HYBRID"))
+    cb_rank = 64
     cfg = EncoderConfig.tiny() if smoke else EncoderConfig.bge_m3()
     enc_params = init_encoder_params(jax.random.key(0), cfg)
+    if hybrid:
+        from outline_rag_tpu.models.encoder import init_colbert_head
+
+        enc_params["colbert"] = init_colbert_head(jax.random.key(3), cfg)
     rr_params = init_reranker_params(jax.random.key(1), cfg)
     tok = HashTokenizer(vocab_size=cfg.vocab_size)
     # BENCH_INT8=1: w8a8 trunks (ENCODER_INT8 serving config) — the ask
@@ -107,7 +118,8 @@ async def run() -> None:
     # exact with Precision.HIGHEST), or f32x2/bfloat16/int8 variants
     dtype = os.environ.get("BENCH_DTYPE", "float32")
     index = VectorIndex(
-        dim=cfg.hidden, capacity=cap, dtype=dtype, token_width=tok_w
+        dim=cfg.hidden, capacity=cap, dtype=dtype, token_width=tok_w,
+        colbert_rank=cb_rank if hybrid else 0,
     )
 
     # synthesize the corpus directly through the real ingest mutation
@@ -121,6 +133,20 @@ async def run() -> None:
         m = min(batch, n - start)
         vecs = rng.standard_normal((m, cfg.hidden)).astype(np.float32)
         ids = rng.integers(3, cfg.vocab_size, size=(m, tok_w)).astype(np.int32)
+        extra = {}
+        if hybrid:
+            # synthetic lexical weights + projected-int8 ColBERT cache
+            # rows: same shapes/dtypes the real ingest writes, so the
+            # fused program's hybrid gathers and MaxSim run for real
+            extra = dict(
+                token_weights=rng.random((m, tok_w), np.float32),
+                colbert_codes=rng.integers(
+                    -127, 128, size=(m, tok_w, cb_rank)
+                ).astype(np.int8),
+                colbert_scales=(
+                    rng.random((m, tok_w), np.float32) * 0.02 + 0.001
+                ),
+            )
         index.add_chunks(
             [f"c{start + i}" for i in range(m)],
             vecs,
@@ -128,6 +154,7 @@ async def run() -> None:
             replace=False,
             token_ids=ids,
             token_mask=np.ones((m, tok_w), np.int32),
+            **extra,
         )
     print(
         f"# index build: {n} rows in {time.perf_counter() - t_build:.1f}s",
@@ -145,6 +172,15 @@ async def run() -> None:
             # so the batcher-cap override must be forwarded by hand for
             # the warm ladder's query_batch_max derivation to see it
             "QUERY_BATCH_MAX": os.environ.get("QUERY_BATCH_MAX", "32"),
+            **(
+                {
+                    "LEX_WEIGHT": "0.3",
+                    "COLBERT_WEIGHT": "0.3",
+                    "COLBERT_CACHE_RANK": str(cb_rank),
+                }
+                if hybrid
+                else {}
+            ),
         }
     )
     app = build_app(
@@ -233,7 +269,8 @@ async def run() -> None:
                     f"north-star serve: {conc} concurrent asks, "
                     f"{'tiny-smoke' if smoke else 'bge-m3-size'} encoder+reranker"
                     f"{' (int8 trunks)' if int8 else ''}, "
-                    f"{n}x{cfg.hidden} {dtype} fused index, "
+                    f"{n}x{cfg.hidden} {dtype} fused index"
+                    f"{' + lex/ColBERT-cache hybrid' if hybrid else ''}, "
                     f"backend={jax.default_backend()}"
                 ),
                 "seq_p50_ms": round(p50_seq, 1),

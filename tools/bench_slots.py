@@ -124,7 +124,13 @@ def main() -> None:
         # window dominates; tok/s is a rate, so a longer run at high
         # slot counts is still the same curve point.
         new_tokens_pt = max(new_tokens, slots * 8)
-        pool = slots * maxp + 1
+        # BENCH_POOL_FRAC < 1 deliberately undersizes the pool so only
+        # ~frac of the slots can hold pages at once: page-exhaustion
+        # admission backpressure engages (held requests admit as
+        # finishing rows free pages), and the run proves every request
+        # still completes — the on-chip backpressure verification.
+        pool_frac = float(os.environ.get("BENCH_POOL_FRAC", "1"))
+        pool = max(maxp + 2, int(slots * maxp * pool_frac) + 1)
         b = DecodeBatcher(
             params, cfg, slots=slots, chunk_tokens=16, eos_id=-1,
             kv_pages=pool, page_size=page, kv_int8=kv_int8,
@@ -226,14 +232,17 @@ def main() -> None:
         w_gbs = pbytes * steps_per_s / 1e9
         avg_ctx = prompt_len + new_tokens_pt / 2
         kv_gbs = kv_per_pos * avg_ctx * slots * steps_per_s / 1e9
-        results.append(
-            dict(
-                slots=slots, new_tokens=new_tokens_pt,
-                tok_s=round(best, 1),
-                tok_s_with_ramp=round(best_overall, 1),
-                weight_gbs=round(w_gbs, 1), kv_gbs=round(kv_gbs, 1),
-            )
+        point = dict(
+            slots=slots, new_tokens=new_tokens_pt,
+            tok_s=round(best, 1),
+            tok_s_with_ramp=round(best_overall, 1),
+            weight_gbs=round(w_gbs, 1), kv_gbs=round(kv_gbs, 1),
         )
+        if pool_frac < 1:
+            st = b.stats()
+            point["pool_pages"] = st["pages_total"]
+            point["backpressure_waits"] = st["backpressure_waits"]
+        results.append(point)
         b.close()
         print(
             f"slots={slots}: {best:.1f} tok/s aggregate "
