@@ -644,7 +644,9 @@ class PagedKV:
     inactive rows (their forwards still write; the scratch page absorbs
     the garbage so reclaimed pages are never corrupted).
 
-    ``k``/``v``: [L, P, KvH, page, Dh]; ``table``: [B, MAXP] int32 —
+    ``k``/``v``: [L, P, KvH, Dh, page] (position minor — the page axis
+    is a full 128-lane tile, so the pool is lane-padding-free for any
+    head dim); ``table``: [B, MAXP] int32 —
     row b's absolute positions [i*page, (i+1)*page) live in pool page
     ``table[b, i]``. Effective per-row capacity is MAXP * page, which
     callers must keep <= cfg.max_cache (the position-guard contract of
@@ -673,7 +675,7 @@ class PagedKV:
 
     @property
     def page(self) -> int:
-        return self.k.shape[3]
+        return self.k.shape[4]
 
 
 def init_paged_cache(
@@ -694,7 +696,13 @@ def init_paged_cache(
             f"page_size={page_size}"
         )
     maxp = cfg.max_cache // page_size
-    shape = (cfg.layers, pages, cfg.kv_heads, page_size, cfg.hd)
+    # position-MINOR page slabs ([.., Dh, page], page = 128 lanes): the
+    # pool is lane-padding-free for any head dim. With position major
+    # (.., page, Dh) a Dh=64 model pads 64->128 lanes: the pool doubles
+    # in HBM and XLA relayout-copies it around the per-layer scan
+    # (ops/paged_attention.py module docstring has the measurement)
+    shape = (cfg.layers, pages, cfg.kv_heads, cfg.hd, page_size)
+    scale_shape = (cfg.layers, pages, cfg.kv_heads, page_size)
     if mesh is not None and cfg.kv_heads % mesh.size:
         raise ValueError(
             f"kv_heads={cfg.kv_heads} not divisible by TP mesh size "
@@ -715,8 +723,8 @@ def init_paged_cache(
             k=place(jnp.zeros(shape, jnp.int8), 2),
             v=place(jnp.zeros(shape, jnp.int8), 2),
             table=jnp.zeros((batch, maxp), jnp.int32),
-            k_scale=place(jnp.zeros(shape[:-1], jnp.float32), 2),
-            v_scale=place(jnp.zeros(shape[:-1], jnp.float32), 2),
+            k_scale=place(jnp.zeros(scale_shape, jnp.float32), 2),
+            v_scale=place(jnp.zeros(scale_shape, jnp.float32), 2),
             mesh=mesh,
         )
     if kv_dtype is not None:
@@ -805,18 +813,21 @@ def decoder_forward(
                 ks_pool = vs_pool = None
             h = _rms_norm(x, layer["ln1"], cfg.norm_eps)
             q, k_new, v_new = _qkv(h, layer, positions, cfg)
-            # pool [P, KvH, S, Dh]; advanced-index scatter at
-            # (page, :, offset) — in-place under donation
+            # pool [P, KvH, Dh, S] (position minor); advanced-index
+            # scatter at (page, :, :, offset) — the [B,T] advanced index
+            # pair broadcasts to the front, so the update value is the
+            # [B, T, KvH, Dh] new-KV tensor unchanged. In-place under
+            # donation.
             if quant:
                 k_q, k_s = _quantize_kv(k_new)
                 v_q, v_s = _quantize_kv(v_new)
-                k_pool = k_pool.at[w_pages, :, w_offs, :].set(k_q)
-                v_pool = v_pool.at[w_pages, :, w_offs, :].set(v_q)
+                k_pool = k_pool.at[w_pages, :, :, w_offs].set(k_q)
+                v_pool = v_pool.at[w_pages, :, :, w_offs].set(v_q)
                 ks_pool = ks_pool.at[w_pages, :, w_offs].set(k_s)
                 vs_pool = vs_pool.at[w_pages, :, w_offs].set(v_s)
             else:
-                k_pool = k_pool.at[w_pages, :, w_offs, :].set(k_new.astype(dt))
-                v_pool = v_pool.at[w_pages, :, w_offs, :].set(v_new.astype(dt))
+                k_pool = k_pool.at[w_pages, :, :, w_offs].set(k_new.astype(dt))
+                v_pool = v_pool.at[w_pages, :, :, w_offs].set(v_new.astype(dt))
             ctx = paged_attention(
                 q, k_pool, v_pool, table, start_pos,
                 k_scale=ks_pool, v_scale=vs_pool,

@@ -1,7 +1,7 @@
 """Paged decode attention: KV pages + page-table walk in a Pallas kernel.
 
 vLLM's paged-KV idea expressed TPU-first. The decoder's KV lives in a
-shared pool of fixed-size pages (``[P, KvH, page, Dh]`` per layer); each
+shared pool of fixed-size pages (``[P, KvH, Dh, page]`` per layer); each
 sequence owns an ordered list of page indices (the page table), so HBM
 is allocated by actual sequence length, not by ``slots x max_cache`` —
 short chats stop reserving worst-case cache and more concurrent
@@ -40,6 +40,17 @@ and the T decode positions into one ``[G*T, Dh]`` matmul operand — at
 decode shapes (T <= 8 speculative window) the whole query block stays
 resident while pages stream.
 
+Pool layout: pages store ``[Dh, page]`` slabs (position is the MINOR
+dim), not ``[page, Dh]``. The page axis is always 128 = one full lane
+tile, so the pool is padding-free for ANY head dim — with the naive
+``[page, Dh]`` layout a Dh=64 model pads every lane tile 64->128 and
+XLA both doubles the pool's HBM footprint and materializes relayout
+copies of the whole pool around the per-layer scan (measured: a 2.95 GB
+pool compiled to 11.2 GB of HLO temps and OOM'd a 16 GB chip at 64
+slots). Transposed, the at-rest layout IS the compute layout: donation
+aliases, K arrives pre-transposed for the q·kT MXU dot, and the p·v
+product contracts on the lane dim, which Mosaic handles natively.
+
 No reference equivalent (the reference calls a remote chat API,
 ``app/llm_services.py:151``); this is the serving-memory analogue of
 pgvector -> device shards for the decode path.
@@ -60,8 +71,8 @@ _LANE = 128
 
 def paged_attention_xla(
     q: jax.Array,  # [B, T, H, Dh] (already rotary-embedded)
-    pool_k: jax.Array,  # [P, KvH, S, Dh]
-    pool_v: jax.Array,  # [P, KvH, S, Dh]
+    pool_k: jax.Array,  # [P, KvH, Dh, S]
+    pool_v: jax.Array,  # [P, KvH, Dh, S]
     table: jax.Array,  # [B, MAXP] int32 page ids (position order)
     pos: jax.Array,  # [B] int32 — absolute position of q[:, 0]
     k_scale: jax.Array | None = None,  # [P, KvH, S] f32 (int8 pools)
@@ -73,14 +84,14 @@ def paged_attention_xla(
     the test oracle and the CPU fallback, not the serving path.
     """
     b, t, h, dh = q.shape
-    p_, kvh, s_pg, _ = pool_k.shape
+    p_, kvh, _, s_pg = pool_k.shape
     maxp = table.shape[1]
     c = maxp * s_pg
     group = h // kvh
 
     def gather(pool, scale):  # -> [B, KvH, C, Dh] dequantized
-        g = jnp.take(pool, table, axis=0)  # [B, MAXP, KvH, S, Dh]
-        g = g.transpose(0, 2, 1, 3, 4).reshape(b, kvh, c, dh)
+        g = jnp.take(pool, table, axis=0)  # [B, MAXP, KvH, Dh, S]
+        g = g.transpose(0, 2, 1, 4, 3).reshape(b, kvh, c, dh)
         if scale is None:
             return g
         sc = jnp.take(scale, table, axis=0)  # [B, MAXP, KvH, S]
@@ -109,7 +120,7 @@ def paged_attention_xla(
 
 def paged_attention_sharded(
     q: jax.Array,  # [B, T, H, Dh] — H sharded on `axis`
-    pool_k: jax.Array,  # [P, KvH, S, Dh] — KvH sharded on `axis`
+    pool_k: jax.Array,  # [P, KvH, Dh, S] — KvH sharded on `axis`
     pool_v: jax.Array,
     table: jax.Array,  # [B, MAXP] replicated
     pos: jax.Array,  # [B] replicated
@@ -169,8 +180,8 @@ def paged_attention_sharded(
 
 def _accumulate_page(
     q,  # [GT, Dh] query rows (one kv head's group)
-    k,  # [S, Dh] the page's keys (int8 when quant)
-    v,  # [S, Dh]
+    k,  # [Dh, S] the page's keys, position-minor (int8 when quant)
+    v,  # [Dh, S]
     ks,  # [S] per-token k-scales or None
     vs,  # [S] per-token v-scales or None
     allowed,  # [GT, S] validity mask
@@ -186,7 +197,7 @@ def _accumulate_page(
     diverge."""
     s = jax.lax.dot_general(
         q, k.astype(q.dtype),
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale  # [GT, S]
     if ks is not None:
@@ -207,13 +218,13 @@ def _accumulate_page(
         # the product in f32 (int8 v has no meaningful low precision)
         pv = jax.lax.dot_general(
             p * vs[None, :], v.astype(jnp.float32),
-            dimension_numbers=(((1,), (0,)), ((), ())),
+            dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
     else:
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v,
-            dimension_numbers=(((1,), (0,)), ((), ())),
+            dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
     acc_ref[:, :] = acc_ref[:, :] * alpha + pv
@@ -238,8 +249,8 @@ def _paged_kernel(
     table_ref,  # scalar prefetch [B, MAXP]
     pos_ref,  # scalar prefetch [B]
     q_ref,  # [1, 1, GT, Dh]
-    k_ref,  # [1, 1, S, Dh] — the page this grid step walks
-    v_ref,  # [1, 1, S, Dh]
+    k_ref,  # [1, 1, Dh, S] — the page this grid step walks
+    v_ref,  # [1, 1, Dh, S]
     *rest,  # (ks_ref [1,1,S], vs_ref [1,1,S] when quant) + o_ref + scratch
     scale: float,
     t_len: int,
@@ -290,8 +301,8 @@ def _paged_kernel_page(
     table_ref,  # scalar prefetch [B, MAXP]
     pos_ref,  # scalar prefetch [B]
     q_ref,  # [1, KvH, GT, Dh] — the row's full grouped query
-    k_ref,  # [1, KvH, S, Dh] — ALL kv heads of the page this step walks
-    v_ref,  # [1, KvH, S, Dh]
+    k_ref,  # [1, KvH, Dh, S] — ALL kv heads of the page this step walks
+    v_ref,  # [1, KvH, Dh, S]
     *rest,  # (ks_ref [1,KvH,1,S], vs_ref when quant) + o_ref + scratch
     scale: float,
     t_len: int,
@@ -300,26 +311,35 @@ def _paged_kernel_page(
     quant: bool,
 ):
     """Grid ``(B, MAXP)`` page walk: one grid step fetches a page's whole
-    ``[KvH, S, Dh]`` slab (contiguous in the pool) in ONE DMA and
+    ``[KvH, Dh, S]`` slab (contiguous in the pool) in ONE DMA and
     accumulates every kv head — ``KvH``x fewer grid steps than the
     per-head walk. At decode shapes the per-head matmuls are far below
     MXU granularity, so the walk is bound by fixed per-grid-step cost
     (sequencing + DMA issue), which this variant amortizes across heads.
     """
     if quant:
-        ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr = rest
+        ks_ref, vs_ref, o_ref, *scratch = rest
     else:
-        o_ref, m_scr, l_scr, acc_scr = rest
+        o_ref, *scratch = rest
         ks_ref = vs_ref = None
+    # per-head 2-D scratch triples (m, l, acc) x kvh — NOT one 3-D
+    # buffer sliced with .at[hh]: Mosaic rejects memref views whose
+    # minor dim (Dh = 64 here) is below the 128-lane tile ("Slice shape
+    # along dimension 2 must be aligned to tiling (128)"), while plain
+    # 2-D scratch refs — the head-variant's pattern — lower fine
+    m_scr = scratch[0::3]
+    l_scr = scratch[1::3]
+    acc_scr = scratch[2::3]
     b = pl.program_id(0)
     pp = pl.program_id(1)
     npg = pl.num_programs(1)
 
     @pl.when(pp == 0)
     def _init():
-        m_scr[:] = jnp.full_like(m_scr, -1e30)
-        l_scr[:] = jnp.zeros_like(l_scr)
-        acc_scr[:] = jnp.zeros_like(acc_scr)
+        for hh in range(kvh):
+            m_scr[hh][:] = jnp.full_like(m_scr[hh], -1e30)
+            l_scr[hh][:] = jnp.zeros_like(l_scr[hh])
+            acc_scr[hh][:] = jnp.zeros_like(acc_scr[hh])
 
     last_live = (pos_ref[b] + t_len - 1) // page
 
@@ -334,14 +354,14 @@ def _paged_kernel_page(
                 ks_ref[0, hh, 0] if quant else None,
                 vs_ref[0, hh, 0] if quant else None,
                 allowed, scale,
-                m_scr.at[hh], l_scr.at[hh], acc_scr.at[hh],
+                m_scr[hh], l_scr[hh], acc_scr[hh],
             )
 
     @pl.when(pp == npg - 1)
     def _emit():
         for hh in range(kvh):
             o_ref[0, hh] = _normalized(
-                l_scr.at[hh], acc_scr.at[hh]
+                l_scr[hh], acc_scr[hh]
             ).astype(o_ref.dtype)
 
 
@@ -349,7 +369,7 @@ def _paged_kernel_dma(
     table_ref,  # scalar prefetch [B, MAXP]
     pos_ref,  # scalar prefetch [B]
     q_ref,  # [1, KvH, GT, Dh]
-    k_hbm,  # [P, KvH, S, Dh] — full pool, stays in HBM
+    k_hbm,  # [P, KvH, Dh, S] — full pool, stays in HBM
     v_hbm,
     *rest,  # (ks_hbm [P,KvH,1,S], vs_hbm when quant) + o_ref + scratch
     scale: float,
@@ -366,10 +386,16 @@ def _paged_kernel_dma(
     ``B`` grid steps total.
     """
     if quant:
-        ks_hbm, vs_hbm, o_ref, m_scr, l_scr, acc_scr, kbuf, vbuf, ksbuf, vsbuf, sem = rest
+        ks_hbm, vs_hbm, o_ref, *tail = rest
+        *scratch, kbuf, vbuf, ksbuf, vsbuf, sem = tail
     else:
-        o_ref, m_scr, l_scr, acc_scr, kbuf, vbuf, sem = rest
+        o_ref, *tail = rest
+        *scratch, kbuf, vbuf, sem = tail
         ks_hbm = vs_hbm = ksbuf = vsbuf = None
+    # per-head 2-D scratch triples, same rationale as _paged_kernel_page
+    m_scr = scratch[0::3]
+    l_scr = scratch[1::3]
+    acc_scr = scratch[2::3]
     b = pl.program_id(0)
     gt = q_ref.shape[2]
     maxp = table_ref.shape[1]
@@ -395,9 +421,10 @@ def _paged_kernel_dma(
             ]
         return cps
 
-    m_scr[:] = jnp.full_like(m_scr, -1e30)
-    l_scr[:] = jnp.zeros_like(l_scr)
-    acc_scr[:] = jnp.zeros_like(acc_scr)
+    for hh in range(kvh):
+        m_scr[hh][:] = jnp.full_like(m_scr[hh], -1e30)
+        l_scr[hh][:] = jnp.zeros_like(l_scr[hh])
+        acc_scr[hh][:] = jnp.zeros_like(acc_scr[hh])
     for cp in copies(0, 0):  # nlive >= 1 always (pos >= 0)
         cp.start()
 
@@ -418,21 +445,21 @@ def _paged_kernel_dma(
                 ksbuf[slot, hh, 0] if quant else None,
                 vsbuf[slot, hh, 0] if quant else None,
                 allowed, scale,
-                m_scr.at[hh], l_scr.at[hh], acc_scr.at[hh],
+                m_scr[hh], l_scr[hh], acc_scr[hh],
             )
         return 0
 
     jax.lax.fori_loop(0, nlive, walk, 0)
     for hh in range(kvh):
         o_ref[0, hh] = _normalized(
-            l_scr.at[hh], acc_scr.at[hh]
+            l_scr[hh], acc_scr[hh]
         ).astype(o_ref.dtype)
 
 
 def paged_attention(
     q: jax.Array,  # [B, T, H, Dh] (already rotary-embedded)
-    pool_k: jax.Array,  # [P, KvH, S, Dh]
-    pool_v: jax.Array,  # [P, KvH, S, Dh]
+    pool_k: jax.Array,  # [P, KvH, Dh, S]
+    pool_v: jax.Array,  # [P, KvH, Dh, S]
     table: jax.Array,  # [B, MAXP] int32
     pos: jax.Array,  # [B] int32
     k_scale: jax.Array | None = None,  # [P, KvH, S] f32 -> int8 pool
@@ -465,15 +492,15 @@ def paged_attention(
     if variant not in ("head", "page", "dma"):
         raise ValueError(f"unknown paged-attention variant {variant!r}")
     quant = k_scale is not None
-    if variant == "dma" and quant and pool_k.shape[2] % 128:
-        # the dma walk issues kernel-side copies of the [.., 1, S] f32
-        # scale slabs; Mosaic requires HBM slices 128-aligned in the
-        # minor dim, so int8 pools with page < 128 can't take this walk
-        # (verified on-chip: "Slice shape along dimension 3 must be
-        # aligned to tiling (128)"). Fall back to the default walk.
+    if variant == "dma" and pool_k.shape[3] % 128:
+        # the dma walk issues kernel-side page-slab copies whose minor
+        # dim is the page axis; Mosaic requires HBM slices 128-aligned
+        # in the minor dim (verified on-chip: "Slice shape along
+        # dimension 3 must be aligned to tiling (128)"), so pools with
+        # page < 128 can't take this walk. Fall back to the default.
         variant = "head"
     b, t, h, dh = q.shape
-    p_, kvh, s_pg, _ = pool_k.shape
+    p_, kvh, _, s_pg = pool_k.shape
     maxp = table.shape[1]
     group = h // kvh
     gt = group * t
@@ -510,8 +537,8 @@ def paged_attention(
             pl.BlockSpec(
                 (1, 1, gt, dh), lambda bb, hh, pp, tbl, ps: (bb, hh, 0, 0)
             ),
-            pl.BlockSpec((1, 1, s_pg, dh), kv_index),
-            pl.BlockSpec((1, 1, s_pg, dh), kv_index),
+            pl.BlockSpec((1, 1, dh, s_pg), kv_index),
+            pl.BlockSpec((1, 1, dh, s_pg), kv_index),
         ]
         if quant:
             in_specs += [
@@ -545,8 +572,8 @@ def paged_attention(
         q_index2 = lambda bb, pp, tbl, ps: (bb, 0, 0, 0)  # noqa: E731
         in_specs = [
             pl.BlockSpec((1, kvh, gt, dh), q_index2),
-            pl.BlockSpec((1, kvh, s_pg, dh), kv_index2),
-            pl.BlockSpec((1, kvh, s_pg, dh), kv_index2),
+            pl.BlockSpec((1, kvh, dh, s_pg), kv_index2),
+            pl.BlockSpec((1, kvh, dh, s_pg), kv_index2),
         ]
         if quant:
             in_specs += [
@@ -558,10 +585,11 @@ def paged_attention(
             grid=(b, maxp),
             in_specs=in_specs,
             out_specs=pl.BlockSpec((1, kvh, gt, dh), q_index2),
+            # per-head (m, l, acc) triples — see _paged_kernel_page
             scratch_shapes=[
-                pltpu.VMEM((kvh, gt, _LANE), jnp.float32),
-                pltpu.VMEM((kvh, gt, _LANE), jnp.float32),
-                pltpu.VMEM((kvh, gt, dh), jnp.float32),
+                pltpu.VMEM((gt, _LANE), jnp.float32)
+                if j != 2 else pltpu.VMEM((gt, dh), jnp.float32)
+                for _ in range(kvh) for j in range(3)
             ],
         )
         semantics = ("parallel", "arbitrary")
@@ -578,11 +606,13 @@ def paged_attention(
             any_spec,
         ]
         scratch = [
-            pltpu.VMEM((kvh, gt, _LANE), jnp.float32),
-            pltpu.VMEM((kvh, gt, _LANE), jnp.float32),
-            pltpu.VMEM((kvh, gt, dh), jnp.float32),
-            pltpu.VMEM((2, kvh, s_pg, dh), pool_k.dtype),  # kbuf
-            pltpu.VMEM((2, kvh, s_pg, dh), pool_v.dtype),  # vbuf
+            # per-head (m, l, acc) triples — see _paged_kernel_page
+            pltpu.VMEM((gt, _LANE), jnp.float32)
+            if j != 2 else pltpu.VMEM((gt, dh), jnp.float32)
+            for _ in range(kvh) for j in range(3)
+        ] + [
+            pltpu.VMEM((2, kvh, dh, s_pg), pool_k.dtype),  # kbuf
+            pltpu.VMEM((2, kvh, dh, s_pg), pool_v.dtype),  # vbuf
         ]
         if quant:
             in_specs += [any_spec, any_spec]

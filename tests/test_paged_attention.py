@@ -15,8 +15,9 @@ from outline_rag_tpu.ops.paged_attention import (
 def _setup(b=2, t=3, h=8, kvh=4, dh=64, pages=16, page=128, maxp=4, seed=0):
     rng = np.random.default_rng(seed)
     q = rng.standard_normal((b, t, h, dh)).astype(np.float32)
-    pool_k = rng.standard_normal((pages, kvh, page, dh)).astype(np.float32)
-    pool_v = rng.standard_normal((pages, kvh, page, dh)).astype(np.float32)
+    # pools are position-MINOR: [P, KvH, Dh, page]
+    pool_k = rng.standard_normal((pages, kvh, dh, page)).astype(np.float32)
+    pool_v = rng.standard_normal((pages, kvh, dh, page)).astype(np.float32)
     # each row owns maxp distinct pages, scattered through the pool
     table = np.stack(
         [rng.permutation(pages)[:maxp] for _ in range(b)]
@@ -32,14 +33,14 @@ def _dense_oracle(q, pool_k, pool_v, table, pos):
     """Plain numpy softmax-attention over the gathered pages."""
     q, pool_k, pool_v, table, pos = map(np.asarray, (q, pool_k, pool_v, table, pos))
     b, t, h, dh = q.shape
-    _, kvh, page, _ = pool_k.shape
+    _, kvh, _, page = pool_k.shape
     maxp = table.shape[1]
     c = maxp * page
     group = h // kvh
     out = np.zeros_like(q)
     for bi in range(b):
-        k = pool_k[table[bi]].transpose(1, 0, 2, 3).reshape(kvh, c, dh)
-        v = pool_v[table[bi]].transpose(1, 0, 2, 3).reshape(kvh, c, dh)
+        k = pool_k[table[bi]].transpose(1, 0, 3, 2).reshape(kvh, c, dh)
+        v = pool_v[table[bi]].transpose(1, 0, 3, 2).reshape(kvh, c, dh)
         for ti in range(t):
             for hi in range(h):
                 kv = hi // group
@@ -100,7 +101,7 @@ def test_pos_zero_attends_single_slot():
     got = np.asarray(paged_attention(q, pool_k, pool_v, table, pos, interpret=True))
     # only slot 0 of the first page visible -> output = its v row exactly
     first_page = np.asarray(table)[0, 0]
-    v0 = np.asarray(pool_v)[first_page, :, 0, :]  # [KvH, Dh]
+    v0 = np.asarray(pool_v)[first_page, :, :, 0]  # [KvH, Dh]
     want = np.repeat(v0, 2, axis=0)  # group=2 query heads per kv head
     np.testing.assert_allclose(got[0, 0], want, atol=2e-5)
 
@@ -187,11 +188,13 @@ def test_generate_chunk_paged_greedy_matches_ring():
 
 
 def _quantize_pool(pool):
-    """Symmetric per-token per-head int8 quantization of an f32 pool."""
-    a = np.max(np.abs(np.asarray(pool, np.float32)), axis=-1, keepdims=True)
+    """Symmetric per-token per-head int8 quantization of an f32 pool
+    ([P, KvH, Dh, S] position-minor; token = a Dh column -> scale over
+    axis -2, giving [P, KvH, S] scales)."""
+    a = np.max(np.abs(np.asarray(pool, np.float32)), axis=-2, keepdims=True)
     s = a / 127.0 + 1e-12
     q = np.clip(np.round(np.asarray(pool) / s), -127, 127).astype(np.int8)
-    return jnp.asarray(q), jnp.asarray(s[..., 0].astype(np.float32))
+    return jnp.asarray(q), jnp.asarray(s[..., 0, :].astype(np.float32))
 
 
 def test_xla_reference_int8_matches_dequantized_oracle():
@@ -201,8 +204,12 @@ def test_xla_reference_int8_matches_dequantized_oracle():
     got = np.asarray(paged_attention_xla(q, k_q, v_q, table, pos, k_s, v_s))
     # oracle over the dequantized values: the int8 path must match it
     # exactly up to float assoc (the quantization error itself cancels)
-    k_deq = jnp.asarray(np.asarray(k_q, np.float32) * np.asarray(k_s)[..., None])
-    v_deq = jnp.asarray(np.asarray(v_q, np.float32) * np.asarray(v_s)[..., None])
+    k_deq = jnp.asarray(
+        np.asarray(k_q, np.float32) * np.asarray(k_s)[..., None, :]
+    )
+    v_deq = jnp.asarray(
+        np.asarray(v_q, np.float32) * np.asarray(v_s)[..., None, :]
+    )
     want = _dense_oracle(q, k_deq, v_deq, table, pos)
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=3e-5)
 

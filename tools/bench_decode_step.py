@@ -8,7 +8,7 @@ that step down on-chip:
 - ``paged:X``   — decoder_forward over the paged pool with page-walk
                   variant X (head | page | dma — ops/paged_attention.py)
 - ``scatter``   — ONLY the per-layer pool KV write
-  (``pool.at[pages,:,offs,:].set``), L x per step, isolated: XLA
+  (``pool.at[pages,:,:,offs].set``), L x per step, isolated: XLA
   lowers advanced-index scatter poorly on TPU and it runs once per
   layer per step on the serving path
 
@@ -154,7 +154,7 @@ def main() -> None:
             # advanced-index scatter of [B,1,KvH,Dh] rows into the pool
             # per layer per step
             kvh, dh = cfg.kv_heads, cfg.hd
-            shape = (cfg.layers, pool_pages, kvh, page, dh)
+            shape = (cfg.layers, pool_pages, kvh, dh, page)
 
             def init_s():
                 return jnp.zeros(shape, jnp.int8 if kv_int8 else cfg.dtype)
@@ -174,7 +174,7 @@ def main() -> None:
                     # scan over L layers like the forward does
                     def lbody(carry, pool):
                         tok = carry
-                        pool = pool.at[w_pages, :, w_offs].set(
+                        pool = pool.at[w_pages, :, :, w_offs].set(
                             new + tok[0].astype(pools.dtype)
                         )
                         return tok, pool

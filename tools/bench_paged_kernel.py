@@ -68,10 +68,10 @@ def main() -> None:
     )
     if int8_kv:
         pk = jnp.asarray(
-            rng.integers(-127, 128, (pages, kvh, page, dh)), jnp.int8
+            rng.integers(-127, 128, (pages, kvh, dh, page)), jnp.int8
         )
         pv = jnp.asarray(
-            rng.integers(-127, 128, (pages, kvh, page, dh)), jnp.int8
+            rng.integers(-127, 128, (pages, kvh, dh, page)), jnp.int8
         )
         ks = jnp.asarray(
             rng.uniform(0.01, 0.1, (pages, kvh, page)), jnp.float32
@@ -81,10 +81,10 @@ def main() -> None:
         )
     else:
         pk = jnp.asarray(
-            rng.standard_normal((pages, kvh, page, dh)), jnp.bfloat16
+            rng.standard_normal((pages, kvh, dh, page)), jnp.bfloat16
         )
         pv = jnp.asarray(
-            rng.standard_normal((pages, kvh, page, dh)), jnp.bfloat16
+            rng.standard_normal((pages, kvh, dh, page)), jnp.bfloat16
         )
         ks = vs = None
     # every row: a distinct scattered page set, positions mid-generation

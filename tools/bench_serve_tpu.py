@@ -93,23 +93,34 @@ async def run() -> None:
     hybrid = bool(os.environ.get("BENCH_HYBRID"))
     cb_rank = 64
     cfg = EncoderConfig.tiny() if smoke else EncoderConfig.bge_m3()
-    enc_params = init_encoder_params(jax.random.key(0), cfg)
-    if hybrid:
-        from outline_rag_tpu.models.encoder import init_colbert_head
-
-        enc_params["colbert"] = init_colbert_head(jax.random.key(3), cfg)
-    rr_params = init_reranker_params(jax.random.key(1), cfg)
     tok = HashTokenizer(vocab_size=cfg.vocab_size)
     # BENCH_INT8=1: w8a8 trunks (ENCODER_INT8 serving config) — the ask
     # path's encode + rerank forwards run int8 x int8 MXU dots
     int8 = bool(os.environ.get("BENCH_INT8"))
-    emb = EncoderEmbedder(
-        enc_params, cfg, tok, max_tokens=tok_w, seq_buckets=(tok_w,),
-        name="bench-bge-m3", int8=int8,
-    )
-    rr = CrossEncoderReranker(
-        rr_params, cfg, tok, max_tokens=2 * tok_w, int8=int8
-    )
+    # Build the random-init param trees ON THE CPU BACKEND and push only
+    # the final serving-dtype trees to the chip. Initializing on the TPU
+    # pins the f32 init trees (~2.2 GB each at bge-m3 size) behind the
+    # lazy tunnel's cast chain — `del` doesn't force the cast, so at the
+    # 1M f32 rung (4.3 GB vectors) the chip OOMs at the first encode.
+    # Production loads checkpoints host-side, so this matches it.
+    with jax.default_device(jax.devices("cpu")[0]):
+        enc_params = init_encoder_params(jax.random.key(0), cfg)
+        if hybrid:
+            from outline_rag_tpu.models.encoder import init_colbert_head
+
+            enc_params["colbert"] = init_colbert_head(jax.random.key(3), cfg)
+        rr_params = init_reranker_params(jax.random.key(1), cfg)
+        emb = EncoderEmbedder(
+            enc_params, cfg, tok, max_tokens=tok_w, seq_buckets=(tok_w,),
+            name="bench-bge-m3", int8=int8,
+        )
+        rr = CrossEncoderReranker(
+            rr_params, cfg, tok, max_tokens=2 * tok_w, int8=int8
+        )
+    del enc_params, rr_params
+    dev = jax.devices()[0]
+    emb.params = jax.device_put(emb.params, dev)
+    rr.params = jax.device_put(rr.params, dev)
 
     cap = 1024
     while cap < n:
