@@ -147,6 +147,7 @@ class VectorIndex:
         # compile excluding every reader
         self._warm_hooks: list = []
         self._warmed: set[int] = {capacity}
+        self._warm_skipped: set[int] = set()
         self._warm_mutex = threading.Lock()
         self._warm_thread: threading.Thread | None = None
 
@@ -192,6 +193,24 @@ class VectorIndex:
         with self._warm_mutex:
             if cap in self._warmed:
                 return
+        if not self._warm_would_fit(cap):
+            # centralized guard (background, pre-growth, and manual
+            # callers all land here): a speculative warm must NEVER
+            # attempt an allocation that cannot fit — on the axon
+            # runtime a failed multi-GB allocation wedges the device
+            # for every subsequent program. Growth still works: the
+            # compact path frees the old buffers first and compiles
+            # under the lock (slow once, but correct).
+            with self._warm_mutex:
+                if cap not in self._warm_skipped:
+                    self._warm_skipped.add(cap)
+                    import logging
+
+                    logging.getLogger(__name__).info(
+                        "capacity warm skipped for cap=%d: throwaway + "
+                        "live index would not fit device HBM", cap,
+                    )
+            return
         shard = DeviceShard.warm(cap, self.dim, self.dtype, self._sharding)
         tokens = None
         if self.token_width:
@@ -242,29 +261,65 @@ class VectorIndex:
                     exc_info=True,
                 )
 
+    # Known per-chip HBM for backends whose PJRT plugin reports no
+    # memory stats (the axon tunnel returns None). Override/extend with
+    # ORT_HBM_GB. Unknown kinds stay permissive (CPU tests, future
+    # chips) — a wrong "no" would break working deployments.
+    _HBM_BY_KIND = {
+        "TPU v4": 32, "TPU v5 lite": 16, "TPU v5": 95, "TPU v5p": 95,
+        "TPU v6 lite": 32, "TPU v6e": 32,
+    }
+
+    def _index_bytes(self, cap: int) -> int:
+        """Device bytes this index needs at capacity ``cap`` (vectors +
+        scales/penalty + token/ColBERT caches) — the same formula for
+        the live shard and a prospective one."""
+        width = self._shard.state.vectors.shape[1]
+        item = self._shard.state.vectors.dtype.itemsize
+        need = cap * width * item + cap * 8  # vectors + scales/penalty
+        if self.tokens is not None:
+            need += cap * self.token_width * 12  # ids/mask/weights
+            if self.colbert_rank:
+                need += cap * self.token_width * (self.colbert_rank + 4)
+        return need
+
     def _warm_would_fit(self, cap: int) -> bool:
         """Best-effort HBM check before a *speculative* warm: the
         throwaway shard at ``cap`` plus the live one must fit with room
         to spare, or the warm could OOM concurrent queries on a chip
-        whose corpus already dominates HBM. Backends without memory
-        stats (CPU) always pass."""
+        whose corpus already dominates HBM — on the axon runtime a
+        failed multi-GB allocation has been observed to wedge the
+        device for every subsequent program (measured: 1M x 1024 f32
+        rung, the failed 2M warm left all 174 following queries
+        RESOURCE_EXHAUSTED). When the plugin reports no memory stats,
+        fall back to a device-kind HBM table with the live index's own
+        bytes plus an ORT_HBM_RESERVE_GB (default 3) allowance for
+        co-resident models/pools/programs. Unknown backends (CPU)
+        always pass."""
+        import os
+
         try:
             dev = self._shard.state.vectors.devices().pop()
-            stats = dev.memory_stats()
-            if not stats:
+            need = self._index_bytes(cap)
+            stats = None
+            try:
+                stats = dev.memory_stats()
+            except Exception:
+                pass
+            if stats and stats.get("bytes_limit"):
+                return (
+                    stats.get("bytes_in_use", 0) + need
+                    <= 0.85 * stats["bytes_limit"]
+                )
+            hbm_gb = os.environ.get("ORT_HBM_GB")
+            if hbm_gb is None:
+                hbm_gb = self._HBM_BY_KIND.get(getattr(dev, "device_kind", ""))
+            if not hbm_gb:
                 return True
-            limit = stats.get("bytes_limit")
-            used = stats.get("bytes_in_use")
-            if not limit:
-                return True
-            width = self._shard.state.vectors.shape[1]
-            item = self._shard.state.vectors.dtype.itemsize
-            need = cap * width * item + cap * 8  # vectors + scales/penalty
-            if self.tokens is not None:
-                need += cap * self.token_width * 12  # ids/mask/weights
-                if self.colbert_rank:
-                    need += cap * self.token_width * (self.colbert_rank + 4)
-            return used + need <= 0.85 * limit
+            limit = float(hbm_gb) * 1e9
+            reserve = float(os.environ.get("ORT_HBM_RESERVE_GB", "3")) * 1e9
+            used = self._index_bytes(self._shard.capacity) + reserve
+            return used + need <= 0.92 * limit
         except Exception:
             return True
 
@@ -431,12 +486,41 @@ class VectorIndex:
                         cids.remove(c)
             return len(rows)
 
+    def _growth_would_fit(self, cap: int) -> bool:
+        """Like :meth:`_warm_would_fit` but for the actual growth, which
+        frees the old device buffers before allocating the new ones
+        (``_compact_locked``): only the NEW index + reserve must fit."""
+        import os
+
+        try:
+            dev = self._shard.state.vectors.devices().pop()
+            need = self._index_bytes(cap)
+            hbm_gb = os.environ.get("ORT_HBM_GB")
+            if hbm_gb is None:
+                hbm_gb = self._HBM_BY_KIND.get(getattr(dev, "device_kind", ""))
+            if not hbm_gb:
+                return True
+            limit = float(hbm_gb) * 1e9
+            reserve = float(os.environ.get("ORT_HBM_RESERVE_GB", "3")) * 1e9
+            return need + reserve <= 0.92 * limit
+        except Exception:
+            return True
+
     def _grow(self, needed: int) -> None:
         """Double capacity. Live rows are copied, tombstones dropped ->
         doubles as compaction. The programs for the new capacity are
         normally already compiled (``_warm_before_growth`` runs outside
         the write lock); a cold growth still works, just slower."""
-        self._compact_locked(new_capacity=self._next_capacity(needed))
+        cap = self._next_capacity(needed)
+        if not self._growth_would_fit(cap):
+            raise RuntimeError(
+                f"index at terminal capacity for this device: growing to "
+                f"{cap} rows (~{self._index_bytes(cap) / 1e9:.1f} GB) "
+                f"cannot fit HBM. Use a smaller dtype (bfloat16/int8 "
+                f"store 2-4x the rows), shard over a device mesh "
+                f"(MESH_DATA_AXIS), or delete sources."
+            )
+        self._compact_locked(new_capacity=cap)
 
     def compact(self, new_capacity: int | None = None) -> None:
         """Rewrite the shard keeping only live rows (drops tombstones)."""
@@ -460,26 +544,55 @@ class VectorIndex:
                 cb_codes = np.asarray(self.tokens.colbert.codes)[live_rows]
                 cb_scales = np.asarray(self.tokens.colbert.scales)[live_rows]
         cap = new_capacity or self._shard.capacity
+        old_cap = self._shard.capacity
         old_gen = self._shard.generation
-        self._shard = DeviceShard(cap, self.dim, self.dtype, self._sharding)
-        # generation stays monotonic across rebuilds: change detectors
-        # (autosave's last-saved-generation check) must never see a
-        # rebuilt shard re-walk generation numbers they already saved
-        self._shard.generation = old_gen + 1
+        # everything live is now host-side: FREE the old device buffers
+        # before allocating the new ones, so peak HBM is max(old, new)
+        # rather than old+new — this is what makes doubling a corpus
+        # that already dominates the chip possible at all. Safe: we hold
+        # the write lock with readers drained, so no snapshot of the old
+        # state is in flight.
+        del old_state
+        self._shard.state = None  # type: ignore[assignment]
         if self.tokens is not None:
-            self.tokens = TokenCache(
-                cap, self.token_width, self.token_pad_id, self._sharding,
-                colbert_rank=self.colbert_rank,
+            self.tokens.state = None  # type: ignore[assignment]
+            self.tokens.colbert = None
+
+        def _rebuild(at_cap: int) -> None:
+            self._shard = DeviceShard(
+                at_cap, self.dim, self.dtype, self._sharding
             )
-        self._by_chunk.clear()
-        if len(ids):
-            rows = self._shard.append(
-                ids, vecs, scales if self.dtype == "int8" else None
-            )
-            if self.tokens is not None and tok_ids is not None:
-                self.tokens.write(0, tok_ids, tok_mask, tok_w, cb_codes, cb_scales)
-            for cid, row in zip(ids, rows):
-                self._by_chunk[cid] = int(row)
+            # generation stays monotonic across rebuilds: change
+            # detectors (autosave's last-saved-generation check) must
+            # never see a rebuilt shard re-walk generation numbers they
+            # already saved
+            self._shard.generation = old_gen + 1
+            if self.tokens is not None:
+                self.tokens = TokenCache(
+                    at_cap, self.token_width, self.token_pad_id,
+                    self._sharding, colbert_rank=self.colbert_rank,
+                )
+            self._by_chunk.clear()
+            if len(ids):
+                rows = self._shard.append(
+                    ids, vecs, scales if self.dtype == "int8" else None
+                )
+                if self.tokens is not None and tok_ids is not None:
+                    self.tokens.write(
+                        0, tok_ids, tok_mask, tok_w, cb_codes, cb_scales
+                    )
+                for cid, row in zip(ids, rows):
+                    self._by_chunk[cid] = int(row)
+
+        try:
+            _rebuild(cap)
+        except Exception:
+            # the new-capacity allocation failed AFTER the old buffers
+            # were freed — every live row is still in the host copies,
+            # so restore the index at its old capacity and re-raise
+            if cap != old_cap:
+                _rebuild(old_cap)
+            raise
 
     # ------------------------------------------------------------------
     # query

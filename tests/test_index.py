@@ -412,3 +412,57 @@ def test_load_rejects_mispaired_snapshot_files(tmp_path, rng):
     shutil.copy(p2 + ".npz", p1 + ".npz")
     with pytest.raises(ValueError, match="DIFFERENT saves"):
         VectorIndex.load(p1)
+
+
+def test_warm_skipped_when_throwaway_would_not_fit(rng, monkeypatch):
+    """HBM guard: with a tiny configured budget, a speculative capacity
+    warm must SKIP (never attempt the allocation — a failed multi-GB
+    alloc wedges the axon runtime) while queries keep working."""
+    monkeypatch.setenv("ORT_HBM_GB", str(1e-5))  # ~10 KB "device"
+    idx = VectorIndex(dim=DIM, capacity=1024, dtype="float32")
+    idx.add_chunks(["a"], _vecs(rng, 1), source_id="s")
+    idx.warm_capacity(2048)
+    assert 2048 in idx._warm_skipped
+    assert 2048 not in idx._warmed  # a later fitting retry may warm
+    got, _ = idx.query(_vecs(rng, 1), k=1)
+    assert got[0][0] == "a"
+
+
+def test_growth_raises_terminal_capacity_when_new_index_cannot_fit(
+    rng, monkeypatch
+):
+    monkeypatch.setenv("ORT_HBM_GB", str(1e-5))
+    monkeypatch.setenv("ORT_HBM_RESERVE_GB", "0")
+    idx = VectorIndex(dim=DIM, capacity=1024, dtype="float32")
+    n = 1024
+    with pytest.raises(RuntimeError, match="terminal capacity"):
+        idx.add_chunks(
+            [f"c{i}" for i in range(n + 8)],
+            _vecs(rng, n + 8),
+            source_id="s",
+        )
+    # the failed growth must leave the index usable at its old capacity
+    idx.add_chunks(["ok"], _vecs(rng, 1), source_id="s2")
+    got, _ = idx.query(_vecs(rng, 1), k=1)
+    assert len(got[0]) == 1
+
+
+def test_growth_frees_old_buffers_first_and_preserves_content(rng):
+    """Free-then-allocate growth (peak HBM = max(old, new)) must keep
+    every live row queryable across the doubling."""
+    idx = VectorIndex(dim=DIM, capacity=1024, dtype="float32",
+                      token_width=8)
+    n = 1000
+    vecs = _vecs(rng, n)
+    toks = rng.integers(3, 1000, size=(n, 8)).astype(np.int32)
+    ones = np.ones((n, 8), np.int32)
+    idx.add_chunks([f"c{i}" for i in range(n)], vecs, source_id="s",
+                   token_ids=toks, token_mask=ones)
+    idx.add_chunks([f"d{i}" for i in range(100)], _vecs(rng, 100),
+                   source_id="s2",
+                   token_ids=toks[:100], token_mask=ones[:100])
+    assert idx.size == 1100
+    assert idx._shard.capacity == 2048
+    got, scores = idx.query(vecs[7:8], k=1)
+    assert got[0][0] == "c7"
+    assert scores[0, 0] == pytest.approx(1.0, abs=1e-4)
