@@ -31,6 +31,25 @@ from outline_rag_tpu.ops.topk import NEG
 UPDATE_BLOCK = 1024
 TOMBSTONE_BLOCK = 1024
 
+# Ingest staging backpressure. Through the remote-TPU tunnel dispatch is
+# lazy but device_put is EAGER: a long ingest loop stages every pending
+# host block on the chip while the consuming update programs lag behind
+# (the first call also pays a 20-70 s cold compile), so staged blocks
+# accumulate unboundedly — a 1M-row hybrid build staged ~9 GB of blocks
+# on top of the 9.7 GB index and OOM'd a 16 GB chip mid-append. After
+# ~this many staged bytes, fetch one element of the newest state to
+# drain the queue (block_until_ready is a no-op through the lazy
+# tunnel; only a host fetch forces execution).
+def _stage_limit() -> int:
+    import os
+
+    return int(float(os.environ.get("ORT_INGEST_STAGE_MB", "256")) * 1e6)
+
+
+def drain_staged(leaf: jax.Array) -> None:
+    """Force execution of every dispatched program ``leaf`` depends on."""
+    np.asarray(jax.device_get(leaf.reshape(-1)[:1]))
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
@@ -124,6 +143,7 @@ class DeviceShard:
             raise ValueError(f"capacity must be a multiple of {UPDATE_BLOCK}")
         self.dtype = dtype
         self.sharding = sharding
+        self._staged = 0
         self.state = init_state(capacity, dim, dtype)
         if sharding is not None:
             self.state = jax.device_put(self.state, self._state_shardings())
@@ -192,6 +212,10 @@ class DeviceShard:
                 jnp.asarray(sc_p),
                 jnp.asarray(idx),
             )
+            self._staged += blk_p.nbytes
+            if self._staged >= _stage_limit():
+                drain_staged(self.state.scales)
+                self._staged = 0
         self.row_ids[self.cursor : self.cursor + n] = chunk_ids
         self.cursor += n
         self.live += n

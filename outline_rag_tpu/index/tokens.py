@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from outline_rag_tpu.index.shard import UPDATE_BLOCK
+from outline_rag_tpu.index.shard import UPDATE_BLOCK, _stage_limit, drain_staged
 
 
 @jax.tree_util.register_dataclass
@@ -78,6 +78,7 @@ class TokenCache:
         self.pad_id = pad_id
         self.capacity = capacity
         self.colbert_rank = colbert_rank
+        self._staged = 0
         self.state = TokenCacheState(
             ids=jnp.full((capacity, width), pad_id, jnp.int32),
             mask=jnp.zeros((capacity, width), jnp.int32),
@@ -179,3 +180,13 @@ class TokenCache:
                     jnp.asarray(s_p),
                     idx_dev,
                 )
+                self._staged += c_p.nbytes + s_p.nbytes
+            # ingest staging backpressure (see index/shard.py): bound
+            # the host blocks staged ahead of the lazily-executing
+            # update programs, or a long hybrid build OOMs the chip
+            self._staged += ids_p.nbytes + mask_p.nbytes + w_p.nbytes
+            if self._staged >= _stage_limit():
+                drain_staged(self.state.mask)
+                if self.colbert is not None:
+                    drain_staged(self.colbert.scales)
+                self._staged = 0

@@ -775,32 +775,25 @@ def decoder_forward(
         from outline_rag_tpu.ops.paged_attention import (
             paged_attention,
             paged_attention_sharded,
+            paged_kv_write,
+            paged_kv_write_sharded,
         )
 
         if cache.mesh is not None:
-            # TP pool: the pallas page walk cannot be GSPMD-partitioned,
-            # so it runs per-device under shard_map on the KvH slice
+            # TP pool: the pallas page walk / page write cannot be
+            # GSPMD-partitioned, so they run per-device under shard_map
+            # on the KvH slice
             paged_attention = _ft.partial(
                 paged_attention_sharded,
                 mesh=cache.mesh,
                 axis=cache.mesh.axis_names[0],
             )
-        s_pg = cache.page
+            paged_kv_write = _ft.partial(
+                paged_kv_write_sharded,
+                mesh=cache.mesh,
+                axis=cache.mesh.axis_names[0],
+            )
         table = cache.table
-        maxp = table.shape[1]
-        # scatter targets for the T new tokens of every row; positions at
-        # or past capacity (padded prefill tails) go to scratch page 0 —
-        # without the guard take_along_axis clamps to the LAST table
-        # entry and garbage lands in the row's final live page
-        page_idx = positions // s_pg
-        w_pages = jnp.where(
-            page_idx < maxp,
-            jnp.take_along_axis(
-                table, jnp.minimum(page_idx, maxp - 1), axis=1
-            ),
-            0,
-        )  # [B, T]
-        w_offs = positions % s_pg
 
         quant = cache.k_scale is not None
 
@@ -813,21 +806,23 @@ def decoder_forward(
                 ks_pool = vs_pool = None
             h = _rms_norm(x, layer["ln1"], cfg.norm_eps)
             q, k_new, v_new = _qkv(h, layer, positions, cfg)
-            # pool [P, KvH, Dh, S] (position minor); advanced-index
-            # scatter at (page, :, :, offset) — the [B,T] advanced index
-            # pair broadcasts to the front, so the update value is the
-            # [B, T, KvH, Dh] new-KV tensor unchanged. In-place under
-            # donation.
+            # pool [P, KvH, Dh, S] (position minor); the pallas page
+            # write RMWs the target page slabs in place — the XLA
+            # scatter alternative wins layout assignment over the page
+            # walk and relayout-copies the whole pool around the
+            # per-layer scan (it OOM'd a 16 GB chip at 64 slots).
             if quant:
                 k_q, k_s = _quantize_kv(k_new)
                 v_q, v_s = _quantize_kv(v_new)
-                k_pool = k_pool.at[w_pages, :, :, w_offs].set(k_q)
-                v_pool = v_pool.at[w_pages, :, :, w_offs].set(v_q)
-                ks_pool = ks_pool.at[w_pages, :, w_offs].set(k_s)
-                vs_pool = vs_pool.at[w_pages, :, w_offs].set(v_s)
+                k_pool, v_pool, ks_pool, vs_pool = paged_kv_write(
+                    k_pool, v_pool, table, start_pos, k_q, v_q,
+                    ks_pool, vs_pool, k_s, v_s,
+                )
             else:
-                k_pool = k_pool.at[w_pages, :, :, w_offs].set(k_new.astype(dt))
-                v_pool = v_pool.at[w_pages, :, :, w_offs].set(v_new.astype(dt))
+                k_pool, v_pool = paged_kv_write(
+                    k_pool, v_pool, table, start_pos,
+                    k_new.astype(dt), v_new.astype(dt),
+                )
             ctx = paged_attention(
                 q, k_pool, v_pool, table, start_pos,
                 k_scale=ks_pool, v_scale=vs_pool,

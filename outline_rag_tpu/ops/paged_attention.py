@@ -644,3 +644,268 @@ def paged_attention(
         .transpose(0, 3, 1, 2, 4)
         .reshape(b, t, h, dh)
     )
+
+
+# ----------------------------------------------------------------------
+# KV page writes
+# ----------------------------------------------------------------------
+
+
+def _paged_kv_write_xla(
+    pool_k, pool_v, table, pos, k_new, v_new,
+    k_scale=None, v_scale=None, ks_new=None, vs_new=None,
+):
+    """XLA scatter expression of the page write (CPU fallback + oracle).
+
+    Advanced-index scatter at ``(page, :, :, offset)``: the [B, T] index
+    pair broadcasts to the front, so the update value is the
+    [B, T, KvH, Dh] new-KV tensor unchanged. Positions at or past
+    capacity (padded prefill tails) go to scratch page 0 — without the
+    guard ``take_along_axis`` clamps to the LAST table entry and garbage
+    lands in the row's final live page.
+    """
+    b, t = k_new.shape[:2]
+    s_pg = pool_k.shape[3]
+    maxp = table.shape[1]
+    positions = pos[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+    page_idx = positions // s_pg
+    w_pages = jnp.where(
+        page_idx < maxp,
+        jnp.take_along_axis(table, jnp.minimum(page_idx, maxp - 1), axis=1),
+        0,
+    )  # [B, T]
+    w_offs = positions % s_pg
+    pool_k = pool_k.at[w_pages, :, :, w_offs].set(k_new)
+    pool_v = pool_v.at[w_pages, :, :, w_offs].set(v_new)
+    if k_scale is None:
+        return pool_k, pool_v
+    k_scale = k_scale.at[w_pages, :, w_offs].set(ks_new)
+    v_scale = v_scale.at[w_pages, :, w_offs].set(vs_new)
+    return pool_k, pool_v, k_scale, v_scale
+
+
+def _kv_write_kernel(pages_ref, shift_ref, *refs, t_len: int, page: int,
+                     quant: bool):
+    """RMW one pool page: place the grid step's tokens into their lanes.
+
+    Lane placement rides the MXU: ``M[i, s] = (i == s + shift)`` is the
+    one-hot token->lane matrix, so ``new[rows, T] @ M -> [rows, S]``
+    deposits token i at lane ``i - shift`` exactly (one-hot columns pass
+    values through unchanged in f32). Lanes holding no token keep the
+    old page content via the write mask.
+    """
+    if quant:
+        (kp, vp, kn, vn, ksp, vsp, ksn, vsn,
+         ko, vo, kso, vso) = refs
+    else:
+        kp, vp, kn, vn, ko, vo = refs
+        ksp = vsp = ksn = vsn = kso = vso = None
+    bb = pl.program_id(0)
+    jj = pl.program_id(1)
+    c = shift_ref[bb, jj]
+    ti = jax.lax.broadcasted_iota(jnp.int32, (t_len, page), 0)
+    si = jax.lax.broadcasted_iota(jnp.int32, (t_len, page), 1)
+    m = (ti == si + c).astype(jnp.float32)  # [T, S]
+    s1 = jax.lax.broadcasted_iota(jnp.int32, (1, page), 1) + c
+    wmask = (s1 >= 0) & (s1 < t_len)  # [1, S] lanes that receive a token
+
+    def place(new_ref, old_ref, out_ref):
+        rows = new_ref.shape[1] * new_ref.shape[2]
+        val = jax.lax.dot(
+            new_ref[...].reshape(rows, t_len).astype(jnp.float32), m,
+            preferred_element_type=jnp.float32,
+        )  # [rows, S]
+        old = old_ref[...].reshape(rows, page).astype(jnp.float32)
+        out = jnp.where(wmask, val, old)
+        out_ref[...] = out.astype(out_ref.dtype).reshape(out_ref.shape)
+
+    place(kn, kp, ko)
+    place(vn, vp, vo)
+    if quant:
+        place(ksn, ksp, kso)
+        place(vsn, vsp, vso)
+
+
+def paged_kv_write(
+    pool_k: jax.Array,  # [P, KvH, Dh, S]
+    pool_v: jax.Array,
+    table: jax.Array,  # [B, MAXP] int32
+    pos: jax.Array,  # [B] int32 — absolute position of token 0
+    k_new: jax.Array,  # [B, T, KvH, Dh] in the pool dtype
+    v_new: jax.Array,
+    k_scale: jax.Array | None = None,  # [P, KvH, S] f32 (int8 pools)
+    v_scale: jax.Array | None = None,
+    ks_new: jax.Array | None = None,  # [B, T, KvH] f32
+    vs_new: jax.Array | None = None,
+    *,
+    interpret: bool | None = None,
+):
+    """Write T new KV entries per row into the page pool, in place.
+
+    The pallas twin of the XLA advanced-index scatter: XLA's scatter op
+    prefers (KvH, Dh) as its tiled layout pair and WINS layout
+    assignment against the page-walk kernel, so the whole pool gets
+    relayout-copied around the per-layer scan (measured: 64 decode
+    slots compiled to ~11 GB of HLO temp copies of a 2.9 GB pool and
+    OOM'd a 16 GB chip). This kernel reads and writes the pool in its
+    at-rest compact layout with ``input_output_aliases``, so the pool
+    is never copied at all.
+
+    Grid ``(B, G)`` where G = max pages a T-token chunk can straddle;
+    each step read-modify-writes one page slab. Target pages are
+    distinct within a call (one row never revisits a page across its
+    groups; rows own disjoint live pages) except reserved scratch page
+    0, which absorbs out-of-range writes and token-free groups — its
+    content is garbage by contract.
+
+    Returns ``(pool_k, pool_v)`` or ``(pool_k, pool_v, k_scale,
+    v_scale)`` when the pool is quantized.
+    """
+    quant = k_scale is not None
+    if interpret is None:
+        if jax.default_backend() != "tpu":
+            return _paged_kv_write_xla(
+                pool_k, pool_v, table, pos, k_new, v_new,
+                k_scale, v_scale, ks_new, vs_new,
+            )
+        interpret = False
+    b, t, kvh, dh = k_new.shape
+    p_, _, _, s_pg = pool_k.shape
+    maxp = table.shape[1]
+    g = (t + s_pg - 2) // s_pg + 1  # pages a T-chunk can straddle
+    base = pos.astype(jnp.int32) // s_pg
+    pgi = base[:, None] + jnp.arange(g, dtype=jnp.int32)[None, :]  # [B, G]
+    # token i of row b lands at lane i - shift of group j's page
+    shift = pgi * s_pg - pos.astype(jnp.int32)[:, None]  # [B, G]
+    live_g = (shift > -s_pg) & (shift < t) & (pgi < maxp)
+    pages = jnp.where(
+        live_g,
+        jnp.take_along_axis(table, jnp.clip(pgi, 0, maxp - 1), axis=1),
+        0,
+    ).astype(jnp.int32)
+
+    k_t = k_new.transpose(0, 2, 3, 1)  # [B, KvH, Dh, T] (position minor)
+    v_t = v_new.transpose(0, 2, 3, 1)
+    operands = [pool_k, pool_v, k_t, v_t]
+
+    def pool_idx(bb, jj, pages, shift):
+        return (pages[bb, jj], 0, 0, 0)
+
+    def new_idx(bb, jj, pages, shift):
+        return (bb, 0, 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, kvh, dh, s_pg), pool_idx),
+        pl.BlockSpec((1, kvh, dh, s_pg), pool_idx),
+        pl.BlockSpec((1, kvh, dh, t), new_idx),
+        pl.BlockSpec((1, kvh, dh, t), new_idx),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, kvh, dh, s_pg), pool_idx),
+        pl.BlockSpec((1, kvh, dh, s_pg), pool_idx),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct(pool_k.shape, pool_k.dtype),
+        jax.ShapeDtypeStruct(pool_v.shape, pool_v.dtype),
+    ]
+    # flat alias indices count the 2 scalar-prefetch operands first
+    aliases = {2: 0, 3: 1}
+    if quant:
+        operands += [
+            k_scale.reshape(p_, kvh, 1, s_pg),
+            v_scale.reshape(p_, kvh, 1, s_pg),
+            ks_new.transpose(0, 2, 1).reshape(b, kvh, 1, t),
+            vs_new.transpose(0, 2, 1).reshape(b, kvh, 1, t),
+        ]
+        in_specs += [
+            pl.BlockSpec((1, kvh, 1, s_pg), pool_idx),
+            pl.BlockSpec((1, kvh, 1, s_pg), pool_idx),
+            pl.BlockSpec((1, kvh, 1, t), new_idx),
+            pl.BlockSpec((1, kvh, 1, t), new_idx),
+        ]
+        out_specs += [
+            pl.BlockSpec((1, kvh, 1, s_pg), pool_idx),
+            pl.BlockSpec((1, kvh, 1, s_pg), pool_idx),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((p_, kvh, 1, s_pg), jnp.float32),
+            jax.ShapeDtypeStruct((p_, kvh, 1, s_pg), jnp.float32),
+        ]
+        aliases = {2: 0, 3: 1, 6: 2, 7: 3}
+
+    kernel = functools.partial(
+        _kv_write_kernel, t_len=t, page=s_pg, quant=quant
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, g),
+        in_specs=in_specs,
+        out_specs=out_specs,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(pages, shift, *operands)
+    if not quant:
+        return out[0], out[1]
+    return (
+        out[0], out[1],
+        out[2].reshape(p_, kvh, s_pg), out[3].reshape(p_, kvh, s_pg),
+    )
+
+
+def paged_kv_write_sharded(
+    pool_k, pool_v, table, pos, k_new, v_new,
+    k_scale=None, v_scale=None, ks_new=None, vs_new=None,
+    *,
+    mesh: jax.sharding.Mesh,
+    axis: str = "model",
+):
+    """Tensor-parallel page write: :func:`paged_kv_write` under shard_map.
+
+    The write is embarrassingly parallel over KV heads (pools and new-KV
+    shard on KvH; tables/positions replicate), mirroring
+    :func:`paged_attention_sharded` — a pallas_call cannot be
+    partitioned by GSPMD, hence the explicit map.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    quant = k_scale is not None
+    kv_spec = P(None, axis, None, None)
+    sc_spec = P(None, axis, None)
+    new_spec = P(None, None, axis, None)
+
+    if quant:
+
+        def local(pk, pv, tbl, ps, kn, vn, ksp, vsp, ksn, vsn):
+            return paged_kv_write(pk, pv, tbl, ps, kn, vn,
+                                  ksp, vsp, ksn, vsn)
+
+        in_specs = (
+            kv_spec, kv_spec, P(None, None), P(None), new_spec, new_spec,
+            sc_spec, sc_spec, P(None, None, axis), P(None, None, axis),
+        )
+        out_specs = (kv_spec, kv_spec, sc_spec, sc_spec)
+        args = (pool_k, pool_v, table, pos, k_new, v_new,
+                k_scale, v_scale, ks_new, vs_new)
+    else:
+
+        def local(pk, pv, tbl, ps, kn, vn):
+            return paged_kv_write(pk, pv, tbl, ps, kn, vn)
+
+        in_specs = (
+            kv_spec, kv_spec, P(None, None), P(None), new_spec, new_spec,
+        )
+        out_specs = (kv_spec, kv_spec)
+        args = (pool_k, pool_v, table, pos, k_new, v_new)
+
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )(*args)

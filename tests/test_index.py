@@ -466,3 +466,40 @@ def test_growth_frees_old_buffers_first_and_preserves_content(rng):
     got, scores = idx.query(vecs[7:8], k=1)
     assert got[0][0] == "c7"
     assert scores[0, 0] == pytest.approx(1.0, abs=1e-4)
+
+
+def test_ingest_staging_backpressure_drains_and_preserves_content(
+    rng, monkeypatch
+):
+    """With a tiny stage limit, long appends periodically force execution
+    of the update-program queue (the lazy remote tunnel otherwise stages
+    every pending host block on the chip at once) without changing what
+    lands in the index."""
+    import outline_rag_tpu.index.shard as shard_mod
+
+    monkeypatch.setenv("ORT_INGEST_STAGE_MB", "0.1")
+    drains = []
+    real = shard_mod.drain_staged
+    monkeypatch.setattr(shard_mod, "drain_staged", lambda a: drains.append(1) or real(a))
+    # tokens.py binds the name at import; patch its reference too
+    import outline_rag_tpu.index.tokens as tokens_mod
+
+    monkeypatch.setattr(tokens_mod, "drain_staged", lambda a: drains.append(1) or real(a))
+
+    idx = VectorIndex(dim=DIM, capacity=8192, dtype="float32",
+                      token_width=8, colbert_rank=4)
+    n = 4096
+    vecs = _vecs(rng, n)
+    toks = rng.integers(3, 1000, size=(n, 8)).astype(np.int32)
+    ones = np.ones((n, 8), np.int32)
+    idx.add_chunks(
+        [f"c{i}" for i in range(n)], vecs, source_id="s",
+        token_ids=toks, token_mask=ones,
+        token_weights=rng.random((n, 8)).astype(np.float32),
+        colbert_codes=rng.integers(-127, 128, (n, 8, 4)).astype(np.int8),
+        colbert_scales=rng.random((n, 8)).astype(np.float32),
+    )
+    assert len(drains) >= 4  # both the shard and the token cache drained
+    got, scores = idx.query(vecs[123:124], k=1)
+    assert got[0][0] == "c123"
+    assert scores[0, 0] == pytest.approx(1.0, abs=1e-4)

@@ -277,3 +277,85 @@ def dataclasses_replace(obj, **kw):
     import dataclasses
 
     return dataclasses.replace(obj, **kw)
+
+
+# ----------------------------------------------------------------------
+# KV page-write kernel
+# ----------------------------------------------------------------------
+
+
+def _write_setup(b=3, t=1, kvh=4, dh=64, pages=16, page=128, maxp=4,
+                 seed=0, quant=False, straddle=False):
+    from outline_rag_tpu.ops.paged_attention import _paged_kv_write_xla
+
+    rng = np.random.default_rng(seed)
+    if quant:
+        pool_k = rng.integers(-127, 128, (pages, kvh, dh, page)).astype(np.int8)
+        pool_v = rng.integers(-127, 128, (pages, kvh, dh, page)).astype(np.int8)
+        k_new = rng.integers(-127, 128, (b, t, kvh, dh)).astype(np.int8)
+        v_new = rng.integers(-127, 128, (b, t, kvh, dh)).astype(np.int8)
+        ksp = rng.random((pages, kvh, page)).astype(np.float32)
+        vsp = rng.random((pages, kvh, page)).astype(np.float32)
+        ksn = rng.random((b, t, kvh)).astype(np.float32)
+        vsn = rng.random((b, t, kvh)).astype(np.float32)
+        extra = tuple(map(jnp.asarray, (ksp, vsp, ksn, vsn)))
+    else:
+        pool_k = rng.standard_normal((pages, kvh, dh, page)).astype(np.float32)
+        pool_v = rng.standard_normal((pages, kvh, dh, page)).astype(np.float32)
+        k_new = rng.standard_normal((b, t, kvh, dh)).astype(np.float32)
+        v_new = rng.standard_normal((b, t, kvh, dh)).astype(np.float32)
+        extra = ()
+    # page 0 reserved for scratch; rows own disjoint live pages
+    perm = rng.permutation(pages - 1) + 1
+    table = perm[: b * maxp].reshape(b, maxp).astype(np.int32)
+    if straddle:
+        # start mid-page so a T>1 chunk spans a page boundary; row 0
+        # runs off the table end (capacity guard -> scratch page 0)
+        pos = np.array(
+            [maxp * page - max(1, t // 2)]
+            + [page - 1 - (i % page) for i in range(1, b)],
+            np.int32,
+        )
+        pos = np.minimum(pos, maxp * page - 1)
+    else:
+        pos = rng.integers(0, maxp * page - t, size=(b,)).astype(np.int32)
+    args = (
+        jnp.asarray(pool_k), jnp.asarray(pool_v), jnp.asarray(table),
+        jnp.asarray(pos), jnp.asarray(k_new), jnp.asarray(v_new), *extra,
+    )
+    want = _paged_kv_write_xla(*args)
+    return args, want
+
+
+@pytest.mark.parametrize("t", [1, 8, 64, 160])
+@pytest.mark.parametrize("straddle", [False, True])
+def test_kv_write_kernel_matches_scatter_oracle(t, straddle):
+    from outline_rag_tpu.ops.paged_attention import paged_kv_write
+
+    args, want = _write_setup(t=t, straddle=straddle, seed=t)
+    got = paged_kv_write(*args, interpret=True)
+    # page 0 is the scratch target of out-of-range writes: its content
+    # is garbage by contract and the kernel's group-wise write pattern
+    # differs from the scatter's token-wise one there
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g)[1:], np.asarray(w)[1:])
+
+
+@pytest.mark.parametrize("t", [1, 64])
+def test_kv_write_kernel_int8_matches_scatter_oracle(t):
+    from outline_rag_tpu.ops.paged_attention import paged_kv_write
+
+    args, want = _write_setup(t=t, quant=True, straddle=True, seed=7 + t)
+    got = paged_kv_write(*args, interpret=True)
+    assert len(got) == 4
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g)[1:], np.asarray(w)[1:])
+
+
+def test_kv_write_kernel_dh128_and_offset_start():
+    from outline_rag_tpu.ops.paged_attention import paged_kv_write
+
+    args, want = _write_setup(t=96, dh=128, kvh=2, straddle=True, seed=3)
+    got = paged_kv_write(*args, interpret=True)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g)[1:], np.asarray(w)[1:])
