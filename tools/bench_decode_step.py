@@ -149,45 +149,73 @@ def main() -> None:
                 return scan_steps(fn_paged), init
 
             variants[name] = make_paged(walk)
-        elif name == "scatter":
-            # the paged forward's per-layer KV write, isolated: one
-            # advanced-index scatter of [B,1,KvH,Dh] rows into the pool
-            # per layer per step
+        elif name in ("scatter", "kvwrite"):
+            # the paged forward's per-layer KV write, isolated, L x per
+            # step: "scatter" = the XLA advanced-index scatter of
+            # [B,1,KvH,Dh] rows into the pool; "kvwrite" = the pallas
+            # page-RMW write kernel that replaced it
+            # (ops/paged_attention.py::paged_kv_write)
             kvh, dh = cfg.kv_heads, cfg.hd
             shape = (cfg.layers, pool_pages, kvh, dh, page)
+            # per-row DISTINCT pages (like real serving): shared pages
+            # would let consecutive grid steps reuse the fetched block
+            # and flatter the kernel's timing
+            tbl = (
+                np.arange(b, dtype=np.int32)[:, None] * maxp
+                + np.arange(1, maxp + 1, dtype=np.int32)[None]
+            )
+            tbl_j = jnp.asarray(tbl)
+            use_kernel = name == "kvwrite"
 
-            def init_s():
-                return jnp.zeros(shape, jnp.int8 if kv_int8 else cfg.dtype)
+            def make_write(use_kernel):
+                def init_s():
+                    dt = jnp.int8 if kv_int8 else cfg.dtype
+                    return (jnp.zeros(shape, dt), jnp.zeros(shape, dt))
 
-            def run(p, pools, tok, pos):
-                del p
-                new = tok[:, None, None, None].astype(pools.dtype) + jnp.zeros(
-                    (b, 1, kvh, dh), pools.dtype
-                )
+                def run(p, pools, tok, pos):
+                    del p
+                    dt = pools[0].dtype
+                    new = tok[:, None, None, None].astype(dt) + jnp.zeros(
+                        (b, 1, kvh, dh), dt
+                    )
 
-                def body(carry, _):
-                    pools, tok, pos = carry
-                    pg = (pos // page)[:, None]
-                    w_pages = jnp.minimum(pg, maxp - 1) + 1
-                    w_offs = (pos % page)[:, None]
+                    def body(carry, _):
+                        pools, tok, pos = carry
 
-                    # scan over L layers like the forward does
-                    def lbody(carry, pool):
-                        tok = carry
-                        pool = pool.at[w_pages, :, :, w_offs].set(
-                            new + tok[0].astype(pools.dtype)
-                        )
-                        return tok, pool
+                        # scan over L layers like the forward does
+                        def lbody(carry, pool_lv):
+                            tok = carry
+                            pk, pv = pool_lv
+                            val = new + tok[0].astype(dt)
+                            if use_kernel:
+                                from outline_rag_tpu.ops.paged_attention import (  # noqa: E501
+                                    paged_kv_write,
+                                )
 
-                    tok2, pools = jax.lax.scan(lbody, tok, pools)
-                    return (pools, tok + 1, pos + 1), ()
+                                pk, pv = paged_kv_write(
+                                    pk, pv, tbl_j, pos, val, val
+                                )
+                            else:
+                                pg = (pos // page)[:, None]
+                                w_pages = jnp.take_along_axis(
+                                    tbl_j, jnp.minimum(pg, maxp - 1), axis=1
+                                )
+                                w_offs = (pos % page)[:, None]
+                                pk = pk.at[w_pages, :, :, w_offs].set(val)
+                                pv = pv.at[w_pages, :, :, w_offs].set(val)
+                            return tok, (pk, pv)
 
-                (pools, tok, pos), _ = jax.lax.scan(
-                    body, (pools, tok, pos), None, length=chunk
-                )
-                return pools, tok, pos
+                        tok2, pools = jax.lax.scan(lbody, tok, pools)
+                        return (pools, tok + 1, pos + 1), ()
 
-            variants[name] = (jax.jit(run, donate_argnums=(1,)), init_s)
+                    (pools, tok, pos), _ = jax.lax.scan(
+                        body, (pools, tok, pos), None, length=chunk
+                    )
+                    return pools, tok, pos
+
+                return jax.jit(run, donate_argnums=(1,)), init_s
+
+            variants[name] = make_write(use_kernel)
         else:
             raise SystemExit(f"unknown variant {name!r}")
 
@@ -197,7 +225,7 @@ def main() -> None:
         tok, pos = fresh_state()
         cache = init()
         cache, tok, pos = fn(params, cache, tok, pos)
-        jax.block_until_ready(tok)
+        int(jax.device_get(tok[0]))  # fetch: the lazy tunnel ignores block_until_ready
         states[name] = (cache, tok, pos)
 
     x = jnp.ones((256, 256))
@@ -213,7 +241,7 @@ def main() -> None:
             cache, tok, pos = states[name]
             t0 = time.perf_counter()
             cache, tok, pos = fn(params, cache, tok, pos)
-            jax.block_until_ready(tok)
+            int(jax.device_get(tok[0]))  # fetch forces execution
             dt = (time.perf_counter() - t0) / chunk
             states[name] = (cache, tok, pos)
             best[name] = min(best[name], dt)

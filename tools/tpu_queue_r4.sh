@@ -45,7 +45,7 @@ run_task() {  # run_task <name> <timeout_s> <cmd...>
   return 0
 }
 
-TASKS="int4_7b int4_13b encode_ab sweep10m northstar_1m northstar_1m_hybrid spec_realized slots_knee slots_bp eval_text headline"
+TASKS="int4_7b int4_13b encode_ab sweep10m northstar_1m northstar_1m_hybrid spec_realized slots_knee slots_bp eval_text headline dissect64a dissect64b dissect64c eval_ladder slots96 slots128_kvint8 slots_bp2"
 
 for pass in $(seq 1 200); do
   all_done=1
@@ -62,12 +62,30 @@ for pass in $(seq 1 200); do
   # VERDICT #9: realized speculation on a trained extraction model
   run_task spec_realized 7200 python tools/bench_spec_realized.py 3 || all_done=0
   # VERDICT #6: slot curve to the knee + page-exhaustion backpressure
-  run_task slots_knee   9000 env BENCH_SLOTS_LIST=32,64,128 BENCH_CACHE=2048 python tools/bench_slots.py 128 2 || all_done=0
+  # (32,64 completes with the pallas KV-write kernel; 128 bf16 pools
+  # don't fit HBM — measured separately with the int8 KV pool below)
+  run_task slots_knee   9000 env BENCH_SLOTS_LIST=32,64 BENCH_CACHE=2048 python tools/bench_slots.py 128 2 || all_done=0
   run_task slots_bp     5400 env BENCH_SLOTS_LIST=32 BENCH_POOL_FRAC=0.5 BENCH_CACHE=2048 python tools/bench_slots.py 64 1 || all_done=0
   # VERDICT #8: text-corpus eval rung
   run_task eval_text    5400 python tools/eval_retrieval.py --text || all_done=0
   # headline record in a verified-healthy window (driver also runs it)
   run_task headline     3600 python bench.py || all_done=0
+  # decode-step dissection at the knee's batch (B=64): which walk wins,
+  # and the pallas kv-write vs the XLA scatter it replaced. Paired
+  # tasks share "head" as the cross-task anchor (tunnel swings make
+  # cross-task absolutes unreliable; within-task ordering is the signal)
+  run_task dissect64a   5400 env BENCH_B=64 BENCH_VARIANTS=paged:head,paged:page python tools/bench_decode_step.py 3 || all_done=0
+  run_task dissect64b   5400 env BENCH_B=64 BENCH_VARIANTS=paged:head,paged:dma python tools/bench_decode_step.py 3 || all_done=0
+  run_task dissect64c   5400 env BENCH_B=64 BENCH_VARIANTS=scatter,kvwrite python tools/bench_decode_step.py 3 || all_done=0
+  # VERDICT #3's Done bar: int8 agreement@12 with the fp32 rescore wired
+  run_task eval_ladder  7200 python tools/eval_retrieval.py --ladder || all_done=0
+  # knee refinement: 96 bf16 (fits), 128 with the int8 KV pool (half
+  # the pool HBM -> fits; dtype noted), and backpressure that actually
+  # engages (pool_frac 0.2 < the 7/16-of-maxp worst-case admission
+  # grant, unlike the vacuous 0.5 run)
+  run_task slots96      7200 env BENCH_SLOTS_LIST=96 BENCH_CACHE=2048 python tools/bench_slots.py 128 1 || all_done=0
+  run_task slots128_kvint8 7200 env BENCH_SLOTS_LIST=128 BENCH_KV_INT8=1 BENCH_CACHE=2048 python tools/bench_slots.py 128 1 || all_done=0
+  run_task slots_bp2    5400 env BENCH_SLOTS_LIST=32 BENCH_POOL_FRAC=0.2 BENCH_CACHE=2048 python tools/bench_slots.py 64 1 || all_done=0
   remaining=0
   for t in $TASKS; do
     [ -e "$MDIR/$t.done" ] || remaining=$((remaining+1))
