@@ -488,7 +488,12 @@ def paged_attention(
     if variant is None:
         import os
 
-        variant = os.environ.get("ORT_PAGED_VARIANT", "head")
+        # "page" folds all KvH heads into one grid step: KvH-fold fewer
+        # steps than "head" for identical bytes moved, and grid-step
+        # sequencing is what binds batched decode (B=64 dissection:
+        # page 18.1 ms/step vs head 26.6, measurements/r4/dissect64a) —
+        # the walk overhead, not bandwidth, set the old 32-slot knee
+        variant = os.environ.get("ORT_PAGED_VARIANT", "page")
     if variant not in ("head", "page", "dma"):
         raise ValueError(f"unknown paged-attention variant {variant!r}")
     quant = k_scale is not None

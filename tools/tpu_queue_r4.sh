@@ -45,7 +45,7 @@ run_task() {  # run_task <name> <timeout_s> <cmd...>
   return 0
 }
 
-TASKS="int4_7b int4_13b encode_ab sweep10m northstar_1m northstar_1m_hybrid spec_realized slots_knee slots_bp eval_text headline dissect64a dissect64b dissect64c eval_ladder slots96 slots128_kvint8 slots_bp2"
+TASKS="int4_7b int4_13b encode_ab sweep10m northstar_1m northstar_1m_hybrid spec_realized slots_knee slots_bp eval_text headline dissect64a dissect64b dissect64c dissect8 eval_ladder slots96 slots128_kvint8 slots_bp2"
 
 for pass in $(seq 1 200); do
   all_done=1
@@ -77,6 +77,8 @@ for pass in $(seq 1 200); do
   run_task dissect64a   5400 env BENCH_B=64 BENCH_VARIANTS=paged:head,paged:page python tools/bench_decode_step.py 3 || all_done=0
   run_task dissect64b   5400 env BENCH_B=64 BENCH_VARIANTS=paged:head,paged:dma python tools/bench_decode_step.py 3 || all_done=0
   run_task dissect64c   5400 env BENCH_B=64 BENCH_VARIANTS=scatter,kvwrite python tools/bench_decode_step.py 3 || all_done=0
+  # low-B check for the page-walk default flip (head -> page)
+  run_task dissect8     5400 env BENCH_B=8 BENCH_VARIANTS=paged:head,paged:page python tools/bench_decode_step.py 3 || all_done=0
   # VERDICT #3's Done bar: int8 agreement@12 with the fp32 rescore wired
   run_task eval_ladder  7200 python tools/eval_retrieval.py --ladder || all_done=0
   # knee refinement: 96 bf16 (fits), 128 with the int8 KV pool (half
