@@ -475,9 +475,13 @@ def paged_attention(
     tests on CPU). ``variant`` picks the walk (``ORT_PAGED_VARIANT``
     env overrides the default): "head" = grid (B, KvH, MAXP), one page
     x one head per step; "page" = grid (B, MAXP), a page's whole KvH
-    slab per step; "dma" = grid (B,), kernel-issued double-buffered
-    page DMAs. All three are oracle-pinned to the XLA gather reference;
-    they differ only in fixed walk overhead.
+    slab per step (the default: KvH-fold fewer grid steps, 1.47x at
+    B=64 decode — grid sequencing, not bandwidth, binds batched
+    decode); "dma" = grid (B,), kernel-issued double-buffered page
+    DMAs. page/dma auto-fall back to "head" at prefill-shaped gt where
+    their all-heads VMEM residency exceeds the scoped budget. All three
+    are oracle-pinned to the XLA gather reference; they differ only in
+    fixed walk overhead.
     """
     if interpret is None:
         if jax.default_backend() != "tpu":
@@ -510,6 +514,23 @@ def paged_attention(
     group = h // kvh
     gt = group * t
     scale = 1.0 / math.sqrt(dh)
+
+    if variant in ("page", "dma"):
+        # page/dma hold ALL KvH heads' query block, (m, l, acc) scratch
+        # triples, and double-buffered whole-page KV slabs in VMEM at
+        # once — KvH-fold fewer grid steps than "head" (the batched-
+        # decode win), but at prefill shapes (gt = G*T ~ 2048) the
+        # footprint blows the 16 MB scoped-VMEM budget (measured:
+        # 18.14M at B=64/T=256 prefill). Fall back to the per-head walk
+        # when the estimate exceeds a conservative budget.
+        est = (
+            kvh * (2 * gt * _LANE + gt * dh) * 4  # m/l/acc scratch
+            + 2 * kvh * gt * dh * q.dtype.itemsize  # q in + ctx out
+            + 4 * kvh * dh * s_pg * pool_k.dtype.itemsize  # 2x2 kv slabs
+            + (16 * kvh * s_pg if quant else 0)  # 2x2 f32 scale slabs
+        )
+        if est > 10 * 2**20:
+            variant = "head"
 
     # [B, T, H, Dh] -> [B, KvH, G*T, Dh], row r = g*T + t
     q_g = (

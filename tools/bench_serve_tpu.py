@@ -91,7 +91,12 @@ async def run() -> None:
           file=sys.stderr)
 
     hybrid = bool(os.environ.get("BENCH_HYBRID"))
-    cb_rank = 64
+    # ColBERT cache rank: production default is operator-chosen
+    # (config.py colbert_cache_rank, HBM cost capacity*width*(rank+4)).
+    # 32 is the highest rank whose 1M-row hybrid footprint fits this
+    # chip next to both models (rank 64 = 9.7 GB index + 2.3 GB models
+    # exceeded measured usable HBM; see tools/probe_hbm.py)
+    cb_rank = int(os.environ.get("BENCH_CB_RANK", 32))
     cfg = EncoderConfig.tiny() if smoke else EncoderConfig.bge_m3()
     tok = HashTokenizer(vocab_size=cfg.vocab_size)
     # BENCH_INT8=1: w8a8 trunks (ENCODER_INT8 serving config) — the ask
