@@ -456,6 +456,58 @@ def _paged_kernel_dma(
         ).astype(o_ref.dtype)
 
 
+def resolve_walk_variant(
+    variant: str | None,
+    *,
+    gt: int,
+    kvh: int,
+    dh: int,
+    s_pg: int,
+    quant: bool,
+    q_itemsize: int,
+    kv_itemsize: int,
+) -> str:
+    """Resolve the page-walk variant for a paged-attention call shape.
+
+    ``None`` takes ``ORT_PAGED_VARIANT`` (default "page": it folds all
+    KvH heads into one grid step — KvH-fold fewer steps than "head" for
+    identical bytes moved, and grid-step sequencing is what binds
+    batched decode: page 18.1 ms/step vs head 26.6 at B=64,
+    measurements/r4/dissect64a; 6.1 vs 7.1 at B=8, dissect8).
+
+    Two shape-driven fallbacks to "head":
+
+    - "dma" needs the pool's page axis 128-lane aligned — its
+      kernel-side page-slab copies slice HBM along the minor dim, which
+      Mosaic requires tile-aligned (verified on-chip: "Slice shape
+      along dimension 3 must be aligned to tiling (128)").
+    - page/dma hold ALL KvH heads' query block, (m, l, acc) scratch
+      triples, and double-buffered whole-page KV slabs in VMEM at once.
+      At prefill shapes (gt = G*T ~ 2048) that blows the 16 MB
+      scoped-VMEM budget (measured: 18.14M at B=64/T=256 prefill), so
+      calls whose estimated footprint exceeds a conservative 10 MB
+      fall back to the per-head walk.
+    """
+    if variant is None:
+        import os
+
+        variant = os.environ.get("ORT_PAGED_VARIANT", "page")
+    if variant not in ("head", "page", "dma"):
+        raise ValueError(f"unknown paged-attention variant {variant!r}")
+    if variant == "dma" and s_pg % _LANE:
+        variant = "head"
+    if variant in ("page", "dma"):
+        est = (
+            kvh * (2 * gt * _LANE + gt * dh) * 4  # m/l/acc scratch
+            + 2 * kvh * gt * dh * q_itemsize  # q in + ctx out
+            + 4 * kvh * dh * s_pg * kv_itemsize  # 2x2 kv slabs
+            + (16 * kvh * s_pg if quant else 0)  # 2x2 f32 scale slabs
+        )
+        if est > 10 * 2**20:
+            variant = "head"
+    return variant
+
+
 def paged_attention(
     q: jax.Array,  # [B, T, H, Dh] (already rotary-embedded)
     pool_k: jax.Array,  # [P, KvH, Dh, S]
@@ -489,48 +541,17 @@ def paged_attention(
                 q, pool_k, pool_v, table, pos, k_scale, v_scale
             )
         interpret = False
-    if variant is None:
-        import os
-
-        # "page" folds all KvH heads into one grid step: KvH-fold fewer
-        # steps than "head" for identical bytes moved, and grid-step
-        # sequencing is what binds batched decode (B=64 dissection:
-        # page 18.1 ms/step vs head 26.6, measurements/r4/dissect64a) —
-        # the walk overhead, not bandwidth, set the old 32-slot knee
-        variant = os.environ.get("ORT_PAGED_VARIANT", "page")
-    if variant not in ("head", "page", "dma"):
-        raise ValueError(f"unknown paged-attention variant {variant!r}")
     quant = k_scale is not None
-    if variant == "dma" and pool_k.shape[3] % 128:
-        # the dma walk issues kernel-side page-slab copies whose minor
-        # dim is the page axis; Mosaic requires HBM slices 128-aligned
-        # in the minor dim (verified on-chip: "Slice shape along
-        # dimension 3 must be aligned to tiling (128)"), so pools with
-        # page < 128 can't take this walk. Fall back to the default.
-        variant = "head"
     b, t, h, dh = q.shape
     p_, kvh, _, s_pg = pool_k.shape
     maxp = table.shape[1]
     group = h // kvh
     gt = group * t
     scale = 1.0 / math.sqrt(dh)
-
-    if variant in ("page", "dma"):
-        # page/dma hold ALL KvH heads' query block, (m, l, acc) scratch
-        # triples, and double-buffered whole-page KV slabs in VMEM at
-        # once — KvH-fold fewer grid steps than "head" (the batched-
-        # decode win), but at prefill shapes (gt = G*T ~ 2048) the
-        # footprint blows the 16 MB scoped-VMEM budget (measured:
-        # 18.14M at B=64/T=256 prefill). Fall back to the per-head walk
-        # when the estimate exceeds a conservative budget.
-        est = (
-            kvh * (2 * gt * _LANE + gt * dh) * 4  # m/l/acc scratch
-            + 2 * kvh * gt * dh * q.dtype.itemsize  # q in + ctx out
-            + 4 * kvh * dh * s_pg * pool_k.dtype.itemsize  # 2x2 kv slabs
-            + (16 * kvh * s_pg if quant else 0)  # 2x2 f32 scale slabs
-        )
-        if est > 10 * 2**20:
-            variant = "head"
+    variant = resolve_walk_variant(
+        variant, gt=gt, kvh=kvh, dh=dh, s_pg=s_pg, quant=quant,
+        q_itemsize=q.dtype.itemsize, kv_itemsize=pool_k.dtype.itemsize,
+    )
 
     # [B, T, H, Dh] -> [B, KvH, G*T, Dh], row r = g*T + t
     q_g = (

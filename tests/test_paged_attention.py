@@ -359,3 +359,60 @@ def test_kv_write_kernel_dh128_and_offset_start():
     got = paged_kv_write(*args, interpret=True)
     for g, w in zip(got, want):
         np.testing.assert_array_equal(np.asarray(g)[1:], np.asarray(w)[1:])
+
+
+# ----------------------------------------------------------------------
+# Walk-variant resolution (shape-aware fallbacks)
+# ----------------------------------------------------------------------
+
+
+def _resolve(variant, *, gt=2, kvh=4, dh=64, s_pg=128, quant=False,
+             q_itemsize=2, kv_itemsize=2):
+    from outline_rag_tpu.ops.paged_attention import resolve_walk_variant
+
+    return resolve_walk_variant(
+        variant, gt=gt, kvh=kvh, dh=dh, s_pg=s_pg, quant=quant,
+        q_itemsize=q_itemsize, kv_itemsize=kv_itemsize,
+    )
+
+
+def test_variant_default_is_page_at_decode_shapes(monkeypatch):
+    monkeypatch.delenv("ORT_PAGED_VARIANT", raising=False)
+    assert _resolve(None) == "page"
+
+
+def test_variant_env_override(monkeypatch):
+    monkeypatch.setenv("ORT_PAGED_VARIANT", "dma")
+    assert _resolve(None) == "dma"
+
+
+def test_variant_invalid_raises():
+    with pytest.raises(ValueError, match="unknown paged-attention"):
+        _resolve("Page")
+
+
+def test_variant_prefill_gt_falls_back_to_head():
+    # B=64/T=256 prefill shape that measured 18.14M scoped VMEM on chip
+    # (remote-compile OOM against the 16 MB budget) — must pick "head"
+    assert _resolve("page", gt=2048) == "head"
+    assert _resolve("dma", gt=2048) == "head"
+    # per-head walk has no all-heads residency: stays as asked
+    assert _resolve("head", gt=2048) == "head"
+
+
+def test_variant_decode_gt_keeps_page():
+    # decode: gt = group*1, far under the budget at any sane config
+    assert _resolve("page", gt=8) == "page"
+    assert _resolve("dma", gt=8) == "dma"
+
+
+def test_variant_dma_needs_lane_aligned_pages():
+    assert _resolve("dma", s_pg=16) == "head"
+    assert _resolve("page", s_pg=16) == "page"  # page walk has no DMA slices
+
+
+def test_variant_page256_pool_still_fits_at_decode():
+    # the BENCH_PAGE=256 experiment: double-size page slabs at decode
+    # shapes must not trip the VMEM fallback
+    assert _resolve("page", gt=8, s_pg=256) == "page"
+    assert _resolve("dma", gt=8, s_pg=256) == "dma"
