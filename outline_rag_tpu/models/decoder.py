@@ -797,13 +797,7 @@ def decoder_forward(
 
         quant = cache.k_scale is not None
 
-        def body(carry, inputs):
-            x = carry
-            if quant:
-                layer, k_pool, v_pool, ks_pool, vs_pool = inputs
-            else:
-                layer, k_pool, v_pool = inputs
-                ks_pool = vs_pool = None
+        def layer_math(x, layer, k_pool, v_pool, ks_pool, vs_pool, tbl):
             h = _rms_norm(x, layer["ln1"], cfg.norm_eps)
             q, k_new, v_new = _qkv(h, layer, positions, cfg)
             # pool [P, KvH, Dh, S] (position minor); the pallas page
@@ -815,42 +809,118 @@ def decoder_forward(
                 k_q, k_s = _quantize_kv(k_new)
                 v_q, v_s = _quantize_kv(v_new)
                 k_pool, v_pool, ks_pool, vs_pool = paged_kv_write(
-                    k_pool, v_pool, table, start_pos, k_q, v_q,
+                    k_pool, v_pool, tbl, start_pos, k_q, v_q,
                     ks_pool, vs_pool, k_s, v_s,
                 )
             else:
                 k_pool, v_pool = paged_kv_write(
-                    k_pool, v_pool, table, start_pos,
+                    k_pool, v_pool, tbl, start_pos,
                     k_new.astype(dt), v_new.astype(dt),
                 )
             ctx = paged_attention(
-                q, k_pool, v_pool, table, start_pos,
+                q, k_pool, v_pool, tbl, start_pos,
                 k_scale=ks_pool, v_scale=vs_pool,
             )
             x = x + _mm(ctx.reshape(b, t, -1), layer["wo"], dt)
             h2 = _rms_norm(x, layer["ln2"], cfg.norm_eps)
             x = x + _mlp(h2, layer, cfg)
-            if quant:
-                return x, (k_pool, v_pool, ks_pool, vs_pool)
-            return x, (k_pool, v_pool)
+            return x, k_pool, v_pool, ks_pool, vs_pool
 
+        import os as _os
+
+        scan_mode = _os.environ.get("ORT_PAGED_SCAN", "xs")
         layers = params["layers"]
-        if quant:
-            x, (k_pool, v_pool, ks_pool, vs_pool) = jax.lax.scan(
-                body, x,
-                (layers, cache.k, cache.v, cache.k_scale, cache.v_scale),
-            )
-            out_cache = PagedKV(
-                k=k_pool, v=v_pool, table=table,
-                k_scale=ks_pool, v_scale=vs_pool, mesh=cache.mesh,
-            )
+        if scan_mode == "carry":
+            # Pools as scan CARRY over a layer-flattened [(L*P), ...]
+            # view; each layer's page ids are resolved by offsetting
+            # the (dynamic) page table by li*P, so the kernels need no
+            # layer axis. The xs/ys form below makes lax.scan stack
+            # every layer's updated pool slab into a fresh ys buffer —
+            # a full pool-slab copy per layer per step (2x67 MB at
+            # B=64/1.1B; the dominant batched-decode cost, see
+            # measurements/r4 kvwrite probe) — while a carried pool
+            # flows through the aliased pallas writes copy-free. Dead
+            # or padding table entries (0) land in layer li's
+            # never-allocated slot 0; kernel scratch stays global
+            # page 0.
+            n_p = cache.k.shape[1]
+
+            def _flat(a):
+                return a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:])
+
+            def body_c(carry, layer):
+                if quant:
+                    x, kp, vp, ksp, vsp, li = carry
+                else:
+                    x, kp, vp, li = carry
+                    ksp = vsp = None
+                tbl = table + li * n_p
+                x, kp, vp, ksp, vsp = layer_math(
+                    x, layer, kp, vp, ksp, vsp, tbl
+                )
+                if quant:
+                    return (x, kp, vp, ksp, vsp, li + 1), None
+                return (x, kp, vp, li + 1), None
+
+            li0 = jnp.int32(0)
+            if quant:
+                carry0 = (
+                    x, _flat(cache.k), _flat(cache.v),
+                    _flat(cache.k_scale), _flat(cache.v_scale), li0,
+                )
+                (x, k_pool, v_pool, ks_pool, vs_pool, _), _ = jax.lax.scan(
+                    body_c, carry0, layers
+                )
+                out_cache = PagedKV(
+                    k=k_pool.reshape(cache.k.shape),
+                    v=v_pool.reshape(cache.v.shape),
+                    table=table,
+                    k_scale=ks_pool.reshape(cache.k_scale.shape),
+                    v_scale=vs_pool.reshape(cache.v_scale.shape),
+                    mesh=cache.mesh,
+                )
+            else:
+                carry0 = (x, _flat(cache.k), _flat(cache.v), li0)
+                (x, k_pool, v_pool, _), _ = jax.lax.scan(
+                    body_c, carry0, layers
+                )
+                out_cache = PagedKV(
+                    k=k_pool.reshape(cache.k.shape),
+                    v=v_pool.reshape(cache.v.shape),
+                    table=table, mesh=cache.mesh,
+                )
         else:
-            x, (k_pool, v_pool) = jax.lax.scan(
-                body, x, (layers, cache.k, cache.v)
-            )
-            out_cache = PagedKV(
-                k=k_pool, v=v_pool, table=table, mesh=cache.mesh
-            )
+
+            def body(carry, inputs):
+                x = carry
+                if quant:
+                    layer, k_pool, v_pool, ks_pool, vs_pool = inputs
+                else:
+                    layer, k_pool, v_pool = inputs
+                    ks_pool = vs_pool = None
+                x, k_pool, v_pool, ks_pool, vs_pool = layer_math(
+                    x, layer, k_pool, v_pool, ks_pool, vs_pool, table
+                )
+                if quant:
+                    return x, (k_pool, v_pool, ks_pool, vs_pool)
+                return x, (k_pool, v_pool)
+
+            if quant:
+                x, (k_pool, v_pool, ks_pool, vs_pool) = jax.lax.scan(
+                    body, x,
+                    (layers, cache.k, cache.v, cache.k_scale, cache.v_scale),
+                )
+                out_cache = PagedKV(
+                    k=k_pool, v=v_pool, table=table,
+                    k_scale=ks_pool, v_scale=vs_pool, mesh=cache.mesh,
+                )
+            else:
+                x, (k_pool, v_pool) = jax.lax.scan(
+                    body, x, (layers, cache.k, cache.v)
+                )
+                out_cache = PagedKV(
+                    k=k_pool, v=v_pool, table=table, mesh=cache.mesh
+                )
     else:
         c = cfg.max_cache
         # attention bias [B, T, C]: slot j visible to token i iff j <= pos_i

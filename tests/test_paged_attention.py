@@ -416,3 +416,60 @@ def test_variant_page256_pool_still_fits_at_decode():
     # shapes must not trip the VMEM fallback
     assert _resolve("page", gt=8, s_pg=256) == "page"
     assert _resolve("dma", gt=8, s_pg=256) == "dma"
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_paged_scan_carry_matches_xs(monkeypatch, quant):
+    """ORT_PAGED_SCAN=carry (pools carried through the layer scan over a
+    layer-flattened [(L*P), ...] view, per-layer table offsets) must be
+    BIT-identical to the xs/ys form — same kernels, same math, only the
+    scan data-flow differs."""
+    from outline_rag_tpu.models.decoder import (
+        DecoderConfig,
+        PagedKV,
+        decoder_forward,
+        init_decoder_params,
+        init_paged_cache,
+        stack_decoder_params,
+    )
+
+    cfg = DecoderConfig.tiny()  # max_cache=64
+    params = stack_decoder_params(init_decoder_params(jax.random.key(5), cfg))
+    b, t = 2, 10
+    toks = jax.random.randint(jax.random.key(6), (b, t), 0, cfg.vocab_size)
+    zero = jnp.zeros((b,), jnp.int32)
+    table = jnp.asarray([[3, 1, 7, 5], [2, 9, 4, 11]], jnp.int32)
+
+    def run(mode):
+        monkeypatch.setenv("ORT_PAGED_SCAN", mode)
+        paged = init_paged_cache(
+            cfg, b, pages=12, page_size=16,
+            kv_dtype="int8" if quant else None,
+        )
+        paged = PagedKV(
+            k=paged.k, v=paged.v, table=table,
+            k_scale=paged.k_scale, v_scale=paged.v_scale,
+        )
+        lg, paged = decoder_forward(params, toks, paged, zero, cfg)
+        outs = [lg]
+        nxt = jnp.argmax(lg[:, -1], axis=-1).astype(jnp.int32)
+        for i in range(3):  # decode steps straddle a page boundary
+            posv = jnp.full((b,), t + i, jnp.int32)
+            lg, paged = decoder_forward(params, nxt[:, None], paged, posv, cfg)
+            outs.append(lg)
+            nxt = jnp.argmax(lg[:, -1], axis=-1).astype(jnp.int32)
+        return outs, paged
+
+    want, cache_xs = run("xs")
+    got, cache_carry = run("carry")
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+    # the pool contents themselves must agree (live pages; page 0 and
+    # layer-slot-0 scratch are garbage by contract)
+    for a, c in zip(
+        (cache_xs.k, cache_xs.v), (cache_carry.k, cache_carry.v)
+    ):
+        live = np.asarray(table).ravel()
+        np.testing.assert_array_equal(
+            np.asarray(c)[:, live], np.asarray(a)[:, live]
+        )

@@ -115,8 +115,14 @@ def main() -> None:
             variants[name] = (fn, lambda: D.init_cache(cfg, b))
         elif name.startswith("paged:"):
             walk = name.split(":", 1)[1]
+            # "paged:<walk>+carry" runs the layer scan with the pools
+            # as CARRY over a layer-flattened pool (ORT_PAGED_SCAN=
+            # carry, models/decoder.py) instead of the xs/ys form
+            scan_mode = "xs"
+            if walk.endswith("+carry"):
+                walk, scan_mode = walk[: -len("+carry")], "carry"
 
-            def make_paged(walk):
+            def make_paged(walk, scan_mode):
                 import outline_rag_tpu.ops.paged_attention as PA
 
                 orig = PA.paged_attention
@@ -126,11 +132,20 @@ def main() -> None:
                     return orig(*a, variant=walk, **kw)
 
                 def fn_paged(p, t, c, s):
+                    # env reads happen at TRACE time (this body runs
+                    # under jit tracing), so setting it here scopes the
+                    # scan mode to this variant's program
+                    prev = os.environ.get("ORT_PAGED_SCAN")
                     PA.paged_attention = forced
+                    os.environ["ORT_PAGED_SCAN"] = scan_mode
                     try:
                         return D.decoder_forward(p, t, c, s, cfg)
                     finally:
                         PA.paged_attention = orig
+                        if prev is None:
+                            os.environ.pop("ORT_PAGED_SCAN", None)
+                        else:
+                            os.environ["ORT_PAGED_SCAN"] = prev
 
                 def init():
                     c = D.init_paged_cache(
@@ -148,7 +163,7 @@ def main() -> None:
 
                 return scan_steps(fn_paged), init
 
-            variants[name] = make_paged(walk)
+            variants[name] = make_paged(walk, scan_mode)
         elif name in ("scatter", "kvwrite"):
             # the paged forward's per-layer KV write, isolated, L x per
             # step: "scatter" = the XLA advanced-index scatter of

@@ -42,19 +42,25 @@ run_task() {  # run_task <name> <timeout_s> <cmd...>
   return 0
 }
 
-TASKS="kvwrite_probe kvwrite_probe_i8 dissect64_p256 dissect64_p256w slots96_p256"
+TASKS="dissect64_carry slots64_carry kvwrite_probe kvwrite_probe_i8 dissect64_p256c slots96_carry"
 
 for pass in $(seq 1 100); do
   all_done=1
-  # Is the 10.6 ms/step KV write the kernel or the per-layer scan carry?
+  # THE hypothesis test: the layer scan's xs/ys pool stacking copies
+  # 2x67 MB per layer per step; ORT_PAGED_SCAN=carry flows the pools
+  # through the scan carry via the aliased pallas writes instead
+  # (models/decoder.py). Bit-identical by test; this measures it.
+  run_task dissect64_carry   5400 env BENCH_B=64 BENCH_VARIANTS=paged:page,paged:page+carry python tools/bench_decode_step.py 3 || all_done=0
+  # end-to-end: does the flat 32->64 curve (slots_knee: 1718/1720)
+  # unflatten with the carry scan?
+  run_task slots64_carry     9000 env ORT_PAGED_SCAN=carry BENCH_SLOTS_LIST=32,64 BENCH_CACHE=2048 python tools/bench_slots.py 128 2 || all_done=0
+  # Structure probe: inscan (serving xs/ys) vs flat (no scan) vs single
   run_task kvwrite_probe     5400 python tools/bench_kvwrite_probe.py 3 || all_done=0
   run_task kvwrite_probe_i8  5400 env BENCH_KV_INT8=1 python tools/bench_kvwrite_probe.py 3 || all_done=0
-  # page=256: halves the walk's grid steps (the measured binding cost at
-  # B>=64); write RMW bytes double — the pair decides the default
-  run_task dissect64_p256    5400 env BENCH_B=64 BENCH_PAGE=256 BENCH_VARIANTS=paged:head,paged:page python tools/bench_decode_step.py 3 || all_done=0
-  run_task dissect64_p256w   5400 env BENCH_B=64 BENCH_PAGE=256 BENCH_VARIANTS=scatter,kvwrite python tools/bench_decode_step.py 3 || all_done=0
-  # end-to-end check at the same rung as measurements/r4/slots96
-  run_task slots96_p256      9000 env BENCH_SLOTS_LIST=96 BENCH_PAGE=256 BENCH_CACHE=2048 python tools/bench_slots.py 128 1 || all_done=0
+  # page=256 on top of carry: halves the walk's grid steps; write RMW
+  # bytes double — decides whether page size moves post-carry
+  run_task dissect64_p256c   5400 env BENCH_B=64 BENCH_PAGE=256 BENCH_VARIANTS=paged:page+carry,paged:head python tools/bench_decode_step.py 3 || all_done=0
+  run_task slots96_carry     9000 env ORT_PAGED_SCAN=carry BENCH_SLOTS_LIST=96 BENCH_CACHE=2048 python tools/bench_slots.py 128 1 || all_done=0
   remaining=0
   for t in $TASKS; do
     [ -e "$MDIR/$t.done" ] || remaining=$((remaining+1))
