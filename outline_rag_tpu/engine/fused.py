@@ -171,6 +171,7 @@ def fused_query(
     tok_cvecs: jax.Array | None = None,  # [N, Tc, r] int8 ColBERT cache
     tok_cscale: jax.Array | None = None,  # [N, Tc] f32
     colbert_proj: jax.Array | None = None,  # [Hc, r]
+    residual: jax.Array | None = None,  # [N, D] int8 (int8r rescore plane)
     *,
     enc_cfg: EncoderConfig,
     rr_cfg: EncoderConfig,
@@ -190,7 +191,8 @@ def fused_query(
 
         qq, qs = quantize_rows_int8(q_emb)
         vals, idx = int8_topk(
-            qq, qs, vectors, scales, top_k, penalty, rescore_queries=q_emb
+            qq, qs, vectors, scales, top_k, penalty, rescore_queries=q_emb,
+            rescore_residual=residual,
         )
     else:
         vals, idx = cosine_topk(q_emb, vectors, top_k, penalty, block_n=block_n)
@@ -244,6 +246,7 @@ def fused_query_mesh(
     tok_cvecs: jax.Array | None = None,  # [N, Tc, r] int8, row-sharded
     tok_cscale: jax.Array | None = None,  # [N, Tc] f32, row-sharded
     colbert_proj: jax.Array | None = None,  # [Hc, r] replicated
+    residual: jax.Array | None = None,  # [N, D] int8 (int8r), row-sharded
     *,
     enc_cfg: EncoderConfig,
     rr_cfg: EncoderConfig,
@@ -273,7 +276,7 @@ def fused_query_mesh(
         sharded_retrieve_tokens(
             q_emb, vectors, scales, penalty, tok_ids, tok_mask, tok_weights,
             top_k, tok_cvecs=tok_cvecs, tok_cscale=tok_cscale,
-            mesh=mesh, block_n=block_n,
+            residual=residual, mesh=mesh, block_n=block_n,
         )
     )
     return _rescore_and_rerank(
@@ -386,6 +389,7 @@ class FusedEngine:
             colbert.codes if use_cb else None,
             colbert.scales if use_cb else None,
             self._colbert_proj if use_cb else None,
+            state.residual if state.residual.shape[1] else None,
             **common,
         )
 

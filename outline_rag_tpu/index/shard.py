@@ -61,11 +61,19 @@ class ShardState:
                                     otherwise so the pytree structure is
                                     stable across modes).
     ``penalty``  [capacity]       — f32 additive mask: 0 live, NEG dead.
+    ``residual`` [capacity, rdim] — int8 second quantization plane
+                                    (``int8r`` mode: rdim == dim, the q2
+                                    codes of quantize_rows_int8_residual,
+                                    read only by the top-K rescore —
+                                    never by the scan); rdim == 0
+                                    otherwise so the pytree structure is
+                                    stable across modes.
     """
 
     vectors: jax.Array
     scales: jax.Array
     penalty: jax.Array
+    residual: jax.Array
 
     @property
     def capacity(self) -> int:
@@ -85,12 +93,16 @@ def init_state(capacity: int, dim: int, dtype: str = "float32") -> ShardState:
         "bfloat16": jnp.bfloat16,
         "f32x2": jnp.bfloat16,
         "int8": jnp.int8,
+        "int8r": jnp.int8,  # int8 scan plane + int8 rescore residual
     }[dtype]
     width = 2 * dim if dtype == "f32x2" else dim
     return ShardState(
         vectors=jnp.zeros((capacity, width), jdtype),
         scales=jnp.ones((capacity,), jnp.float32),
         penalty=jnp.full((capacity,), NEG, jnp.float32),
+        residual=jnp.zeros(
+            (capacity, dim if dtype == "int8r" else 0), jnp.int8
+        ),
     )
 
 
@@ -101,6 +113,7 @@ def _append_block(
     scales: jax.Array,  # [UPDATE_BLOCK]
     idx: jax.Array,  # [UPDATE_BLOCK] int32 target rows; padding entries
     #                  carry an out-of-range index and are dropped
+    res_rows: jax.Array,  # [UPDATE_BLOCK, rdim] int8 (rdim 0 unless int8r)
 ) -> ShardState:
     # Scatter, NOT dynamic_update_slice: a fixed-size block written at
     # start would CLAMP when it crosses the capacity edge (an unaligned
@@ -111,6 +124,7 @@ def _append_block(
         vectors=state.vectors.at[idx].set(rows, mode="drop"),
         scales=state.scales.at[idx].set(scales, mode="drop"),
         penalty=state.penalty.at[idx].set(0.0, mode="drop"),
+        residual=state.residual.at[idx].set(res_rows, mode="drop"),
     )
 
 
@@ -160,9 +174,12 @@ class DeviceShard:
         if isinstance(row_sharding, NamedSharding):
             vec = NamedSharding(row_sharding.mesh, P(*row_sharding.spec, None))
             one_d = NamedSharding(row_sharding.mesh, P(*row_sharding.spec))
-            return ShardState(vectors=vec, scales=one_d, penalty=one_d)
+            return ShardState(
+                vectors=vec, scales=one_d, penalty=one_d, residual=vec
+            )
         return ShardState(
-            vectors=row_sharding, scales=row_sharding, penalty=row_sharding
+            vectors=row_sharding, scales=row_sharding, penalty=row_sharding,
+            residual=row_sharding,
         )
 
     # -- mutation ----------------------------------------------------------
@@ -179,10 +196,12 @@ class DeviceShard:
         self,
         chunk_ids: list[str],
         vectors: np.ndarray,  # [n, dim] float32 (pre-normalized)
-        scales: np.ndarray | None = None,  # [n] for int8 mode
+        scales: np.ndarray | None = None,  # [n] for int8/int8r modes
+        residual: np.ndarray | None = None,  # [n, dim] int8 (int8r mode)
     ) -> np.ndarray:
         """Append rows; returns the assigned row indices. Vectors for int8
-        shards must already be quantized codes with ``scales`` given."""
+        shards must already be quantized codes with ``scales`` given
+        (plus the ``residual`` q2 plane for int8r)."""
         n = vectors.shape[0]
         if n == 0:
             return np.empty(0, np.int64)
@@ -190,6 +209,9 @@ class DeviceShard:
             raise IndexError(f"shard full: {n} rows requested, {self.free} free")
         rows_assigned = np.arange(self.cursor, self.cursor + n)
         jdtype = self.state.vectors.dtype
+        rdim = self.state.residual.shape[1]
+        if rdim and residual is None:
+            raise ValueError("int8r shard append requires the residual plane")
         if scales is None:
             scales = np.ones(n, np.float32)
         for off in range(0, n, UPDATE_BLOCK):
@@ -200,6 +222,9 @@ class DeviceShard:
             blk_p[:m] = blk
             sc_p = np.ones(UPDATE_BLOCK, np.float32)
             sc_p[:m] = sc
+            res_p = np.zeros((UPDATE_BLOCK, rdim), np.int8)
+            if rdim:
+                res_p[:m] = residual[off : off + UPDATE_BLOCK]
             # padding rows carry an out-of-range index -> dropped by the
             # scatter (never clamped back onto live rows)
             idx = np.full(UPDATE_BLOCK, self.capacity + 1, np.int32)
@@ -211,6 +236,7 @@ class DeviceShard:
                 jnp.asarray(blk_p, jdtype),
                 jnp.asarray(sc_p),
                 jnp.asarray(idx),
+                jnp.asarray(res_p),
             )
             self._staged += blk_p.nbytes
             if self._staged >= _stage_limit():
@@ -259,8 +285,10 @@ class DeviceShard:
         the avals growth will create.
         """
         shard = DeviceShard(capacity, dim, dtype, sharding)
+        rdim = shard.state.residual.shape[1]
         shard.append(
-            ["__warm__"], np.zeros((1, shard.state.dim), np.float32)
+            ["__warm__"], np.zeros((1, shard.state.dim), np.float32),
+            residual=np.zeros((1, rdim), np.int8) if rdim else None,
         )
         shard.tombstone(np.asarray([0], np.int32))
         return shard

@@ -120,7 +120,7 @@ class VectorIndex:
         # candidates before taking the final k (0 disables) — closes
         # the quantized ranking to pgvector-exact semantics
         # (ops/quant.py::int8_topk rescore docstring)
-        self.rescore_m = rescore_m if dtype == "int8" else 0
+        self.rescore_m = rescore_m if dtype in ("int8", "int8r") else 0
         self._sharding = sharding
         self._shard = DeviceShard(capacity, dim, dtype, sharding)
         self.token_width = token_width
@@ -276,6 +276,7 @@ class VectorIndex:
         the live shard and a prospective one."""
         width = self._shard.state.vectors.shape[1]
         item = self._shard.state.vectors.dtype.itemsize
+        width += self._shard.state.residual.shape[1]  # int8r q2 plane
         need = cap * width * item + cap * 8  # vectors + scales/penalty
         if self.tokens is not None:
             need += cap * self.token_width * 12  # ids/mask/weights
@@ -421,10 +422,18 @@ class VectorIndex:
         # queries only wait for the device mutation dispatch below
         vecs = _normalize_rows(vectors)
         scales = None
+        residual = None
         if self.dtype == "int8":
             q, s = quantize_rows_int8(jnp.asarray(vecs))
             vecs = np.asarray(q, np.float32)  # codes carried as f32 host-side
             scales = np.asarray(s)
+        elif self.dtype == "int8r":
+            from outline_rag_tpu.ops.quant import quantize_rows_int8_residual
+
+            q, s, q2 = quantize_rows_int8_residual(jnp.asarray(vecs))
+            vecs = np.asarray(q, np.float32)
+            scales = np.asarray(s)
+            residual = np.asarray(q2)
         elif self.dtype == "f32x2":
             # pre-split into compensated bf16 pairs (paid once here, not
             # per query tile); carried host-side as f32 holding exactly
@@ -450,7 +459,7 @@ class VectorIndex:
                 else:
                     self._grow(len(chunk_ids))
             start = self._shard.cursor
-            rows = self._shard.append(chunk_ids, vecs, scales)
+            rows = self._shard.append(chunk_ids, vecs, scales, residual)
             if self.tokens is not None and token_ids is not None:
                 if token_mask is None:
                     token_mask = (token_ids != self.token_pad_id).astype(np.int32)
@@ -534,6 +543,10 @@ class VectorIndex:
         live_rows = np.nonzero(live_mask)[0]
         vecs = np.asarray(old_state.vectors, np.float32)[live_rows]
         scales = np.asarray(old_state.scales)[live_rows]
+        res = (
+            np.asarray(old_state.residual)[live_rows]
+            if old_state.residual.shape[1] else None
+        )
         ids = [row_ids[r] for r in live_rows]
         tok_ids = tok_mask = tok_w = cb_codes = cb_scales = None
         if self.tokens is not None:
@@ -575,7 +588,9 @@ class VectorIndex:
             self._by_chunk.clear()
             if len(ids):
                 rows = self._shard.append(
-                    ids, vecs, scales if self.dtype == "int8" else None
+                    ids, vecs,
+                    scales if self.dtype in ("int8", "int8r") else None,
+                    res,
                 )
                 if self.tokens is not None and tok_ids is not None:
                     self.tokens.write(
@@ -636,11 +651,16 @@ class VectorIndex:
             state, row_ids, _ = self._shard.snapshot()
             mesh = self.mesh
             k_eff = min(k, state.capacity // (mesh.size if mesh else 1))
-            if self.dtype == "int8":
+            if self.dtype in ("int8", "int8r"):
                 from outline_rag_tpu.ops.quant import int8_topk
 
                 qf = jnp.asarray(q)
                 qq, qs = quantize_rows_int8(qf)
+                res = (
+                    state.residual
+                    if (self.dtype == "int8r" and self.rescore_m)
+                    else None
+                )
                 if mesh is not None:
                     from outline_rag_tpu.parallel.query import sharded_topk_int8
 
@@ -650,6 +670,7 @@ class VectorIndex:
                         block_n=self.block_n,
                         rescore_queries=qf if self.rescore_m else None,
                         rescore_m=self.rescore_m,
+                        rescore_residual=res,
                     )
                 else:
                     vals, idx = int8_topk(
@@ -657,6 +678,7 @@ class VectorIndex:
                         state.penalty,
                         rescore_queries=qf if self.rescore_m else None,
                         rescore_m=self.rescore_m,
+                        rescore_residual=res,
                     )
             elif mesh is not None:
                 from outline_rag_tpu.parallel.query import sharded_topk
@@ -711,6 +733,8 @@ class VectorIndex:
                 "scales": np.asarray(state.scales),
                 "penalty": np.asarray(state.penalty),
             }
+            if state.residual.shape[1]:
+                arrays["residual"] = np.asarray(state.residual)
             if self.tokens is not None:
                 arrays["token_ids"] = np.asarray(self.tokens.state.ids)
                 arrays["token_mask"] = np.asarray(self.tokens.state.mask)
@@ -866,7 +890,9 @@ class VectorIndex:
             scales = arrays["scales"][live]
             ids = [row_ids[r] for r in live]
             rows = idx._shard.append(
-                ids, vecs, scales if meta["dtype"] == "int8" else None
+                ids, vecs,
+                scales if meta["dtype"] in ("int8", "int8r") else None,
+                arrays["residual"][live] if "residual" in arrays else None,
             )
             if idx.tokens is not None and "token_ids" in arrays:
                 idx.tokens.write(

@@ -35,6 +35,31 @@ def dequantize_rows_int8(q: jax.Array, scale: jax.Array) -> jax.Array:
     return q.astype(jnp.float32) * scale[:, None]
 
 
+@jax.jit
+def quantize_rows_int8_residual(
+    x: jax.Array,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """[N, D] float -> (q1 [N, D] int8, scale [N] f32, q2 [N, D] int8).
+
+    Two-plane quantization for the ``int8r`` index mode: the scan reads
+    only q1 (plain int8 bytes/speed), while the top-K rescore
+    dequantizes ``q1*s + q2*(s/254)``. The residual ``x - q1*s`` is
+    bounded by s/2 elementwise (absmax rounding never clips: the max
+    element lands on exactly 127), so the residual scale is DERIVED —
+    ``s2 = s/254`` puts q2 in [-127, 127] with no second scale array —
+    and the residual-dequant error is <= s/508 per element (~8 extra
+    bits). Top-12 agreement with the fp32 oracle is ~1.0 where plain
+    int8 rescore plateaus at 0.984-0.991 (corpus rounding;
+    measurements/r4/eval_ladder)."""
+    q1, scale = quantize_rows_int8(x)
+    safe = jnp.where(scale > 0, scale, 1.0)
+    r = x - q1.astype(jnp.float32) * scale[:, None]
+    q2 = jnp.clip(
+        jnp.round(r / (safe / 254.0)[:, None]), -127, 127
+    ).astype(jnp.int8)
+    return q1, scale, q2
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def int8_topk_xla(
     q_queries: jax.Array,  # [B, D] int8
@@ -70,6 +95,7 @@ def int8_topk(
     block_n: int = 1024,
     rescore_queries: jax.Array | None = None,
     rescore_m: int = 64,
+    rescore_residual: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Quantized top-K: dispatches between the fused Pallas kernel (int8
     dot + rescale + penalty + K-select in one pass, no [B, N] score
@@ -83,11 +109,16 @@ def int8_topk(
     candidates with the quantized scan, gather those rows, dequantize,
     and re-rank them by the exact f32 ``query . dequant(row)`` dot
     (Precision.HIGHEST). This removes the query-side quantization error
-    entirely and the candidate-set error down to corpus rounding —
-    measured agreement@12 vs the fp32 oracle goes from ~0.975 to ~0.999
-    at the 1M rung for the [B, K, D] gather cost (tools/eval_retrieval).
-    Candidates are re-ordered by ascending corpus index before the
-    final ``top_k`` so exact ties keep the lowest-index-wins contract.
+    entirely; corpus rounding remains — measured agreement@12 vs the
+    fp32 oracle is 0.984-0.991 across the 10k-1M rungs
+    (measurements/r4/eval_ladder, up from 0.973-0.982 without the
+    rescore). Passing ``rescore_residual`` ([N, D] int8, the q2 plane
+    from :func:`quantize_rows_int8_residual`) removes the corpus
+    rounding too — candidates dequantize to ~16-bit precision and the
+    ranking matches the fp32 oracle (~1.0 agreement) while the SCAN
+    still reads 1 byte/element. Candidates are re-ordered by ascending
+    corpus index before the final ``top_k`` so exact ties keep the
+    lowest-index-wins contract.
     """
     import jax as _jax
 
@@ -104,8 +135,14 @@ def int8_topk(
         # ascending-index candidate order -> lax.top_k's earliest-wins
         # tie-break matches the full-matrix oracle (lowest corpus index)
         idx_c = jnp.sort(idx_c, axis=1)
+        taken_scale = jnp.take(c_scale, idx_c)  # [B, K]
         rows = jnp.take(corpus, idx_c, axis=0).astype(jnp.float32)
-        rows = rows * jnp.take(c_scale, idx_c)[..., None]
+        rows = rows * taken_scale[..., None]
+        if rescore_residual is not None:
+            res = jnp.take(rescore_residual, idx_c, axis=0)
+            rows = rows + res.astype(jnp.float32) * (
+                taken_scale[..., None] / 254.0
+            )
         scores = rescore_fp32(rescore_queries.astype(jnp.float32), rows)
         if penalty is not None:
             scores = scores + jnp.take(penalty, idx_c)
@@ -158,6 +195,7 @@ def rescore_fp32(
 
 __all__ = [
     "quantize_rows_int8",
+    "quantize_rows_int8_residual",
     "dequantize_rows_int8",
     "int8_topk",
     "rescore_fp32",

@@ -79,12 +79,13 @@ def _merge_gathered(vals, gidx, k, axis, extras=()):
     return out_vals, out_idx, merged_extras
 
 
-def _local_topk_int8(q_codes, q_scale, q_f32, c, c_scale, pen, *, k: int, impl: str, block_n: int, rescore_m: int):
+def _local_topk_int8(q_codes, q_scale, q_f32, c, c_scale, res, pen, *, k: int, impl: str, block_n: int, rescore_m: int):
     from outline_rag_tpu.ops.quant import int8_topk
 
     vals, idx = int8_topk(
         q_codes, q_scale, c, c_scale, k, pen, impl=impl, block_n=block_n,
         rescore_queries=q_f32 if rescore_m else None, rescore_m=rescore_m,
+        rescore_residual=res if res.shape[1] else None,
     )
     shard = jax.lax.axis_index(DATA_AXIS)
     gidx = idx + (shard * c.shape[0]).astype(jnp.int32)
@@ -105,19 +106,26 @@ def sharded_topk_int8(
     block_n: int = 1024,
     rescore_queries: jax.Array | None = None,  # [B, D] f32, replicated
     rescore_m: int = 64,
+    rescore_residual: jax.Array | None = None,  # [N, D] int8, row-sharded
 ) -> tuple[jax.Array, jax.Array]:
     """Quantized row-parallel top-K: per-shard fused int8 kernel, then the
     same tiny all-gather merge as :func:`sharded_topk`. With
     ``rescore_queries`` each shard fp32-rescores its own candidates
     *before* the merge (local gather — candidate rows never cross the
     interconnect), so the merged ranking equals the single-device
-    rescored ranking."""
+    rescored ranking. ``rescore_residual`` (the int8r q2 plane) rides
+    the same local gather and lifts the rescore to ~16-bit dequant."""
     if penalty is None:
         penalty = jnp.zeros((corpus.shape[0],), jnp.float32)
     q_f32 = (
         rescore_queries.astype(jnp.float32)
         if rescore_queries is not None
         else jnp.zeros((q_codes.shape[0], corpus.shape[1]), jnp.float32)
+    )
+    res = (
+        rescore_residual
+        if rescore_residual is not None
+        else jnp.zeros((corpus.shape[0], 0), jnp.int8)
     )
     body = functools.partial(
         _local_topk_int8, k=k, impl=impl, block_n=block_n,
@@ -126,15 +134,16 @@ def sharded_topk_int8(
     fn = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS)),
+        in_specs=(P(), P(), P(), P(DATA_AXIS, None), P(DATA_AXIS),
+                  P(DATA_AXIS, None), P(DATA_AXIS)),
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return fn(q_codes, q_scale, q_f32, corpus, c_scale, penalty)
+    return fn(q_codes, q_scale, q_f32, corpus, c_scale, res, penalty)
 
 
 def _local_retrieve_tokens(
-    q, q_codes, q_scale, c, c_scale, pen, tok_ids, tok_mask, tok_w,
+    q, q_codes, q_scale, c, c_scale, res, pen, tok_ids, tok_mask, tok_w,
     tok_cvecs=None, tok_cscale=None,
     *, k: int, impl: str, block_n: int, quantized: bool,
 ):
@@ -152,6 +161,7 @@ def _local_retrieve_tokens(
         vals, idx = int8_topk(
             q_codes, q_scale, c, c_scale, k, pen, impl=impl, block_n=block_n,
             rescore_queries=q,
+            rescore_residual=res if res.shape[1] else None,
         )
     else:
         vals, idx = cosine_topk(q, c, k, pen, impl=impl, block_n=block_n)
@@ -181,6 +191,7 @@ def sharded_retrieve_tokens(
     k: int,
     tok_cvecs: jax.Array | None = None,  # [N, Tc, r] int8, row-sharded
     tok_cscale: jax.Array | None = None,  # [N, Tc] f32, row-sharded
+    residual: jax.Array | None = None,  # [N, D] int8 (int8r), row-sharded
     *,
     mesh: Mesh,
     impl: str = "auto",
@@ -207,12 +218,17 @@ def sharded_retrieve_tokens(
         block_n=block_n,
         quantized=quantized,
     )
+    res = (
+        residual
+        if residual is not None
+        else jnp.zeros((corpus.shape[0], 0), jnp.int8)
+    )
     specs = [
         P(), P(), P(),
-        P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS),
+        P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS, None), P(DATA_AXIS),
         P(DATA_AXIS, None), P(DATA_AXIS, None), P(DATA_AXIS, None),
     ]
-    args = [q_emb, q_codes, q_scale, corpus, scales, penalty,
+    args = [q_emb, q_codes, q_scale, corpus, scales, res, penalty,
             tok_ids, tok_mask, tok_weights]
     n_out = 5
     if with_cb:

@@ -503,3 +503,62 @@ def test_ingest_staging_backpressure_drains_and_preserves_content(
     got, scores = idx.query(vecs[123:124], k=1)
     assert got[0][0] == "c123"
     assert scores[0, 0] == pytest.approx(1.0, abs=1e-4)
+
+
+# ----------------------------------------------------------------------
+# int8r: residual-plane quantized index (fp32-oracle-exact rescore)
+# ----------------------------------------------------------------------
+
+
+def _agree12(a, b):
+    return float(np.mean([len(set(x) & set(y)) / 12 for x, y in zip(a, b)]))
+
+
+def test_int8r_matches_fp32_index(rng):
+    """The int8r index (1-byte scan + q2 rescore plane) must return the
+    same top-12 sets as a float32 index over the same corpus — the
+    pgvector-exact bar plain int8 plateaus under (corpus rounding)."""
+    n = 3000
+    corpus = _vecs(rng, n)
+    qs = corpus[:32] + 0.35 * rng.standard_normal((32, DIM)).astype(
+        np.float32
+    )
+    ids_by = {}
+    for dtype in ("float32", "int8r"):
+        idx = VectorIndex(dim=DIM, capacity=4096, dtype=dtype)
+        idx.add_chunks([f"c{i}" for i in range(n)], corpus, source_id="s")
+        ids_by[dtype], _ = idx.query(qs, k=12)
+    assert _agree12(ids_by["int8r"], ids_by["float32"]) == 1.0
+
+
+def test_int8r_survives_churn_growth_and_snapshot(tmp_path, rng):
+    """Delete + re-add + capacity growth must keep the residual plane
+    row-aligned (compaction carries it), and save/load must persist it."""
+    n = 1500
+    corpus = _vecs(rng, n)
+    more = _vecs(rng, 900)
+    qs = corpus[:16] + 0.35 * rng.standard_normal((16, DIM)).astype(
+        np.float32
+    )
+
+    def churn(dtype):
+        idx = VectorIndex(dim=DIM, capacity=2048, dtype=dtype)
+        idx.add_chunks([f"c{i}" for i in range(n)], corpus, source_id="s")
+        idx.add_chunks([f"m{i}" for i in range(900)], more, source_id="s2")
+        idx.delete_source("s")
+        idx.add_chunks([f"c{i}" for i in range(n)], corpus, source_id="s")
+        return idx
+
+    ref = churn("float32")
+    got = churn("int8r")
+    assert got._shard.capacity > 2048  # growth actually happened
+    ids_ref, _ = ref.query(qs, k=12)
+    ids_got, _ = got.query(qs, k=12)
+    assert _agree12(ids_got, ids_ref) == 1.0
+
+    got.save(str(tmp_path / "snap"))
+    loaded = VectorIndex.load(str(tmp_path / "snap"))
+    assert loaded.dtype == "int8r"
+    assert loaded._shard.state.residual.shape[1] == DIM
+    ids_l, _ = loaded.query(qs, k=12)
+    assert ids_l == ids_got

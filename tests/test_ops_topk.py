@@ -384,3 +384,63 @@ def test_split_lo_plane_nonzero_under_jit():
     np.testing.assert_allclose(lo, true_lo, atol=2e-6)
     # reconstruction is fp32-class accurate, not bf16-class (~1e-3)
     np.testing.assert_allclose(hi + lo, x, atol=2e-6)
+
+
+def test_int8_residual_quantizer_bounds(data):
+    """q2 never clips: the absmax residual is <= s/2 elementwise, so the
+    derived scale s/254 maps it into [-127, 127]; dequant error per
+    element is <= s/508."""
+    from outline_rag_tpu.ops.quant import quantize_rows_int8_residual
+
+    _, c = data
+    q1, s, q2 = quantize_rows_int8_residual(jnp.asarray(c))
+    q1, s, q2 = np.asarray(q1), np.asarray(s), np.asarray(q2)
+    deq = q1.astype(np.float32) * s[:, None] + q2.astype(np.float32) * (
+        s[:, None] / 254.0
+    )
+    err = np.abs(deq - c)
+    assert float(err.max()) <= float((s / 508.0 + 1e-9).max())
+    # residual never saturates (rounding bound, not clipping)
+    assert int(np.abs(q2).max()) <= 127
+
+
+def test_int8_residual_rescore_matches_fp32_oracle(data):
+    """int8r: the scan runs on 1-byte codes but the rescored top-12 must
+    equal the TRUE fp32 oracle's ranking (not just the dequant oracle) —
+    the corpus-rounding gap plain int8 cannot close
+    (measurements/r4/eval_ladder: 0.984-0.991)."""
+    from outline_rag_tpu.ops.quant import (
+        int8_topk,
+        quantize_rows_int8_residual,
+    )
+
+    q, c = data
+    qq, qs = quantize_rows_int8(jnp.asarray(q))
+    cq, cs, cr = quantize_rows_int8_residual(jnp.asarray(c))
+    vals, idx = int8_topk(
+        qq, qs, cq, cs, 12,
+        rescore_queries=jnp.asarray(q), rescore_m=64, rescore_residual=cr,
+    )
+    ovals, oidx = _oracle_topk(q, c, 12)
+    np.testing.assert_array_equal(np.asarray(idx), oidx)
+    # scores equal the fp32 dot up to the residual-dequant bound
+    np.testing.assert_allclose(np.asarray(vals), ovals, rtol=1e-3, atol=2e-3)
+
+
+def test_int8_residual_rescore_respects_penalty(data):
+    from outline_rag_tpu.ops.quant import (
+        int8_topk,
+        quantize_rows_int8_residual,
+    )
+
+    q, c = data
+    qq, qs = quantize_rows_int8(jnp.asarray(q))
+    cq, cs, cr = quantize_rows_int8_residual(jnp.asarray(c))
+    invalid = np.zeros(c.shape[0], dtype=bool)
+    invalid[1::3] = True
+    penalty = jnp.asarray(np.where(invalid, NEG, 0.0).astype(np.float32))
+    _, idx = int8_topk(
+        qq, qs, cq, cs, 12, penalty,
+        rescore_queries=jnp.asarray(q), rescore_m=64, rescore_residual=cr,
+    )
+    assert not np.any(invalid[np.asarray(idx)])

@@ -97,6 +97,29 @@ def test_sharded_int8_index(mesh):
     assert got_ids[0][0] == "c5"
 
 
+def test_sharded_int8r_index_matches_fp32(mesh):
+    """Row-sharded int8r: the residual plane shards with the corpus and
+    each device rescores its own candidates — the merged top-12 must
+    equal an (unsharded) float32 index's sets exactly."""
+    from outline_rag_tpu.index import VectorIndex
+
+    rng = np.random.default_rng(22)
+    n = 2048
+    vecs = _normalize(rng.standard_normal((n, 64), dtype=np.float32))
+    qs = _normalize(
+        vecs[:8] + 0.35 * rng.standard_normal((8, 64), dtype=np.float32)
+    )
+    ref = VectorIndex(dim=64, capacity=4096, dtype="float32")
+    ref.add_chunks([f"c{i}" for i in range(n)], vecs, source_id="d")
+    ref_ids, _ = ref.query(qs, k=12)
+    idx = VectorIndex(
+        dim=64, capacity=8192, dtype="int8r", sharding=row_sharding(mesh)
+    )
+    idx.add_chunks([f"c{i}" for i in range(n)], vecs, source_id="d")
+    got_ids, _ = idx.query(qs, k=12)
+    assert all(set(a) == set(b) for a, b in zip(got_ids, ref_ids))
+
+
 def test_two_level_mesh_matches_oracle():
     """Multi-slice topology: 2 slices x 4 devices, hierarchical ICI-then-DCN
     merge must equal the flat oracle."""

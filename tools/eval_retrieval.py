@@ -122,7 +122,7 @@ def evaluate_ladder(
             cap *= 2
         rung: dict = {}
         fp32_lists: list[list[str]] | None = None
-        for dtype in ("float32", "f32x2", "bfloat16", "int8"):
+        for dtype in ("float32", "f32x2", "bfloat16", "int8", "int8r"):
             idx = VectorIndex(dim=dim, capacity=cap, dtype=dtype)
             ids_all = [f"c{i}" for i in range(n)]
             # append in large source blocks (the ingest shape at scale)
