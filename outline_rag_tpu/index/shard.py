@@ -184,6 +184,27 @@ class DeviceShard:
 
     # -- mutation ----------------------------------------------------------
 
+    def _pin_residual(self) -> None:
+        """XLA assigns zero-element *outputs* a replicated sharding, so a
+        zero-width residual plane ([cap, 0] in every non-int8r dtype)
+        comes back from ``_append_block``/``_tombstone_block`` with
+        ``PartitionSpec()`` even when the shard is mesh-sharded. That
+        flips the jit cache key of the next mutation at the same
+        capacity — e.g. the post-growth append of the new rows compiles
+        *inside the write lock* despite the capacity warm
+        (test_growth_prewarm_on_sharded_index). Re-pinning after every
+        mutation keeps exactly one input-sharding variant per capacity,
+        which ``warm``'s single append+tombstone covers. Free: zero
+        elements, and a no-op when the sharding already matches."""
+        if self.sharding is None:
+            return
+        want = self._state_shardings().residual
+        if self.state.residual.sharding != want:
+            self.state = dataclasses.replace(
+                self.state,
+                residual=jax.device_put(self.state.residual, want),
+            )
+
     @property
     def capacity(self) -> int:
         return self.state.capacity
@@ -238,6 +259,7 @@ class DeviceShard:
                 jnp.asarray(idx),
                 jnp.asarray(res_p),
             )
+            self._pin_residual()
             self._staged += blk_p.nbytes
             if self._staged >= _stage_limit():
                 drain_staged(self.state.scales)
@@ -260,6 +282,7 @@ class DeviceShard:
             self.state = _tombstone_block(
                 self.state, jnp.asarray(np.concatenate([blk, pad]))
             )
+            self._pin_residual()
         for r in rows:
             self.row_ids[int(r)] = ""
         self.live -= rows.size

@@ -259,10 +259,14 @@ def test_background_warm_kicks_in_past_80_percent():
     assert 2048 in idx._warmed
 
 
-def test_growth_prewarm_on_sharded_index():
+@pytest.mark.parametrize("dtype", ["float32", "int8r"])
+def test_growth_prewarm_on_sharded_index(dtype):
     """Growth of a row-sharded index: the warm path builds its throwaway
     shard with the same sharding, so the locked section stays compile-free
-    on the mesh too (the dryrun/serving configuration)."""
+    on the mesh too (the dryrun/serving configuration). float32 pins the
+    zero-width-residual hazard (XLA replicates zero-element outputs,
+    flipping the plane's sharding and the next mutation's jit key —
+    DeviceShard._pin_residual); int8r pins the real two-plane layout."""
     import contextlib
 
     import jax
@@ -271,7 +275,7 @@ def test_growth_prewarm_on_sharded_index():
     from outline_rag_tpu.parallel.mesh import data_mesh, row_sharding
 
     sharding = row_sharding(data_mesh(len(jax.devices())))
-    idx = VectorIndex(dim=8, capacity=1024, sharding=sharding)
+    idx = VectorIndex(dim=8, capacity=1024, sharding=sharding, dtype=dtype)
     rng = np.random.default_rng(2)
 
     def add(n, src):
