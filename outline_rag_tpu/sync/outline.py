@@ -39,11 +39,24 @@ class OutlineClient:
     ):
         self.api_url = api_url.rstrip("/")
         self.collections = collections
+        # HTTP/2 parity with the reference's retry transport
+        # (app/outline_client.py:27-28 wraps AsyncHTTPTransport with
+        # http2=True): enabled when the optional h2 package is present,
+        # falling back to HTTP/1.1 otherwise — httpx hard-errors on
+        # http2=True without h2, and this environment has no pip.
+        try:
+            import h2  # noqa: F401
+
+            http2 = True
+        except ImportError:
+            http2 = False
         self._client = httpx.AsyncClient(
             transport=transport,
+            http2=http2,
             timeout=timeout,
             headers={"Authorization": f"Bearer {token}"},
         )
+        self.http2 = http2
 
     async def aclose(self) -> None:
         await self._client.aclose()

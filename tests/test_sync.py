@@ -337,3 +337,24 @@ def test_webhook_timer_survives_running_refresh(world):
         assert await bus.pop(TASK_QUEUE, timeout=0.01) is None
 
     asyncio.run(run())
+
+
+def test_outline_client_http2_tracks_h2_availability():
+    """Reference parity nit (app/outline_client.py:27-28): the client
+    requests HTTP/2 when the optional h2 package exists and must fall
+    back to HTTP/1.1 (not crash) when it doesn't — httpx hard-errors on
+    http2=True without h2."""
+    from outline_rag_tpu.sync.outline import OutlineClient
+
+    try:
+        import h2  # noqa: F401
+
+        have_h2 = True
+    except ImportError:
+        have_h2 = False
+
+    client = OutlineClient("https://wiki.example", "tok")
+    try:
+        assert client.http2 is have_h2
+    finally:
+        asyncio.run(client.aclose())
