@@ -17,7 +17,7 @@ import numpy as np
 from outline_rag_tpu.models.encoder import (
     EncoderConfig,
     cast_params,
-    fuse_encoder_params,
+    maybe_fuse_encoder_params,
     pooled_embeddings,
     stack_layer_params,
 )
@@ -49,9 +49,11 @@ class EncoderEmbedder:
     ):
         self.cfg = cfg
         # stacked layers -> lax.scan forward: one traced layer, much
-        # faster compiles for 24-layer configs
+        # faster compiles for 24-layer configs. QKV fusion follows the
+        # measured policy (maybe_fuse_encoder_params: unfused by
+        # default, 0.92x at the ingest shape).
         self.params = stack_layer_params(
-            fuse_encoder_params(cast_params(params, cfg.dtype))
+            maybe_fuse_encoder_params(cast_params(params, cfg.dtype))
         )
         if int8:
             # w8a8 trunk (ENCODER_INT8): int8 MXU throughput at the

@@ -19,7 +19,7 @@ import numpy as np
 from outline_rag_tpu.models.encoder import (
     EncoderConfig,
     cast_params,
-    fuse_encoder_params,
+    maybe_fuse_encoder_params,
     stack_layer_params,
 )
 from outline_rag_tpu.models.reranker import reranker_forward
@@ -48,8 +48,10 @@ class CrossEncoderReranker:
         int8: bool = False,
     ):
         self.cfg = cfg
+        # QKV fusion follows the measured policy (unfused by default,
+        # 0.92x at the ingest shape — models/encoder.py policy note)
         self.params = stack_layer_params(
-            fuse_encoder_params(cast_params(params, cfg.dtype))
+            maybe_fuse_encoder_params(cast_params(params, cfg.dtype))
         )
         if int8:
             # w8a8 trunk (ENCODER_INT8): the rerank forward is B*K pair

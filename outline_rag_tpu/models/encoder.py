@@ -300,6 +300,22 @@ def fuse_encoder_params(params: Params) -> Params:
     return out
 
 
+def maybe_fuse_encoder_params(params: Params) -> Params:
+    """Serving-path QKV-fusion policy, in one place so code and ledger
+    cannot drift apart again: the on-chip A/B measured fusion at
+    **0.92x** at the ingest shape (64x256, M=16,384 activation rows —
+    docs/BENCHMARKS.md "Encoder", measurements/r4/encode_ab.out), so
+    the encoder ships with six separate projections per layer and
+    113.8 TFLOP/s stands. ``ORT_ENCODER_FUSE=1`` opts back in (the
+    M<=4k serve-time query shape is A/B'd separately — see
+    tools/bench_encode_ab.py)."""
+    import os
+
+    if os.environ.get("ORT_ENCODER_FUSE", "0") == "1":
+        return fuse_encoder_params(params)
+    return params
+
+
 def stack_layer_params(params: Params) -> Params:
     """Stack the per-layer param list into one pytree with a leading layer
     dimension, enabling the ``lax.scan`` forward (one traced layer instead
