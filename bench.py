@@ -268,6 +268,7 @@ def main() -> None:
     # r3 per-segment dispatch for A/B.
     sweep_mode = os.environ.get("BENCH_SWEEP", "oneprog")
     corpus_residual = None
+    res_placement = "device"
     seg_keys = offs = None
     # 2 GB f32 staging per generation step (env-overridable so the
     # segment-merge oracle path is testable at CPU-size corpora)
@@ -307,14 +308,67 @@ def main() -> None:
                 jax.lax.dynamic_update_slice(res, q2, (off, 0)),
             )
 
+        # BENCH_RESIDUAL=host (int8r only): the q2 plane lives in the
+        # ATTACHED HOST's RAM (pinned_host) instead of HBM — the >16 GB
+        # index design for the 10M exact rung (ops/hostmem.py). The
+        # plane is assembled remotely (device->host copies on the TPU
+        # host), so corpus bytes never cross the benchmark tunnel.
+        if residual_mode:
+            res_placement = os.environ.get("BENCH_RESIDUAL", "device")
+        host_append_seg = None
+        if res_placement == "host":
+            from jax._src.core import MemorySpace
+            from jax.experimental.compute_on import compute_on
+
+            from outline_rag_tpu.ops.hostmem import pinned_host_sharding
+
+            s_host = pinned_host_sharding()
+
+            @functools.partial(
+                jax.jit,
+                donate_argnums=(0, 1, 2),
+                static_argnames=("rows",),
+                out_shardings=(None, None, s_host),
+            )
+            def gen_into_rhost(buf, scl, resh, k_seg, off, *, rows):
+                seg = jax.random.normal(k_seg, (rows, d), jnp.float32)
+                seg = seg / jnp.linalg.norm(seg, axis=1, keepdims=True)
+                q1, s8, q2 = quantize_rows_int8_residual(seg)
+                q2_h = jax.device_put(q2, MemorySpace.Host)
+                off_h = jax.device_put(off, MemorySpace.Host)
+                zero_h = jax.device_put(
+                    jnp.int32(0), MemorySpace.Host
+                )
+                with compute_on("device_host"):
+                    resh = jax.lax.dynamic_update_slice(
+                        resh, q2_h, (off_h, zero_h)
+                    )
+                return (
+                    jax.lax.dynamic_update_slice(buf, q1, (off, 0)),
+                    jax.lax.dynamic_update_slice(scl, s8, (off,)),
+                    resh,
+                )
+
+            host_append_seg = gen_into_rhost
+
         corpus = jnp.zeros((n, d), jnp.int8)
         corpus_scales = jnp.zeros((n,), jnp.float32)
-        if residual_mode:
+        if residual_mode and res_placement == "host":
+            corpus_residual = jax.jit(
+                lambda: jnp.zeros((n, d), jnp.int8),
+                out_shardings=s_host,
+            )()
+        elif residual_mode:
             corpus_residual = jnp.zeros((n, d), jnp.int8)
         offs = list(range(0, n, GEN))
         seg_keys = jax.random.split(kc, len(offs))
         for k_seg, off in zip(seg_keys, offs):
-            if residual_mode:
+            if residual_mode and res_placement == "host":
+                corpus, corpus_scales, corpus_residual = host_append_seg(
+                    corpus, corpus_scales, corpus_residual, k_seg,
+                    jnp.int32(off), rows=min(GEN, n - off),
+                )
+            elif residual_mode:
                 corpus, corpus_scales, corpus_residual = gen_into_r(
                     corpus, corpus_scales, corpus_residual, k_seg,
                     jnp.int32(off), rows=min(GEN, n - off),
@@ -472,6 +526,8 @@ def main() -> None:
         resolved_impl = "pallas" if on_tpu else "xla"  # ops/quant policy
         if residual_mode:
             resolved_impl += "+rescore"
+            if res_placement == "host":
+                resolved_impl += ":hostres"
     else:
         from outline_rag_tpu.ops.topk import auto_impl
 

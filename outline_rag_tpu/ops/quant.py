@@ -139,7 +139,12 @@ def int8_topk(
         rows = jnp.take(corpus, idx_c, axis=0).astype(jnp.float32)
         rows = rows * taken_scale[..., None]
         if rescore_residual is not None:
-            res = jnp.take(rescore_residual, idx_c, axis=0)
+            # host- or device-resident q2 plane: ops/hostmem routes the
+            # host case through a compute_on("device_host") row gather
+            # (the >HBM-index design — 10 GB plane, 64 KB read/query)
+            from outline_rag_tpu.ops.hostmem import gather_rows
+
+            res = gather_rows(rescore_residual, idx_c)
             rows = rows + res.astype(jnp.float32) * (
                 taken_scale[..., None] / 254.0
             )

@@ -235,6 +235,62 @@ def main() -> None:
              host_hop_overhead=round(dt_host / dt_scan, 3))
     except Exception as e:
         emit(stage="end_to_end", ok=False, error=repr(e))
+        return
+
+    # --- stage 4: in-place append into the host plane ----------------------
+    # An index (not just a static bench corpus) needs delta appends into
+    # the residual plane. Donated host-space scatter with
+    # out_shardings=pinned_host requires the annotate_device_placement
+    # custom call, which the CPU backend lacks — only the chip can
+    # answer whether the axon runtime supports it.
+    try:
+        blk = 1024
+
+        @functools.partial(jax.jit, donate_argnums=(0,),
+                           out_shardings=s_host)
+        def append_host(p, rows_d, idx_d):
+            rows_h = jax.device_put(rows_d, MemorySpace.Host)
+            idx_h = jax.device_put(idx_d[:, None], MemorySpace.Host)
+            dnums = jax.lax.ScatterDimensionNumbers(
+                update_window_dims=(1,), inserted_window_dims=(0,),
+                scatter_dims_to_operand_dims=(0,),
+            )
+            with compute_on("device_host"):
+                out = jax.lax.scatter(
+                    p, idx_h, rows_h, dnums,
+                    mode=jax.lax.GatherScatterMode.FILL_OR_DROP,
+                )
+            return out
+
+        new_rows = jnp.asarray(
+            rng.integers(-127, 128, size=(blk, d), dtype=np.int8)
+        )
+        tgt = rng.integers(0, n, size=blk).astype(np.int32)
+        tgt_d = jnp.asarray(tgt)
+        q2_host = append_host(q2_host, new_rows, tgt_d)
+        jax.block_until_ready(q2_host)
+        # verify through the gather path (one row)
+        check_idx = jnp.asarray(
+            np.full((1, m), tgt[0], np.int32)
+        )
+        got = np.asarray(host_rows(q2_host, check_idx))[0, 0]
+        ok_contents = bool(np.array_equal(got, np.asarray(new_rows[0])))
+        ts = []
+        for i in range(4):
+            rows_i = jnp.asarray(
+                rng.integers(-127, 128, size=(blk, d), dtype=np.int8)
+            )
+            idx_i = jnp.asarray(
+                rng.integers(0, n, size=blk).astype(np.int32)
+            )
+            t0 = time.perf_counter()
+            q2_host = append_host(q2_host, rows_i, idx_i)
+            jax.block_until_ready(q2_host)
+            ts.append(time.perf_counter() - t0)
+        emit(stage="host_append", ok=True, contents_ok=ok_contents,
+             block_rows=blk, dt_ms=round(sorted(ts)[1] * 1e3, 3))
+    except Exception as e:
+        emit(stage="host_append", ok=False, error=repr(e))
 
 
 if __name__ == "__main__":
