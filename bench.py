@@ -324,6 +324,28 @@ def main() -> None:
 
             s_host = pinned_host_sharding()
 
+            # capability check BEFORE committing to the remote-assembly
+            # path: jit outputs in host space need the
+            # annotate_device_placement custom call (absent on CPU,
+            # unproven on axon until probed). Fallback assembles the
+            # plane locally and pushes it once — slow through the
+            # tunnel, but the rung still runs.
+            try:
+                _z = jax.jit(
+                    lambda: jnp.zeros((8, 4), jnp.int8),
+                    out_shardings=s_host,
+                )()
+                jax.block_until_ready(_z)
+                del _z
+            except Exception as exc:
+                print(
+                    f"# pinned_host jit output unsupported "
+                    f"({type(exc).__name__}): assembling residual "
+                    f"locally and pushing once",
+                    file=sys.stderr,
+                )
+                res_placement = "host-local"
+
             @functools.partial(
                 jax.jit,
                 donate_argnums=(0, 1, 2),
@@ -351,33 +373,63 @@ def main() -> None:
 
             host_append_seg = gen_into_rhost
 
+        @functools.partial(jax.jit, donate_argnums=(0, 1),
+                           static_argnames=("rows",))
+        def gen_into_r2(buf, scl, k_seg, off, *, rows):
+            # host-local fallback: q1/scales into donated device
+            # buffers, the q2 segment RETURNED for host assembly
+            seg = jax.random.normal(k_seg, (rows, d), jnp.float32)
+            seg = seg / jnp.linalg.norm(seg, axis=1, keepdims=True)
+            q1, s8, q2 = quantize_rows_int8_residual(seg)
+            return (
+                jax.lax.dynamic_update_slice(buf, q1, (off, 0)),
+                jax.lax.dynamic_update_slice(scl, s8, (off,)),
+                q2,
+            )
+
         corpus = jnp.zeros((n, d), jnp.int8)
         corpus_scales = jnp.zeros((n,), jnp.float32)
+        host_q2 = None
         if residual_mode and res_placement == "host":
             corpus_residual = jax.jit(
                 lambda: jnp.zeros((n, d), jnp.int8),
                 out_shardings=s_host,
             )()
+        elif residual_mode and res_placement == "host-local":
+            host_q2 = np.empty((n, d), np.int8)
         elif residual_mode:
             corpus_residual = jnp.zeros((n, d), jnp.int8)
         offs = list(range(0, n, GEN))
         seg_keys = jax.random.split(kc, len(offs))
         for k_seg, off in zip(seg_keys, offs):
+            rows_seg = min(GEN, n - off)
             if residual_mode and res_placement == "host":
                 corpus, corpus_scales, corpus_residual = host_append_seg(
                     corpus, corpus_scales, corpus_residual, k_seg,
-                    jnp.int32(off), rows=min(GEN, n - off),
+                    jnp.int32(off), rows=rows_seg,
                 )
+            elif residual_mode and res_placement == "host-local":
+                corpus, corpus_scales, q2_seg = gen_into_r2(
+                    corpus, corpus_scales, k_seg, jnp.int32(off),
+                    rows=rows_seg,
+                )
+                host_q2[off:off + rows_seg] = np.asarray(q2_seg)
             elif residual_mode:
                 corpus, corpus_scales, corpus_residual = gen_into_r(
                     corpus, corpus_scales, corpus_residual, k_seg,
-                    jnp.int32(off), rows=min(GEN, n - off),
+                    jnp.int32(off), rows=rows_seg,
                 )
             else:
                 corpus, corpus_scales = gen_into(
                     corpus, corpus_scales, k_seg, jnp.int32(off),
-                    rows=min(GEN, n - off),
+                    rows=rows_seg,
                 )
+        if host_q2 is not None:
+            from outline_rag_tpu.ops.hostmem import to_pinned_host
+
+            corpus_residual = to_pinned_host(host_q2)
+            jax.block_until_ready(corpus_residual)
+            del host_q2
         int8_segments = [(corpus, corpus_scales, 0)]
     elif int8_mode:
         # quantize in segments: a 10M-row f32 staging matrix would be
@@ -526,7 +578,7 @@ def main() -> None:
         resolved_impl = "pallas" if on_tpu else "xla"  # ops/quant policy
         if residual_mode:
             resolved_impl += "+rescore"
-            if res_placement == "host":
+            if res_placement.startswith("host"):
                 resolved_impl += ":hostres"
     else:
         from outline_rag_tpu.ops.topk import auto_impl
