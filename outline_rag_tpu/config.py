@@ -206,10 +206,13 @@ class Settings:
     sse_ping_interval_s: float = 20.0  # reference api.py:736
 
     # --- TPU engine (new; no reference equivalent) ---
-    # float32 | f32x2 (compensated bf16 pairs: fp32-exact top-K at bf16
-    # MXU speed, same bytes as f32 — the recommended exact mode) |
-    # bfloat16 | int8
-    index_dtype: str = "float32"
+    # int8r (default: two-plane int8 — quantized scan bandwidth with
+    # fp32-oracle-EXACT ranking, measured agreement@12 = 1.0 at
+    # 10k/100k/1M on chip, EVAL_r05.json; quarter the f32 bytes on the
+    # scanned plane) | float32 (exact by construction, HIGHEST
+    # scoring) | f32x2 (compensated bf16 pairs, exact, f32 bytes) |
+    # bfloat16 | int8 (fastest scan, ~0.98-0.99 top-12 agreement)
+    index_dtype: str = "int8r"
     # snapshot restore/persist: at startup the app adopts
     # {data_dir}/index_snapshot(.npz) when present (instant restart —
     # the delta-sync protocol reconciles any staleness on the next
@@ -369,7 +372,7 @@ def load_settings(env: dict[str, str] | None = None) -> Settings:
         refresh_batch_size=_env_int("REFRESH_BATCH_SIZE", 100),
         webhook_debounce_s=_env_float("WEBHOOK_DEBOUNCE_S", 60.0),
         sse_ping_interval_s=_env_float("SSE_PING_INTERVAL_S", 20.0),
-        index_dtype=_env("INDEX_DTYPE", "float32"),
+        index_dtype=_env("INDEX_DTYPE", "int8r"),
         index_autosave_s=_env_float("INDEX_AUTOSAVE_S", 0.0),
         shard_capacity=_env_int("SHARD_CAPACITY", 1 << 17),
         mesh_data_axis=_env_int("MESH_DATA_AXIS", 0),
