@@ -124,8 +124,10 @@ async def run() -> None:
         )
     del enc_params, rr_params
     dev = jax.devices()[0]
-    emb.params = jax.device_put(emb.params, dev)
-    rr.params = jax.device_put(rr.params, dev)
+    # the model trees move to the chip AFTER the index build (below):
+    # they are first touched by the ask loop, and keeping ~2.2 GB off
+    # the device during the build lowers the ingest high-water mark at
+    # the 1M hybrid rungs (the northstar_1m_int8r OOM forensics)
 
     cap = 1024
     while cap < n:
@@ -172,10 +174,21 @@ async def run() -> None:
             token_mask=np.ones((m, tok_w), np.int32),
             **extra,
         )
+        if (start // batch) % 32 == 0:
+            # progress marker for OOM forensics: which block died, and
+            # how long blocks take as the build deepens (a rising
+            # per-block time = the lazy tunnel falling behind)
+            print(
+                f"# build block {start // batch} "
+                f"({start + m}/{n} rows, t={time.perf_counter() - t_build:.0f}s)",
+                file=sys.stderr, flush=True,
+            )
     print(
         f"# index build: {n} rows in {time.perf_counter() - t_build:.1f}s",
         file=sys.stderr,
     )
+    emb.params = jax.device_put(emb.params, dev)
+    rr.params = jax.device_put(rr.params, dev)
 
     settings = load_settings(
         {
