@@ -32,6 +32,7 @@ Env: STEPS (default 600), BENCH_LAYERS/BENCH_HIDDEN/... shape overrides,
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import sys
@@ -86,7 +87,13 @@ def main() -> None:
     from outline_rag_tpu.serve.decode_batcher import DONE, DecodeBatcher
 
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    steps = int(os.environ.get("STEPS", 80 if smoke else 600))
+    # Induction-head formation is lr-critical: the measured CPU sweep
+    # (2Lx128H, this task) LEARNS at lr=1e-3 — plateau 6.27 -> 6.11,
+    # then the phase transition to 0.27 at ~step 2000 — while lr=3e-3
+    # (with or without warmup) never leaves the plateau in 4000-6000
+    # steps (the round-4 "quote_accuracy 0.0" runs). Default to 1e-3
+    # and train past the transition with an early stop below.
+    steps = int(os.environ.get("STEPS", 120 if smoke else 4000))
     slots = int(os.environ.get("BENCH_SLOTS", 4 if smoke else 8))
     spec_k = int(os.environ.get("BENCH_SPEC_K", 4))
     n_words = 768
@@ -98,7 +105,10 @@ def main() -> None:
         kv_heads=int(os.environ.get("BENCH_KV_HEADS", 2 if smoke else 4)),
         intermediate=int(os.environ.get("BENCH_INTER", 256 if smoke else 1408)),
         max_cache=256,
-        dtype=jnp.float32 if smoke else jnp.bfloat16,
+        # train in f32 (AdamW moments inherit the params dtype — bf16
+        # moments can stall exactly the small-gradient accumulation the
+        # pre-transition phase runs on); the serving cast happens after
+        dtype=jnp.float32,
     )
     seq_len = DOC_LEN + 1 + CUE + ANS + 1  # 69
     batch = int(os.environ.get("BENCH_B", 16 if smoke else 32))
@@ -106,7 +116,7 @@ def main() -> None:
     params = fuse_decoder_params(
         stack_decoder_params(init_decoder_params(jax.random.key(0), cfg))
     )
-    opt = make_optimizer(lr=float(os.environ.get("LR", 3e-3)))
+    opt = make_optimizer(lr=float(os.environ.get("LR", 1e-3)))
     state = init_train_state(params, opt)
     step = jax.jit(make_lm_train_step(cfg, opt))
 
@@ -125,13 +135,25 @@ def main() -> None:
 
     t0 = time.perf_counter()
     losses = []
+    trained_steps = steps
     for s in range(steps):
         state, metrics = step(state, make_batch())
-        if s % max(1, steps // 10) == 0 or s == steps - 1:
+        if s % max(1, steps // 20) == 0 or s == steps - 1:
             losses.append(round(float(metrics["loss"]), 4))
             print(f"# step {s}: loss {losses[-1]}", file=sys.stderr, flush=True)
+            # early stop once well past the induction transition: the
+            # streaming loss lands near 0.3 and only drifts after
+            if not smoke and losses[-1] < 0.35 and s >= steps // 4:
+                trained_steps = s + 1
+                break
     train_s = time.perf_counter() - t0
     tparams = state.params
+    if not smoke:
+        # serving dtype: the batcher runs the production bf16 config
+        from outline_rag_tpu.models.decoder import cast_decoder_params
+
+        cfg = dataclasses.replace(cfg, dtype=jnp.bfloat16)
+        tparams = cast_decoder_params(tparams, jnp.bfloat16)
 
     # ---- held-out prompts (fresh docs: the task must have generalized)
     eval_rng = np.random.default_rng(10_000)
@@ -212,7 +234,7 @@ def main() -> None:
                     f"draft_k={spec_k}, {slots} slots)"
                 ),
                 "backend": jax.default_backend(),
-                "train_steps": steps,
+                "train_steps": trained_steps,
                 "train_s": round(train_s, 1),
                 "loss_first": losses[0],
                 "loss_last": losses[-1],

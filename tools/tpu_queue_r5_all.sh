@@ -80,7 +80,10 @@ for pass in $(seq 1 400); do
   # north-star serve on int8r + rank-64 hybrid (VERDICT #5)
   run_task $R5 northstar_1m_int8r 9000 env BENCH_N=1000000 BENCH_DTYPE=int8r BENCH_HYBRID=1 BENCH_CB_RANK=64 BENCH_CONC=100 python tools/bench_serve_tpu.py || true
   # driver headline preview under the int8r default (VERDICT #3)
-  run_task $R4 headline2         3600 python bench.py || true
+  # BENCH_SKIP_PROBE: run_task's own rtt gate already vouches for the
+  # tunnel; bench.py's in-process probe child once timed out in a
+  # healthy window and recorded a false tunnel-dead zero as .done
+  run_task $R4 headline2         3600 env BENCH_SKIP_PROBE=1 python bench.py || true
   # the 10M exact rung (VERDICT #8) — after hostres_1m proves the path
   if [ -e "$R5/hostres_1m.done" ]; then
     run_task $R5 sweep10m_int8r_hostres 9000 env BENCH_N=10000000 BENCH_DTYPE=int8r BENCH_RESIDUAL=host BENCH_B=128 BENCH_GEN=262144 python bench.py || true
