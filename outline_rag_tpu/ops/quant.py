@@ -182,6 +182,51 @@ def int8_topk(
     return int8_topk_xla(q_queries, q_scale, corpus, c_scale, k, penalty)
 
 
+def int8_topk_candidates(
+    q_queries: jax.Array,  # [B, D] int8
+    q_scale: jax.Array,  # [B] f32
+    corpus: jax.Array,  # [N, D] int8 (the q1 plane)
+    c_scale: jax.Array,  # [N] f32
+    m: int,
+    rescore_queries: jax.Array,  # [B, D] f32 (exact query values)
+    penalty: jax.Array | None = None,
+    impl: str = "auto",
+    block_n: int = 1024,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Device half of the HOST-residual rescore tier: quantized q1 scan
+    for the top-``m`` candidates plus the exact f32 q1-part rescore.
+    Returns ``(scores_q1 [B, m] f32, idx [B, m] i32 ascending,
+    scale_c [B, m] f32)`` for :func:`outline_rag_tpu.ops.hostres.
+    host_residual_topk` to finish (add ``(q . q2_row) * scale/254`` from
+    the host-RAM q2 plane, final top-k).
+
+    Exists because the 10M-row exact rung cannot keep BOTH int8r planes
+    in HBM (20 GB) and the measured runtime cannot row-DMA a pinned_host
+    plane (tools/probe_hostres2.py, 2026-08-21: the compute_on gather's
+    time scales with PLANE size — ratio 3.64 at fixed gathered bytes —
+    and every alternative structure, whole-host-program gather /
+    dynamic_slice scan / host-block einsum, ABORTs). The split keeps the
+    scan + candidate gather at HBM bandwidth and moves only [B, m]
+    scalars plus indices across the boundary — the pgvector-style host
+    rescore tier (reference scores fp32 rows host-side,
+    app/database.py:137-138)."""
+    kq = min(m, corpus.shape[0])
+    vals_c, idx_c = int8_topk(
+        q_queries, q_scale, corpus, c_scale, kq, penalty,
+        impl=impl, block_n=block_n,
+    )
+    # ascending-index candidates: downstream stable argsort then keeps
+    # the lowest-corpus-index-wins tie contract (index/store convention)
+    idx_c = jnp.sort(idx_c, axis=1)
+    taken_scale = jnp.take(c_scale, idx_c)
+    rows = jnp.take(corpus, idx_c, axis=0).astype(jnp.float32)
+    rows = rows * taken_scale[..., None]
+    scores = rescore_fp32(rescore_queries.astype(jnp.float32), rows)
+    if penalty is not None:
+        scores = scores + jnp.take(penalty, idx_c)
+    return scores, idx_c.astype(jnp.int32), taken_scale
+
+
 def rescore_fp32(
     queries: jax.Array,  # [B, D] f32
     corpus_rows: jax.Array,  # [B, K, D] f32 gathered candidates
@@ -203,5 +248,6 @@ __all__ = [
     "quantize_rows_int8_residual",
     "dequantize_rows_int8",
     "int8_topk",
+    "int8_topk_candidates",
     "rescore_fp32",
 ]

@@ -65,8 +65,12 @@ def main() -> None:
 
     rng = np.random.default_rng(7)
     planes = {}
+    small_np = None
     for tag, n in (("small", n_small), ("big", n_big)):
         arr = rng.integers(-127, 128, size=(n, d), dtype=np.int8)
+        if tag == "small":
+            small_np = arr  # kept host-side: fetching a pinned_host
+            #                 plane back through the tunnel ABORTs
         planes[tag] = (jax.device_put(arr, s_host), n)
         jax.block_until_ready(planes[tag][0])
     emit(stage="planes", ok=True, rows_small=n_small, rows_big=n_big)
@@ -134,10 +138,44 @@ def main() -> None:
         # contiguous 2048-row host slice -> device; idx ignored by design
         return floor_reduce(lax.slice(plane, (0, 0), (b * m, d)))
 
+    # hdot: gather AND the rescore dot stay in the host block; only the
+    # [B, M] f32 corrections (32 KB) cross the memory-space boundary.
+    # If this is plane-size-flat, the 10M rescore never moves rows at
+    # all — the host computes sum(q2[idx] * query) and ships scalars.
+    @jax.jit
+    def v_hdot(plane, idx, q):
+        bq, mq = idx.shape
+        idx_h = jax.device_put(idx.reshape(bq * mq, 1), MemorySpace.Host)
+        q_h = jax.device_put(q, MemorySpace.Host)
+        with compute_on("device_host"):
+            rows = lax.gather(
+                plane, idx_h, dnums, slice_sizes=(1, d),
+                mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+            )  # [B*M, D] int8, host
+            corr = jnp.einsum(
+                "bmd,bd->bm",
+                rows.reshape(bq, mq, d).astype(jnp.float32),
+                q_h,
+            )
+        return jnp.sum(jax.device_put(corr, MemorySpace.Device))
+
+    q_np = rng.standard_normal((b, d)).astype(np.float32)
+    q_dev = jax.device_put(jnp.asarray(q_np), dev)
+
     variants = {
         "ghr": v_ghr, "dss": v_dss, "dsu": v_dsu,
-        "hjit": v_hjit, "floor": v_floor,
     }
+    if os.environ.get("PROBE_ABORTING_VARIANTS"):
+        # measured 2026-08-21 (probe_hostres2.err): hjit (whole-program
+        # host gather via out_shardings=pinned_host), floor (eager
+        # lax.slice on a host array), and hdot (host-block einsum) all
+        # raise ABORTED on the axon runtime — and the first abort WEDGES
+        # the process (every subsequent dispatch aborts, including plain
+        # device_put). Quarantined behind an env flag.
+        variants.update({
+            "hjit": v_hjit, "floor": v_floor,
+            "hdot": lambda plane, idx: v_hdot(plane, idx, q_dev),
+        })
 
     # --- warm + time -------------------------------------------------------
     def idx_for(n):
@@ -151,7 +189,7 @@ def main() -> None:
         for tag in ("small", "big"):
             plane, n = planes[tag]
             try:
-                jax.block_until_ready(fn(plane, idx_for(n)))
+                int(fn(plane, idx_for(n)))  # fetch = the only real sync
             except Exception as e:
                 skipped[name] = f"{tag}: {e!r}"[:300]
                 variants.pop(name, None)
@@ -159,15 +197,25 @@ def main() -> None:
     if skipped:
         emit(stage="skipped", variants=skipped)
 
+    # The lazy tunnel makes block_until_ready a no-op — only a host
+    # fetch executes the queue. Time a CHAIN of data-dependent calls
+    # (the scalar result perturbs the next idx by +0*acc, unfoldable
+    # across the jit boundary) ending in ONE fetch, so per-call time =
+    # chain/REPS with a single rtt amortized across the chain.
+    REPS = 8
     for rnd in range(4):
         for name, fn in variants.items():
             for tag in ("small", "big"):
                 plane, n = planes[tag]
-                idx = idx_for(n)
-                jax.block_until_ready(idx)
+                idxs = [idx_for(n) for _ in range(REPS)]
+                for i in idxs:
+                    jax.block_until_ready(i)
                 t0 = time.time()
-                jax.block_until_ready(fn(plane, idx))
-                dt = (time.time() - t0) * 1e3
+                acc = jnp.int32(0)
+                for i in idxs:
+                    acc = fn(plane, i + acc * 0)
+                int(acc)
+                dt = (time.time() - t0) * 1e3 / REPS
                 if rnd:  # round 0 is an extra warm pass
                     results[name][tag].append(dt)
 
@@ -180,12 +228,12 @@ def main() -> None:
             "ratio": round(tb / ts, 2),
             "rowdma": bool(tb / ts < 1.6),
         }
-    emit(stage="scaling", variants=out)
+    emit(stage="scaling", variants=out, reps=REPS)
 
     # --- correctness: dss/hjit rows == fp32 oracle rows --------------------
     plane, n = planes["small"]
     idx = idx_for(n)
-    want = np.asarray(planes["small"][0])[np.asarray(idx).reshape(-1)]
+    want = small_np[np.asarray(idx).reshape(-1)]
 
     @jax.jit
     def rows_dss(plane, idx):
