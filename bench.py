@@ -143,7 +143,7 @@ def bench_encode() -> None:
     )
 
 
-def _tunnel_alive(timeout_s: int = 240) -> bool:
+def _tunnel_alive(timeout_s: int = 240, attempts: int = 3) -> bool:
     """Probe the TPU tunnel in a SUBPROCESS with a hard timeout.
 
     Backend initialization itself goes through the remote tunnel and can
@@ -152,30 +152,41 @@ def _tunnel_alive(timeout_s: int = 240) -> bool:
     Probing in a child keeps the parent clean: on failure we emit an
     honest, parseable result line instead of hanging the whole harness
     past the driver's patience with no output at all.
+
+    Retries with a pause: the tunnel's failure windows are often
+    minutes-long blips (measured 2026-08-21: a healthy-execution window
+    whose remote COMPILER threw HTTP 500s for ~8 minutes, then
+    recovered) — one-shot probing recorded two false tunnel-dead zeros
+    for the round-4/5 headline task.
     """
     import subprocess
 
-    try:
-        r = subprocess.run(
-            [
-                sys.executable,
-                "-c",
-                # default_backend() is always a non-empty string once
-                # init succeeds, so "is it truthy" was vacuous: a fast-
-                # failing axon plugin silently falls back to CPU and the
-                # probe child would pass, recording CPU throughput as a
-                # TPU result. Require a non-CPU backend explicitly.
-                "import jax, jax.numpy as jnp; "
-                "x = jnp.ones((64, 64)); float(jnp.sum(x @ x)); "
-                "import sys; "
-                "sys.exit(0 if jax.default_backend() != 'cpu' else 1)",
-            ],
-            timeout=timeout_s,
-            capture_output=True,
-        )
-        return r.returncode == 0
-    except Exception:
-        return False
+    for attempt in range(attempts):
+        if attempt:
+            time.sleep(60)
+        try:
+            r = subprocess.run(
+                [
+                    sys.executable,
+                    "-c",
+                    # default_backend() is always a non-empty string once
+                    # init succeeds, so "is it truthy" was vacuous: a fast-
+                    # failing axon plugin silently falls back to CPU and the
+                    # probe child would pass, recording CPU throughput as a
+                    # TPU result. Require a non-CPU backend explicitly.
+                    "import jax, jax.numpy as jnp; "
+                    "x = jnp.ones((64, 64)); float(jnp.sum(x @ x)); "
+                    "import sys; "
+                    "sys.exit(0 if jax.default_backend() != 'cpu' else 1)",
+                ],
+                timeout=timeout_s,
+                capture_output=True,
+            )
+            if r.returncode == 0:
+                return True
+        except Exception:
+            pass
+    return False
 
 
 def main() -> None:
