@@ -21,10 +21,21 @@ batch. This module is the supported XLA pattern for that:
 Role in the reference's terms: pgvector keeps every plane in one
 Postgres heap (``app/database.py:118-139``); this split keeps the
 scanned plane at HBM bandwidth and pays host bandwidth only for the
-rescore's 64 rows — the TPU-native answer to "index larger than HBM".
+rescore's 64 rows.
 
-Validated on the real runtime by ``tools/probe_hostres.py`` (gather
-time flat in plane size = row-DMA, not a hidden full-plane copy).
+MEASURED CAVEAT (tools/probe_hostres.py + probe_hostres2.py, on-chip
+2026-08-21): on the current runtime the ``compute_on`` gather is the
+only in-program host-memory read that executes at all, and its cost
+scales with PLANE size at fixed gathered bytes (ratio 3.64 for 8x
+rows — a hidden copy, ~20 q/s extrapolated at 10M); every alternative
+structure (whole-host-program gather, dynamic_slice scan, host-block
+einsum) ABORTS, and the first abort wedges the process. Placement
+(``to_pinned_host``) and the donated host-space scatter append DO
+work. The production >HBM rescore therefore lives in
+``ops/hostres.py`` (host rescore tier: candidates ship to the host,
+the numpy q2 plane never enters a program); ``gather_rows``'s host
+route is kept for API completeness and for runtimes whose XLA lowers
+host gathers properly.
 """
 
 from __future__ import annotations
