@@ -71,19 +71,54 @@ class RetrievalService:
     def fused(self) -> bool:
         return self._fused is not None
 
+    # consecutive fused failures before the engine stops attempting the
+    # fused program at all. Rationale (northstar_1m_int8r forensics,
+    # 2026-08-21): jit caches only SUCCESSFUL compiles, so a program the
+    # remote compiler deterministically rejects (the 1M int8r + rank-64
+    # hybrid fused query, HTTP 500 from tpu_compile_helper) was re-paid
+    # as a multi-second failing compile on EVERY ask — 174 failures in
+    # one serve run, ~10 asks/s, every answer silently served without
+    # context through chat.py's fail-open. Three strikes tolerates
+    # transient tunnel errors; a deterministic rejection downgrades to
+    # the staged path (smaller programs, known-compiling) permanently.
+    _FUSED_STRIKE_LIMIT = 3
+
     def retrieve_batch(self, queries: list[str]) -> list[list[RetrievedChunk]]:
         if not queries:
             return []
         if self._fused is not None:
-            with metrics.timeit("retrieve.fused"):
-                fused_out = self._fused.query(queries)
-            return [
-                [
-                    RetrievedChunk(cid, dense, rerank_score=rr)
-                    for cid, rr, dense in row
+            try:
+                with metrics.timeit("retrieve.fused"):
+                    fused_out = self._fused.query(queries)
+            except Exception:
+                import logging
+
+                self._fused_strikes = getattr(self, "_fused_strikes", 0) + 1
+                log = logging.getLogger(__name__)
+                if self._fused_strikes >= self._FUSED_STRIKE_LIMIT:
+                    log.exception(
+                        "fused retrieval failed %d times; disabling the "
+                        "fused engine (staged path from here on)",
+                        self._fused_strikes,
+                    )
+                    self._fused = None
+                else:
+                    log.exception(
+                        "fused retrieval failed (strike %d/%d); serving "
+                        "this batch via the staged path",
+                        self._fused_strikes, self._FUSED_STRIKE_LIMIT,
+                    )
+                with metrics.timeit("retrieve.staged"):
+                    return self._staged(queries)
+            else:
+                self._fused_strikes = 0
+                return [
+                    [
+                        RetrievedChunk(cid, dense, rerank_score=rr)
+                        for cid, rr, dense in row
+                    ]
+                    for row in fused_out
                 ]
-                for row in fused_out
-            ]
         with metrics.timeit("retrieve.staged"):
             return self._staged(queries)
 

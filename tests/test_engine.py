@@ -342,3 +342,55 @@ def test_aux_heads_bucket_batch_shapes():
         assert codes.shape[0] == n and scales.shape == (n, width)
     assert emb._sparse_jit._cache_size() == 1
     assert emb._colbert_jit._cache_size() == 1
+
+
+def test_fused_failure_falls_back_staged_then_disables():
+    """A failing fused program must not fail the ask (chat fails open to
+    NO retrieval otherwise) and must stop being re-attempted after the
+    strike limit — jit caches only successful compiles, so a program the
+    remote compiler deterministically rejects would otherwise be re-paid
+    as a multi-second failing compile on every ask (northstar_1m_int8r
+    forensics: 174 failed compiles in one serve run)."""
+    svc = _build_hash_service()
+    assert svc._fused is None  # hash embedder: no fused engine
+
+    calls = {"n": 0}
+
+    class Boom:
+        def query(self, queries):
+            calls["n"] += 1
+            raise RuntimeError("remote_compile: HTTP 500")
+
+    svc._fused = Boom()
+    for _ in range(svc._FUSED_STRIKE_LIMIT):
+        out = svc.retrieve_batch(["alpha wolves?"])
+        # every strike still serves the batch via the staged path
+        assert out and out[0] and out[0][0].chunk_id == "alpha:0"
+    assert svc._fused is None  # disabled at the limit
+    n_at_disable = calls["n"]
+    out = svc.retrieve_batch(["alpha wolves?"])
+    assert out[0][0].chunk_id == "alpha:0"
+    assert calls["n"] == n_at_disable  # never attempted again
+
+
+def test_fused_transient_failure_resets_strikes():
+    svc = _build_hash_service()
+
+    class Flaky:
+        def __init__(self):
+            self.fail_next = True
+
+        def query(self, queries):
+            if self.fail_next:
+                self.fail_next = False
+                raise RuntimeError("transient tunnel error")
+            # minimal fused-shaped output: (chunk_id, rerank, dense)
+            return [[("alpha:0", 1.0, 0.9)] for _ in queries]
+
+    svc._fused = Flaky()
+    assert svc.retrieve_batch(["q"])[0][0].chunk_id == "alpha:0"  # strike 1
+    assert svc.retrieve_batch(["q"])[0][0].chunk_id == "alpha:0"  # success
+    assert svc._fused_strikes == 0  # reset on success
+    svc._fused.fail_next = True
+    assert svc.retrieve_batch(["q"])[0][0].chunk_id == "alpha:0"
+    assert svc._fused is not None  # one strike after a reset: still on
