@@ -239,7 +239,12 @@ def main() -> None:
     # fallback while the README talked about the kernel (VERDICT r2
     # weak #2) — the headline now measures the rung the kernel owns.
     n = int(os.environ.get("BENCH_N", 1_000_000 if on_tpu else 20_000))
-    b = int(os.environ.get("BENCH_B", 32))
+    # TPU default batch 128 (round 5): the serving reality is batched
+    # queries, and the scan amortizes per-dispatch cost over B — the
+    # same-window ladder (docs/ROUND5.md) measured int8r 1M at B=32 =
+    # 5,021 q/s vs B=128 = 15,701 q/s, recall@12 1.000 at both. B is
+    # printed in the metric line so cross-round rows stay comparable.
+    b = int(os.environ.get("BENCH_B", 128 if on_tpu else 32))
     d = int(os.environ.get("BENCH_D", 1024))
     k = 12
     block_n = 1024
@@ -786,7 +791,8 @@ def main() -> None:
             {
                 "metric": (
                     f"top-12 query throughput ({resolved_impl}), "
-                    f"{n} x {d} {dtype_name} corpus, recall@12={recall:.3f}"
+                    f"{n} x {d} {dtype_name} corpus, B={b}, "
+                    f"recall@12={recall:.3f}"
                 ),
                 "impl": resolved_impl,
                 "value": round(qps, 1),

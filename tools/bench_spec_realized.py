@@ -107,8 +107,11 @@ def main() -> None:
         max_cache=256,
         # train in f32 (AdamW moments inherit the params dtype — bf16
         # moments can stall exactly the small-gradient accumulation the
-        # pre-transition phase runs on); the serving cast happens after
-        dtype=jnp.float32,
+        # pre-transition phase runs on); the serving cast happens after.
+        # BENCH_TRAIN_BF16=1 opts into bf16 training for shapes whose
+        # f32 tree + moments exceed HBM (the 1.1B realized rung).
+        dtype=(jnp.bfloat16 if os.environ.get("BENCH_TRAIN_BF16")
+               else jnp.float32),
     )
     seq_len = DOC_LEN + 1 + CUE + ANS + 1  # 69
     batch = int(os.environ.get("BENCH_B", 16 if smoke else 32))
@@ -168,7 +171,9 @@ def main() -> None:
 
     def run_batcher(sk: int, prompt_rows, tag: int):
         b = DecodeBatcher(
-            tparams, cfg, slots=slots, chunk_tokens=8, eos_id=EOS,
+            tparams, cfg, slots=slots,
+            chunk_tokens=int(os.environ.get("BENCH_CHUNK", 8)),
+            eos_id=EOS,
             spec_k=sk, prompt_buckets=(64, 128, 256),
         )
         try:
