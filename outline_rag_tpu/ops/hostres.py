@@ -50,12 +50,11 @@ def host_residual_topk(
     lowest corpus index (stable argsort over ascending-index
     candidates — the ``lax.top_k`` contract the device path honours)."""
     b, m = idx.shape
-    rows = q2_plane[idx.reshape(-1)].reshape(b, m, -1)
-    corr = np.einsum(
-        "bmd,bd->bm",
-        rows.astype(np.float32),
-        queries.astype(np.float32),
-    )
+    rows = q2_plane[idx.reshape(-1)].reshape(b, m, -1).astype(np.float32)
+    # batched matmul, not einsum: same contraction, but np.matmul hits
+    # the BLAS batched-gemv path — measured 12.3 vs 17.8 ms per
+    # [128, 64, 1024] batch on this host (1.45x, measurements/r5)
+    corr = np.matmul(rows, queries.astype(np.float32)[:, :, None])[:, :, 0]
     scores = scores_q1 + corr * (scale_c / np.float32(254.0))
     pos = np.argsort(-scores, axis=1, kind="stable")[:, :k]
     vals = np.take_along_axis(scores, pos, axis=1)
